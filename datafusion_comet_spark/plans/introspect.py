@@ -1,0 +1,77 @@
+"""Physical-plan introspection.
+
+The reference proves which operator served a query via
+``checkSparkAnswerAndOperator`` (reference:
+spark/src/test/scala/org/apache/spark/sql/CometTestBase.scala:225-268)
+and commits approved plans per query in its plan-stability suite
+(test/.../CometPlanStabilitySuite.scala:78-125).  The rebuild keeps
+the idea but parses Spark's own explain output: assert that the
+expected physical operators (and only those) executed, that filters
+reached the parquet scan, and that joins picked the intended strategy.
+
+Parsing is deliberately minimal — operator names only — because
+explain formatting varies between Spark versions (SURVEY.md §7.4.5).
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+
+_OP_LINE = re.compile(r"^\s*(?:[+:*!\-(\d)\s]*)([A-Za-z][A-Za-z0-9]+)")
+
+
+def plan_string(df: DataFrame, mode: str = "formatted") -> str:
+    """Return the explain output for ``df`` as a string."""
+    qe = df._jdf.queryExecution()
+    jvm = df.sparkSession._jvm
+    jmode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
+    return qe.explainString(jmode)
+
+
+def operators_in_plan(df: DataFrame) -> list[str]:
+    """Physical operator names appearing in the simple plan, in order."""
+    text = plan_string(df, "simple")
+    ops = []
+    for line in text.splitlines():
+        m = _OP_LINE.match(line)
+        if m:
+            ops.append(m.group(1))
+    return ops
+
+
+def assert_operators(
+    df: DataFrame,
+    expected: list[str] | None = None,
+    forbidden: list[str] | None = None,
+) -> None:
+    """Assert the physical plan contains each ``expected`` operator name
+    (substring match against the plan) and none of the ``forbidden``."""
+    text = plan_string(df, "simple")
+    for op in expected or []:
+        assert op in text, f"operator {op!r} missing from plan:\n{text}"
+    for op in forbidden or []:
+        assert op not in text, f"operator {op!r} unexpectedly in plan:\n{text}"
+
+
+def pushed_filters(df: DataFrame) -> list[str]:
+    """PushedFilters entries from the formatted plan (parquet pushdown proof)."""
+    text = plan_string(df, "formatted")
+    out = []
+    for m in re.finditer(r"PushedFilters:\s*\[([^\]]*)\]", text):
+        body = m.group(1).strip()
+        if body:
+            out.extend(p.strip() for p in body.split(","))
+    return out
+
+
+def shuffle_count(df: DataFrame) -> int:
+    """Number of shuffle exchanges in the plan — the scale metric to minimize."""
+    return plan_string(df, "simple").count("Exchange hashpartitioning") + plan_string(
+        df, "simple"
+    ).count("Exchange rangepartitioning")
+
+
+def broadcast_join_count(df: DataFrame) -> int:
+    return plan_string(df, "simple").count("BroadcastHashJoin")

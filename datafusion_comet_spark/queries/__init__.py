@@ -1,0 +1,68 @@
+"""Query inventory registry.
+
+Every capability claimed from SURVEY.md §2 is declared here as a
+``Query``: a PySpark callable ``(spark, sf_dir) -> DataFrame`` plus,
+wherever the semantics are SQL-expressible, an equivalent DuckDB
+oracle SQL string run by the driver's differential harness (the
+rebuild of the reference's checkSparkAnswer methodology, reference:
+spark/src/test/scala/org/apache/spark/sql/CometTestBase.scala:159-345).
+
+Conventions that keep the oracle hash-stable:
+- every computed column is aliased identically on both sides;
+- float aggregates are rounded identically on both sides (the
+  reference compares floats with tolerance, CometTestBase.scala:177-223;
+  the driver hashes values, so we canonicalize by rounding instead);
+- integer-typed sums are cast explicitly (DuckDB widens BIGINT sums to
+  HUGEINT; Spark keeps LongType);
+- queries ORDER BY their group keys so both engines emit a canonical
+  row order.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass(frozen=True)
+class Query:
+    name: str
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # DuckDB SQL, or None for non-SQL-expressible ops
+    tags: tuple[str, ...] = field(default_factory=tuple)
+    doc: str = ""
+
+
+REGISTRY: dict[str, Query] = {}
+
+
+def register(
+    name: str,
+    oracle: str | None = None,
+    tags: tuple[str, ...] = (),
+    doc: str = "",
+):
+    """Decorator: declare a query in the inventory."""
+
+    def wrap(fn: Callable[[SparkSession, str], DataFrame]):
+        if name in REGISTRY:
+            raise ValueError(f"duplicate query name {name!r}")
+        REGISTRY[name] = Query(name=name, fn=fn, oracle=oracle, tags=tags, doc=doc or (fn.__doc__ or ""))
+        return fn
+
+    return wrap
+
+
+def load_all() -> dict[str, Query]:
+    """Import every query module so REGISTRY is fully populated."""
+    from . import tpch  # noqa: F401
+    from . import relational  # noqa: F401
+    from . import expressions  # noqa: F401
+    from . import aggregates  # noqa: F401
+    from . import windows  # noqa: F401
+    from . import datapipe  # noqa: F401
+    from . import similarity  # noqa: F401
+
+    return REGISTRY

@@ -1,0 +1,100 @@
+"""Differential test harness: Spark result vs DuckDB oracle.
+
+Rebuild of the reference's checkSparkAnswer methodology (reference:
+spark/src/test/scala/org/apache/spark/sql/CometTestBase.scala:159-345)
+with DuckDB standing in for vanilla Spark as the oracle, mirroring the
+driver's own verify loop: row count + column names + order-insensitive
+value comparison, floats with tolerance, NaN/-0.0 canonicalized.
+"""
+
+from __future__ import annotations
+
+import math
+from datetime import date, datetime
+from decimal import Decimal
+from typing import Any
+
+import duckdb
+
+from .catalog import TABLES, table_path
+
+
+def duckdb_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    """In-memory DuckDB with the star-schema tables registered as views
+    (the same registration the driver performs)."""
+    con = duckdb.connect()
+    for t in TABLES:
+        path = table_path(sf_dir, t)
+        con.execute(
+            f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM read_parquet('{path}')"
+        )
+    return con
+
+
+def _canon(v: Any, float_round: int = 6) -> Any:
+    """Canonicalize a single value for order-insensitive comparison."""
+    if v is None:
+        return None
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        if v == 0.0:
+            return 0.0  # collapse -0.0
+        return round(v, float_round)
+    if isinstance(v, Decimal):
+        return float(v)
+    if isinstance(v, datetime):
+        return v.replace(tzinfo=None).isoformat(timespec="microseconds")
+    if isinstance(v, date):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return tuple(_canon(x, float_round) for x in v)
+    if isinstance(v, dict):
+        return tuple(sorted((k, _canon(x, float_round)) for k, x in v.items()))
+    if isinstance(v, bytes):
+        return v.hex()
+    return v
+
+
+def _rows_to_canonical(
+    rows: list[tuple], col_names: list[str], float_round: int
+) -> list[tuple]:
+    order = sorted(range(len(col_names)), key=lambda i: col_names[i])
+    out = [tuple(_canon(r[i], float_round) for i in order) for r in rows]
+    out.sort(key=lambda r: tuple((x is None, str(type(x)), str(x)) for x in r))
+    return out
+
+
+def compare_to_oracle(
+    spark_df,
+    oracle_sql: str,
+    sf_dir: str,
+    float_round: int = 6,
+) -> None:
+    """Assert the Spark DataFrame matches the DuckDB oracle result.
+
+    Column-name sets must match (driver sorts columns by name before
+    hashing); rows are compared as canonicalized sorted multisets.
+    """
+    con = duckdb_connection(sf_dir)
+    try:
+        cur = con.execute(oracle_sql)
+        oracle_cols = [d[0] for d in cur.description]
+        oracle_rows = cur.fetchall()
+    finally:
+        con.close()
+
+    spark_cols = spark_df.columns
+    assert sorted(spark_cols) == sorted(oracle_cols), (
+        f"column mismatch: spark={sorted(spark_cols)} oracle={sorted(oracle_cols)}"
+    )
+    spark_rows = [tuple(r) for r in spark_df.collect()]
+    assert len(spark_rows) == len(oracle_rows), (
+        f"row count mismatch: spark={len(spark_rows)} oracle={len(oracle_rows)}"
+    )
+    a = _rows_to_canonical(spark_rows, spark_cols, float_round)
+    b = _rows_to_canonical(oracle_rows, oracle_cols, float_round)
+    mismatches = [(x, y) for x, y in zip(a, b) if x != y]
+    assert not mismatches, (
+        f"{len(mismatches)}/{len(a)} rows differ; first 5: {mismatches[:5]}"
+    )
