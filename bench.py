@@ -1,0 +1,98 @@
+#!/usr/bin/env python
+"""Benchmark harness — runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) and prints ONE JSON line.
+
+Modeled on the reference's tpcbench.py methodology (reference:
+benchmarks/tpc/tpcbench.py; results format benchmarks/results/0.16.0/*.json):
+per-query wall-clock seconds, min-of-iterations semantics collapsed to a
+single warm run after a JVM/catalyst warmup query.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+BENCH_QUERIES = [
+    # TPC-H-shaped headline set (join trees, aggregates, semi/anti joins)
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q4_order_priority",
+    "q5_local_supplier",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "q10_returned_items",
+    "q12_late_shipments",
+    "q13_customer_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q17_small_quantity",
+    "q18_large_volume",
+    "q19_discounted_revenue",
+    "q21_waiting_supplier",
+    "q22_sales_opportunity",
+]
+
+# Queries registered later (windows, datapipe, similarity) are picked up
+# dynamically if tagged "bench".
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    if not os.path.isdir(sf_dir):
+        sys.exit(f"bench: data dir not found: {sf_dir}")
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
+    except ValueError:
+        sf = -1.0
+
+    from datafusion_comet_spark.queries import load_all
+    from datafusion_comet_spark.session import get_session
+
+    registry = load_all()
+    names = [n for n in BENCH_QUERIES if n in registry]
+    names += sorted(
+        n for n, q in registry.items() if "bench" in q.tags and n not in names
+    )
+
+    spark = get_session(app_name="dcs-bench")
+
+    # warmup: JVM JIT + catalyst caches + parquet footer reads
+    registry["q1_pricing_summary"].fn(spark, sf_dir).collect()
+
+    per_query: dict[str, float] = {}
+    t_total = time.perf_counter()
+    for name in names:
+        t0 = time.perf_counter()
+        df = registry[name].fn(spark, sf_dir)
+        # collect() forces full evaluation incl. the final projection
+        # (count() would let Catalyst prune result expressions); all
+        # bench queries return small (aggregated / limited) results.
+        n = len(df.collect())
+        per_query[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {per_query[name]:.3f}s ({n} rows)", file=sys.stderr)
+    total = round(time.perf_counter() - t_total, 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "bench_total",
+                "value": total,
+                "unit": "sec",
+                "queries": per_query,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
