@@ -12,6 +12,7 @@ import os
 from types import SimpleNamespace
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 TABLES: tuple[str, ...] = (
     "region",
@@ -38,7 +39,17 @@ def table_path(sf_dir: str, name: str) -> str:
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(table_path(sf_dir, name))
+    if name == "events":
+        # The driver may hand us a session without our defaults; the
+        # TIMESTAMP(NANOS) column is unreadable without this conf.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(table_path(sf_dir, name))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # events.ts is parquet TIMESTAMP(NANOS) read as a ns long (see
+        # session.DEFAULT_CONF); normalize to a µs TimestampType.  The
+        # DuckDB oracle mirrors this with CAST(ts AS TIMESTAMP).
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df
 
 
 def load_tables(
@@ -54,7 +65,7 @@ def load_tables(
         path = table_path(sf_dir, name)
         if not os.path.exists(path):
             continue
-        df = spark.read.parquet(path)
+        df = load_table(spark, sf_dir, name)
         out[name] = df
         if register_views:
             df.createOrReplaceTempView(name)

@@ -1,1 +1,349 @@
-"""Placeholder — populated in this round."""
+"""Aggregate-function coverage (SURVEY.md §2.3).
+
+The reference's aggregate registry (reference:
+spark/src/main/scala/org/apache/comet/serde/QueryPlanSerde.scala:275-294,
+handlers serde/aggregates.scala:35-770) covers count/min/max/sum/avg,
+first/last, bit and bool aggregates, variance/stddev/covariance/
+correlation, collect_set, and FILTER clauses — all realized here
+through the corresponding ``pyspark.sql.functions`` with DuckDB
+oracles.  Statistical aggregates are rounded because both engines
+accumulate in floating point with different associativity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from . import register
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+@register(
+    "agg_variance_stddev",
+    oracle="""
+SELECT l_returnflag,
+       round(var_samp(l_quantity), 6)    AS var_s,
+       round(var_pop(l_quantity), 6)     AS var_p,
+       round(stddev_samp(l_quantity), 6) AS std_s,
+       round(stddev_pop(l_quantity), 6)  AS std_p
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+    tags=("aggregate", "stats"),
+)
+def agg_variance_stddev(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """var_samp/var_pop/stddev_samp/stddev_pop (reference:
+    native/spark-expr/src/agg_funcs/ variance/stddev kernels)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.var_samp("l_quantity"), 6).alias("var_s"),
+            F.round(F.var_pop("l_quantity"), 6).alias("var_p"),
+            F.round(F.stddev_samp("l_quantity"), 6).alias("std_s"),
+            F.round(F.stddev_pop("l_quantity"), 6).alias("std_p"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "agg_corr_covar",
+    oracle="""
+SELECT l_linestatus,
+       round(corr(l_quantity, l_extendedprice), 6)       AS r,
+       round(covar_samp(l_quantity, l_extendedprice), 4) AS cov_s,
+       round(covar_pop(l_quantity, l_extendedprice), 4)  AS cov_p
+FROM lineitem
+GROUP BY l_linestatus
+ORDER BY l_linestatus
+""",
+    tags=("aggregate", "stats"),
+)
+def agg_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """corr / covar_samp / covar_pop (reference:
+    native/spark-expr/src/agg_funcs/ correlation/covariance)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_linestatus")
+        .agg(
+            F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("r"),
+            F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias(
+                "cov_s"
+            ),
+            F.round(F.covar_pop("l_quantity", "l_extendedprice"), 4).alias(
+                "cov_p"
+            ),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+@register(
+    "agg_minmax_types",
+    oracle="""
+SELECT l_returnflag,
+       min(l_quantity) AS min_qty,    max(l_quantity) AS max_qty,
+       min(l_shipdate) AS min_ship,   max(l_shipdate) AS max_ship,
+       min(l_linestatus) AS min_stat, max(l_linestatus) AS max_stat,
+       min(l_linenumber) AS min_line, max(l_linenumber) AS max_line
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+    tags=("aggregate",),
+)
+def agg_minmax_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """min/max across double, timestamp, string, int (type-gate parity
+    with reference serde/aggregates.scala:742-751)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.min("l_quantity").alias("min_qty"),
+            F.max("l_quantity").alias("max_qty"),
+            F.min("l_shipdate").alias("min_ship"),
+            F.max("l_shipdate").alias("max_ship"),
+            F.min("l_linestatus").alias("min_stat"),
+            F.max("l_linestatus").alias("max_stat"),
+            F.min("l_linenumber").alias("min_line"),
+            F.max("l_linenumber").alias("max_line"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "agg_minby_maxby",
+    oracle="""
+SELECT o_orderstatus,
+       min_by(o_orderkey, o_orderkey) AS first_key,
+       max_by(o_orderkey, o_orderkey) AS last_key,
+       max_by(o_totalprice, o_orderkey) AS last_price
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+""",
+    tags=("aggregate",),
+)
+def agg_minby_maxby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """min_by/max_by with a unique ordering key — the deterministic
+    stand-in for first/last (reference First/Last with ignoreNulls,
+    serde/aggregates.scala:249-318, is order-sensitive and therefore
+    excluded from hash comparison per FIXTURES.md)."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderstatus")
+        .agg(
+            F.min_by("o_orderkey", "o_orderkey").alias("first_key"),
+            F.max_by("o_orderkey", "o_orderkey").alias("last_key"),
+            F.max_by("o_totalprice", "o_orderkey").alias("last_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@register(
+    "agg_bitwise",
+    oracle="""
+SELECT p_type,
+       bit_and(p_size) AS b_and,
+       bit_or(p_size)  AS b_or,
+       bit_xor(p_size) AS b_xor
+FROM part
+GROUP BY p_type
+ORDER BY p_type
+""",
+    tags=("aggregate", "bitwise"),
+)
+def agg_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """bit_and/bit_or/bit_xor (reference serde/aggregates.scala:321-420)."""
+    part = _t(spark, sf_dir, "part")
+    return (
+        part.groupBy("p_type")
+        .agg(
+            F.bit_and("p_size").alias("b_and"),
+            F.bit_or("p_size").alias("b_or"),
+            F.bit_xor("p_size").alias("b_xor"),
+        )
+        .orderBy("p_type")
+    )
+
+
+@register(
+    "agg_bool",
+    oracle="""
+SELECT c_mktsegment,
+       bool_and(c_acctbal > 0)    AS all_positive,
+       bool_or(c_acctbal > 9900)  AS any_rich,
+       count(*) FILTER (WHERE c_acctbal < 0) AS n_negative
+FROM customer
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+""",
+    tags=("aggregate", "bool", "filter-clause"),
+)
+def agg_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """bool_and/bool_or + COUNT FILTER (reference supports FILTER
+    clauses on aggregates, expr.proto:148-150)."""
+    cust = _t(spark, sf_dir, "customer")
+    return (
+        cust.groupBy("c_mktsegment")
+        .agg(
+            F.bool_and(F.col("c_acctbal") > 0).alias("all_positive"),
+            F.bool_or(F.col("c_acctbal") > 9900).alias("any_rich"),
+            F.count_if(F.col("c_acctbal") < 0).alias("n_negative"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@register(
+    "agg_filter_clause",
+    oracle="""
+SELECT l_returnflag,
+       round(sum(l_quantity) FILTER (WHERE l_discount > 0.05), 2)
+         AS qty_discounted,
+       round(sum(l_quantity) FILTER (WHERE l_discount <= 0.05), 2)
+         AS qty_regular,
+       round(avg(l_quantity) FILTER (WHERE l_quantity >= 25), 6)
+         AS avg_high
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+    tags=("aggregate", "filter-clause"),
+)
+def agg_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sum/avg with FILTER (WHERE ...) clauses via the SQL expression
+    path (reference: QueryPlanSerde.scala:562-571)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.expr(
+                "round(sum(l_quantity) FILTER (WHERE l_discount > 0.05), 2)"
+            ).alias("qty_discounted"),
+            F.expr(
+                "round(sum(l_quantity) FILTER (WHERE l_discount <= 0.05), 2)"
+            ).alias("qty_regular"),
+            F.expr(
+                "round(avg(l_quantity) FILTER (WHERE l_quantity >= 25), 6)"
+            ).alias("avg_high"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "agg_distinct_forms",
+    oracle="""
+SELECT l_linestatus,
+       count(DISTINCT l_partkey)               AS nd_part,
+       count(DISTINCT (l_partkey, l_suppkey))  AS nd_pair,
+       round(sum(DISTINCT l_quantity), 2)      AS sum_d_qty,
+       round(avg(DISTINCT l_quantity), 6)      AS avg_d_qty
+FROM lineitem
+GROUP BY l_linestatus
+ORDER BY l_linestatus
+""",
+    tags=("aggregate", "distinct"),
+)
+def agg_distinct_forms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT aggregates: single- and multi-column count, sum, avg
+    (reference distinct handling QueryPlanSerde.scala:495-505 — single
+    column for any agg, multi-column only for COUNT)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_linestatus")
+        .agg(
+            F.count_distinct("l_partkey").alias("nd_part"),
+            F.count_distinct("l_partkey", "l_suppkey").alias("nd_pair"),
+            F.round(F.sum_distinct(F.col("l_quantity")), 2).alias("sum_d_qty"),
+            F.round(F.expr("avg(DISTINCT l_quantity)"), 6).alias("avg_d_qty"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+@register(
+    "agg_collect_set",
+    oracle="""
+SELECT o_orderpriority,
+       list_sort(list(DISTINCT o_orderstatus)) AS statuses,
+       count(*) AS n
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+    tags=("aggregate", "collect"),
+)
+def agg_collect_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_set sorted for determinism (reference CollectSet
+    serde/aggregates.scala:687)."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.sort_array(F.collect_set("o_orderstatus")).alias("statuses"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "agg_percentiles",
+    oracle="""
+SELECT l_returnflag,
+       list_transform(quantile_cont(l_quantity, [0.25, 0.5, 0.75]),
+                      x -> round(x, 6)) AS qty_quartiles,
+       round(median(l_quantity), 6) AS qty_median
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+    tags=("aggregate", "percentile"),
+)
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles + median (beyond the reference:
+    percentiles fall back to Spark there — SURVEY.md §2.1 'Missing')."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.transform(
+                F.expr("percentile(l_quantity, array(0.25D, 0.5D, 0.75D))"),
+                lambda x: F.round(x, 6),
+            ).alias("qty_quartiles"),
+            F.round(F.expr("median(l_quantity)"), 6).alias("qty_median"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "agg_approx_count_distinct",
+    oracle=None,  # HLL sketches are implementation-specific; rows-only check
+    tags=("aggregate", "approx"),
+)
+def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++).  The reference falls back
+    to Spark for this (SURVEY.md §2.1 'Missing from the reference');
+    values are sketch-dependent so there is no cross-engine oracle —
+    the pytest suite asserts relative error vs the exact count."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey").alias("approx_nd"),
+            F.count_distinct("l_partkey").alias("exact_nd"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -1,1 +1,389 @@
-"""Placeholder — populated in this round."""
+"""Training-data pipeline operators: deduplication + text analysis.
+
+Beyond the reference's surface (BASELINE.json north-star): the
+operators a 100 TB LLM-data pipeline needs, built Spark-first so every
+stage is a shuffle-conscious DataFrame op:
+
+- exact dedup: hash-groupBy (one shuffle on the content hash);
+- window dedup: row_number over (entity, time) — the canonical
+  keep-first-per-key pattern;
+- MinHash-LSH near-dup: shingle → minhash signature → band buckets →
+  candidate pairs — all JVM-side expressions (F.hash = murmur3), no
+  Python in the hot path; bucket join replaces the O(n²) pair scan;
+- SimHash: 64-bit signature via xxhash64 bit-majority, prefix buckets;
+- text stats / language heuristic / token counting for quality scoring.
+
+At scale: every groupBy here keys on a high-cardinality derived hash
+(uniform, unskewed); LSH band-bucket joins are self-joins on bucket
+ids whose fan-out is controlled by the band width.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from . import register
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# --------------------------------------------------------------------------
+# Exact deduplication
+# --------------------------------------------------------------------------
+@register(
+    "dedup_exact",
+    oracle="""
+SELECT h, min(doc_id) AS keeper, count(*) AS n_copies
+FROM (SELECT doc_id, md5(text) AS h FROM documents) t
+GROUP BY h
+HAVING count(*) >= 1
+ORDER BY keeper
+""",
+    tags=("datapipe", "dedup", "bench"),
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content hash: one shuffle on md5(text), keep the
+    smallest doc_id per group.  At 100 TB the hash is computed at scan
+    time and the groupBy partial-aggregates map-side."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", F.md5(F.col("text").cast("binary")).alias("h"))
+        .groupBy("h")
+        .agg(F.min("doc_id").alias("keeper"), F.count(F.lit(1)).alias("n_copies"))
+        .orderBy("keeper")
+    )
+
+
+@register(
+    "dedup_window_first",
+    oracle="""
+SELECT user_id, event_type, day, first_event, n_events
+FROM (
+  SELECT user_id, event_type,
+         CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+         row_number() OVER (PARTITION BY user_id, event_type,
+                              date_trunc('day', CAST(ts AS TIMESTAMP))
+                            ORDER BY ts, event_id) AS rn,
+         event_id AS first_event,
+         count(*) OVER (PARTITION BY user_id, event_type,
+                          date_trunc('day', CAST(ts AS TIMESTAMP)))
+           AS n_events
+  FROM events
+) t
+WHERE rn = 1 AND user_id < 30
+ORDER BY user_id, event_type, day
+""",
+    tags=("datapipe", "dedup", "window"),
+)
+def dedup_window_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-first-per-key dedup via row_number over (entity, day):
+    the canonical streaming-log dedup; one shuffle on the window key."""
+    ev = _t(spark, sf_dir, "events")
+    day = F.date_trunc("day", "ts")
+    w = W.partitionBy("user_id", "event_type", day).orderBy("ts", "event_id")
+    wc = W.partitionBy("user_id", "event_type", day)
+    return (
+        ev.select(
+            "user_id",
+            "event_type",
+            day.cast("date").alias("day"),
+            F.row_number().over(w).alias("rn"),
+            F.col("event_id").alias("first_event"),
+            F.count(F.lit(1)).over(wc).alias("n_events"),
+        )
+        .filter((F.col("rn") == 1) & (F.col("user_id") < 30))
+        .drop("rn")
+        .orderBy("user_id", "event_type", "day")
+    )
+
+
+# --------------------------------------------------------------------------
+# MinHash-LSH near-duplicate detection  (Spark-only: murmur3 signatures)
+# --------------------------------------------------------------------------
+N_HASHES = 16
+BAND_SIZE = 4  # 4 bands of 4 hashes
+
+
+def _shingles(tokens, k: int = 3):
+    """k-token shingles as strings, via sequence+transform (JVM-side)."""
+    n = F.size(tokens)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    return F.when(n >= k, F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(tokens, i + 1, k))
+    )).otherwise(F.array(F.concat_ws(" ", tokens)))
+
+
+def minhash_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """doc_id → minhash signature array<int> of length N_HASHES.
+
+    Each hash family member j is murmur3 (F.hash, Spark-native — the
+    same kernel the reference implements natively in
+    native/spark-expr/src/hash_funcs/murmur3.rs) salted with j; the
+    signature element is the min over shingles.  Pure JVM expressions —
+    no Python UDF in the path."""
+    toks = F.split(F.lower(F.col(text_col)), " ")
+    sig = F.array(
+        *[
+            F.array_min(
+                F.transform(
+                    F.col("shingles"), lambda s: F.hash(F.concat(F.lit(str(j) + "#"), s))
+                )
+            )
+            for j in range(N_HASHES)
+        ]
+    )
+    return (
+        docs.select("doc_id", _shingles(toks).alias("shingles"))
+        .select("doc_id", sig.alias("sig"))
+    )
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=None,  # murmur3-based signatures have no DuckDB counterpart;
+    # pytest validates candidate pairs against exact Jaccard.
+    tags=("datapipe", "dedup", "lsh", "bench"),
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate pairs: signature → band buckets →
+    self-join per bucket → distinct pairs with estimated similarity.
+
+    Scale shape: the band explode multiplies rows ×(N_HASHES/BAND_SIZE);
+    the groupBy buckets is a uniform-hash shuffle; candidate pairs are
+    produced without any O(n²) comparison."""
+    docs = _t(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs)
+    bands = sigs.select(
+        "doc_id",
+        "sig",
+        F.posexplode(
+            F.array(
+                *[
+                    F.hash(
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.col("sig")[i].cast("string")
+                                for i in range(b * BAND_SIZE, (b + 1) * BAND_SIZE)
+                            ],
+                        )
+                    )
+                    for b in range(N_HASHES // BAND_SIZE)
+                ]
+            )
+        ).alias("band", "bucket"),
+    )
+    left = bands.select(
+        F.col("doc_id").alias("a"), F.col("sig").alias("sig_a"), "band", "bucket"
+    )
+    right = bands.select(
+        F.col("doc_id").alias("b"), F.col("sig").alias("sig_b"), "band", "bucket"
+    )
+    pairs = (
+        left.join(right, ["band", "bucket"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", "sig_a", "sig_b")
+        .distinct()
+    )
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+                lambda v: v == 1,
+            )
+        )
+        / F.lit(float(N_HASHES))
+    )
+    return (
+        pairs.select("a", "b", F.round(est, 4).alias("est_jaccard"))
+        .filter(F.col("est_jaccard") >= 0.5)
+        .orderBy("a", "b")
+    )
+
+
+# --------------------------------------------------------------------------
+# SimHash fingerprinting  (Spark-only: xxhash64 bits)
+# --------------------------------------------------------------------------
+@register(
+    "dedup_simhash",
+    oracle=None,  # xxhash64 has no DuckDB counterpart; pinned by pytest.
+    tags=("datapipe", "dedup", "simhash"),
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash per document: per-token xxhash64, bit-majority
+    vote across tokens, then bucket by 16-bit prefix.  All JVM-side:
+    the bit loop is an unrolled array of aggregate expressions."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("tok")
+    ).withColumn("h", F.xxhash64("tok"))
+    # majority vote per bit: sum(+1/-1 per token) > 0 → bit set
+    bit_votes = toks.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1)
+                .otherwise(-1)
+            ).alias(f"v{b}")
+            for b in range(64)
+        ]
+    )
+    simhash = bit_votes.select(
+        "doc_id",
+        sum(
+            [
+                F.when(F.col(f"v{b}") > 0, F.lit(1).cast("long") * (2**b)).otherwise(
+                    F.lit(0).cast("long")
+                )
+                for b in range(63)  # bit 63 omitted: keep the hash positive
+            ],
+            F.lit(0).cast("long"),
+        ).alias("simhash"),
+    )
+    return (
+        simhash.withColumn("bucket", F.shiftright("simhash", 47))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sort_array(F.collect_set("doc_id")).alias("doc_ids"),
+        )
+        .filter(F.col("n_docs") > 1)
+        .orderBy("bucket")
+    )
+
+
+# --------------------------------------------------------------------------
+# Text statistics / quality scoring
+# --------------------------------------------------------------------------
+@register(
+    "text_stats",
+    oracle=f"""
+SELECT doc_id, lang,
+       CAST(len(toks) AS INT) AS n_tokens,
+       round(CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
+             / len(toks), 6) AS avg_tok_len,
+       round(CAST(len(list_filter(toks, t -> t IN {STOPWORDS})) AS DOUBLE)
+             / len(toks), 6) AS stopword_ratio,
+       round(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 6)
+         AS distinct_ratio
+FROM (SELECT doc_id, lang, str_split(lower(text), ' ') AS toks
+      FROM documents) t
+ORDER BY doc_id
+""",
+    tags=("datapipe", "text", "bench"),
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-scoring features per document: token count, mean token
+    length, stopword ratio, distinct-token ratio — all with array
+    lambdas, no UDF."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.lower("text"), " ")
+    t = docs.select("doc_id", "lang", toks.alias("toks"))
+    n = F.size("toks").cast("double")
+    return t.select(
+        "doc_id",
+        "lang",
+        F.size("toks").alias("n_tokens"),
+        F.round(
+            F.aggregate(
+                "toks", F.lit(0).cast("long"), lambda a, x: a + F.length(x)
+            ).cast("double")
+            / n,
+            6,
+        ).alias("avg_tok_len"),
+        F.round(
+            F.size(F.filter("toks", lambda x: x.isin(*STOPWORDS))).cast("double") / n,
+            6,
+        ).alias("stopword_ratio"),
+        F.round(F.size(F.array_distinct("toks")).cast("double") / n, 6).alias(
+            "distinct_ratio"
+        ),
+    ).orderBy("doc_id")
+
+
+@register(
+    "lang_id_heuristic",
+    oracle=f"""
+SELECT lang, predicted, count(*) AS n
+FROM (
+  SELECT lang,
+         CASE WHEN CAST(len(list_filter(str_split(lower(text), ' '),
+                                        t -> t IN {STOPWORDS})) AS DOUBLE)
+                   / len(str_split(lower(text), ' ')) > 0.05
+              THEN 'en' ELSE 'other' END AS predicted
+  FROM documents
+) t
+GROUP BY lang, predicted
+ORDER BY lang, predicted
+""",
+    tags=("datapipe", "text"),
+)
+def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram-free language-ID heuristic: stopword density → 'en'
+    vs 'other'; emitted as a confusion table against the labeled
+    ``lang`` column."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.lower("text"), " ")
+    ratio = F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS))).cast(
+        "double"
+    ) / F.size(toks)
+    return (
+        docs.select(
+            "lang", F.when(ratio > 0.05, "en").otherwise("other").alias("predicted")
+        )
+        .groupBy("lang", "predicted")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("lang", "predicted")
+    )
+
+
+@register(
+    "token_count_regex",
+    oracle="""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]'))
+            AS INT) AS n_bpe_ish,
+       CAST(len(str_split(text, ' ')) AS INT) AS n_ws
+FROM documents
+WHERE doc_id < 200
+ORDER BY doc_id
+""",
+    tags=("datapipe", "text", "tokenize"),
+)
+def token_count_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace split and a BPE-ish regex
+    (letters / digits / single punctuation) — both JVM regex engines."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return docs.select(
+        "doc_id",
+        F.size(
+            F.expr("regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]', 0)")
+        ).alias("n_bpe_ish"),
+        F.size(F.split("text", " ")).alias("n_ws"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "doc_fingerprint",
+    oracle=None,  # rolling polynomial hash — pinned by pytest known values.
+    tags=("datapipe", "text", "fingerprint"),
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic rolling fingerprint: fold tokens through
+    h = (h*31 + murmur3(tok)) mod 2^31-1 via F.aggregate — a
+    driver-free, UDF-free per-document fingerprint."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.lower("text"), " ")
+    fp = F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, x: F.pmod(
+            acc * 31 + F.hash(x).cast("long"), F.lit(2147483647).cast("long")
+        ),
+    )
+    return docs.select("doc_id", fp.alias("fingerprint")).orderBy("doc_id")

@@ -1,1 +1,714 @@
-"""Placeholder — populated in this round."""
+"""Scalar expression coverage (SURVEY.md §2.2).
+
+One query per expression family, mirroring the reference's serde
+dispatch tables (reference:
+spark/src/main/scala/org/apache/comet/serde/QueryPlanSerde.scala:76-261)
+and its SQL-file test corpus layout
+(spark/src/test/resources/sql-tests/expressions/{string,math,datetime,
+hash,bitwise,conditional,cast,array,map,struct,misc}/).
+
+Cross-engine notes baked into the oracles:
+- DuckDB ``CAST(double AS INT)`` rounds, Spark truncates → oracle uses
+  ``CAST(trunc(x) AS ...)``;
+- DuckDB ``dow`` is 0-based Sunday, Spark ``dayofweek`` is 1-based →
+  oracle adds 1;
+- Spark ``year()``/``hour()``/... return int, DuckDB EXTRACT returns
+  BIGINT → Spark side casts to long;
+- murmur3/xxhash64/crc32/url_encode have no DuckDB counterpart →
+  separate no-oracle queries pinned by unit tests instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from . import register
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# --------------------------------------------------------------------------
+# Strings  (reference serde/strings.scala:34-482)
+# --------------------------------------------------------------------------
+@register(
+    "expr_string_basics",
+    oracle="""
+SELECT p_partkey,
+       upper(p_name)                       AS up,
+       lower(p_brand)                      AS lo,
+       CAST(length(p_name) AS INT)         AS len,
+       substr(p_name, 2, 3)                AS sub,
+       concat_ws('|', p_brand, p_type)     AS cw,
+       lpad(p_brand, 12, '*')              AS lp,
+       rpad(p_brand, 12, '*')              AS rp,
+       reverse(p_type)                     AS rev,
+       repeat(p_brand, 2)                  AS rep,
+       trim('  ' || p_type || ' ')         AS tr,
+       replace(p_name, ' ', '_')           AS repl,
+       left(p_name, 4)                     AS l4,
+       right(p_name, 4)                    AS r4,
+       CAST(ascii(p_brand) AS INT)         AS asc,
+       chr(CAST(65 + (p_partkey % 26) AS INT)) AS ch,
+       CAST(instr(p_name, 'a') AS INT)     AS pos_a,
+       split_part(p_name, ' ', 1)          AS word1,
+       translate(p_type, 'AEO', 'aeo')     AS trans
+FROM part
+WHERE p_partkey < 300
+ORDER BY p_partkey
+""",
+    tags=("expression", "string"),
+)
+def expr_string_basics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """upper/lower/length/substring/concat_ws/pads/reverse/repeat/trim/
+    replace/left/right/ascii/chr/instr/split_part/translate."""
+    part = _t(spark, sf_dir, "part").filter(F.col("p_partkey") < 300)
+    return part.select(
+        "p_partkey",
+        F.upper("p_name").alias("up"),
+        F.lower("p_brand").alias("lo"),
+        F.length("p_name").alias("len"),
+        F.substring("p_name", 2, 3).alias("sub"),
+        F.concat_ws("|", "p_brand", "p_type").alias("cw"),
+        F.lpad("p_brand", 12, "*").alias("lp"),
+        F.rpad("p_brand", 12, "*").alias("rp"),
+        F.reverse("p_type").alias("rev"),
+        F.repeat("p_brand", 2).alias("rep"),
+        F.trim(F.concat(F.lit("  "), F.col("p_type"), F.lit(" "))).alias("tr"),
+        F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("repl"),
+        F.left(F.col("p_name"), F.lit(4)).alias("l4"),
+        F.right(F.col("p_name"), F.lit(4)).alias("r4"),
+        F.ascii("p_brand").alias("asc"),
+        F.chr(F.lit(65) + (F.col("p_partkey") % 26)).alias("ch"),
+        F.instr("p_name", "a").alias("pos_a"),
+        F.split_part(F.col("p_name"), F.lit(" "), F.lit(1)).alias("word1"),
+        F.translate("p_type", "AEO", "aeo").alias("trans"),
+    ).orderBy("p_partkey")
+
+
+@register(
+    "expr_string_search",
+    oracle="""
+SELECT p_partkey,
+       p_name LIKE '%bolt%'            AS has_bolt,
+       p_name LIKE 'red%'              AS is_red,
+       p_name LIKE '%t'                AS ends_t,
+       contains(p_name, 'wid')         AS has_wid,
+       starts_with(p_brand, 'Brand#1') AS b1,
+       ends_with(p_type, 'MO')         AS promo_ish
+FROM part
+WHERE p_partkey < 500
+ORDER BY p_partkey
+""",
+    tags=("expression", "string"),
+)
+def expr_string_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIKE / contains / startswith / endswith (reference Contains,
+    StartsWith, EndsWith, Like — serde/strings.scala)."""
+    part = _t(spark, sf_dir, "part").filter(F.col("p_partkey") < 500)
+    return part.select(
+        "p_partkey",
+        F.col("p_name").like("%bolt%").alias("has_bolt"),
+        F.col("p_name").like("red%").alias("is_red"),
+        F.col("p_name").like("%t").alias("ends_t"),
+        F.col("p_name").contains("wid").alias("has_wid"),
+        F.col("p_brand").startswith("Brand#1").alias("b1"),
+        F.col("p_type").endswith("MO").alias("promo_ish"),
+    ).orderBy("p_partkey")
+
+
+@register(
+    "expr_regex",
+    oracle="""
+SELECT doc_id,
+       regexp_matches(text, 'join.*filter')            AS jf,
+       regexp_extract(text, '([a-z]+)', 1)             AS first_word,
+       regexp_replace(text, '[aeiou]', '_', 'g')       AS devowel,
+       CAST(len(regexp_extract_all(text, 'data')) AS INT) AS n_data
+FROM documents
+WHERE doc_id < 50
+ORDER BY doc_id
+""",
+    tags=("expression", "regex"),
+)
+def expr_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rlike / regexp_extract / regexp_replace / regexp_extract_all
+    count (reference RLike/RegExpReplace with constant patterns only,
+    serde/strings.scala:353; regex-compat caveats
+    docs/.../compatibility/regex.md — patterns here are dialect-neutral)."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    return docs.select(
+        "doc_id",
+        F.col("text").rlike("join.*filter").alias("jf"),
+        F.regexp_extract("text", "([a-z]+)", 1).alias("first_word"),
+        F.regexp_replace("text", "[aeiou]", "_").alias("devowel"),
+        F.size(F.expr("regexp_extract_all(text, 'data', 0)")).alias("n_data"),
+    ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# Datetime  (reference serde/datetime.scala:35-716)
+# --------------------------------------------------------------------------
+@register(
+    "expr_datetime_fields",
+    oracle="""
+SELECT o_orderkey,
+       EXTRACT(year FROM o_orderdate)      AS y,
+       EXTRACT(month FROM o_orderdate)     AS mo,
+       EXTRACT(day FROM o_orderdate)       AS d,
+       EXTRACT(quarter FROM o_orderdate)   AS q,
+       EXTRACT(dow FROM o_orderdate) + 1   AS dow,
+       EXTRACT(isodow FROM o_orderdate) - 1 AS wd,
+       EXTRACT(doy FROM o_orderdate)       AS doy,
+       EXTRACT(week FROM o_orderdate)      AS woy
+FROM orders
+WHERE o_orderkey < 500
+ORDER BY o_orderkey
+""",
+    tags=("expression", "datetime"),
+)
+def expr_datetime_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """year/month/day/quarter/dayofweek/weekday/dayofyear/weekofyear
+    (reference serde/datetime.scala field getters)."""
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 500)
+    return orders.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("long").alias("y"),
+        F.month("o_orderdate").cast("long").alias("mo"),
+        F.dayofmonth("o_orderdate").cast("long").alias("d"),
+        F.quarter("o_orderdate").cast("long").alias("q"),
+        F.dayofweek("o_orderdate").cast("long").alias("dow"),
+        F.weekday("o_orderdate").cast("long").alias("wd"),
+        F.dayofyear("o_orderdate").cast("long").alias("doy"),
+        F.weekofyear("o_orderdate").cast("long").alias("woy"),
+    ).orderBy("o_orderkey")
+
+
+@register(
+    "expr_datetime_arith",
+    oracle="""
+SELECT o_orderkey,
+       CAST(o_orderdate AS DATE) + 30                       AS plus30,
+       CAST(o_orderdate AS DATE) - 7                        AS minus7,
+       CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE) AS plus3mo,
+       date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
+         AS days_since,
+       CAST(date_trunc('month', o_orderdate) AS DATE)       AS month_start,
+       CAST(date_trunc('week', o_orderdate) AS DATE)        AS week_start,
+       last_day(CAST(o_orderdate AS DATE))                  AS month_end
+FROM orders
+WHERE o_orderkey < 500
+ORDER BY o_orderkey
+""",
+    tags=("expression", "datetime"),
+)
+def expr_datetime_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """date_add/date_sub/add_months/datediff/trunc/last_day
+    (reference DateAdd/DateSub/DateDiff/TruncDate/LastDay)."""
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 500)
+    d = F.col("o_orderdate").cast("date")
+    return orders.select(
+        "o_orderkey",
+        F.date_add(d, 30).alias("plus30"),
+        F.date_sub(d, 7).alias("minus7"),
+        F.add_months(d, 3).alias("plus3mo"),
+        F.datediff(d, F.lit("1995-01-01").cast("date"))
+        .cast("long")
+        .alias("days_since"),
+        F.trunc(d, "month").alias("month_start"),
+        F.trunc(d, "week").alias("week_start"),
+        F.last_day(d).alias("month_end"),
+    ).orderBy("o_orderkey")
+
+
+@register(
+    "expr_datetime_format",
+    oracle="""
+SELECT event_id,
+       strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M')      AS fmt,
+       CAST(floor(EXTRACT(epoch FROM CAST(ts AS TIMESTAMP))) AS BIGINT)
+         AS unix_sec,
+       EXTRACT(hour FROM CAST(ts AS TIMESTAMP))               AS h,
+       EXTRACT(minute FROM CAST(ts AS TIMESTAMP))             AS mi,
+       EXTRACT(second FROM CAST(ts AS TIMESTAMP))             AS s,
+       CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP)
+         AS hour_bucket
+FROM events
+WHERE event_id < 300
+ORDER BY event_id
+""",
+    tags=("expression", "datetime"),
+)
+def expr_datetime_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """date_format/unix_timestamp/hour/minute/second/date_trunc on the
+    µs-normalized events stream (reference DateFormat/UnixTimestamp,
+    serde/unixtime.scala:30-64)."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 300)
+    return ev.select(
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm").alias("fmt"),
+        F.unix_timestamp("ts").alias("unix_sec"),
+        F.hour("ts").cast("long").alias("h"),
+        F.minute("ts").cast("long").alias("mi"),
+        F.floor(F.second("ts")).cast("long").alias("s"),
+        F.date_trunc("hour", "ts").alias("hour_bucket"),
+    ).orderBy("event_id")
+
+
+# --------------------------------------------------------------------------
+# Math  (reference serde/math.scala + arithmetic.scala)
+# --------------------------------------------------------------------------
+@register(
+    "expr_math_basics",
+    oracle="""
+SELECT p_partkey,
+       abs(p_retailprice - 1000.0)                    AS ab,
+       CAST(ceil(p_retailprice) AS BIGINT)            AS ce,
+       CAST(floor(p_retailprice) AS BIGINT)           AS fl,
+       round(sqrt(p_retailprice), 6)                  AS sq,
+       round(cbrt(p_retailprice), 6)                  AS cb,
+       round(exp(p_size / 25.0), 6)                   AS ex,
+       round(ln(p_retailprice), 6)                    AS logn,
+       round(log10(p_retailprice), 6)                 AS log10_,
+       round(log2(p_retailprice), 6)                  AS log2_,
+       round(pow(p_size, 2.0), 2)                     AS pw,
+       p_size % 7                                     AS md,
+       CAST(sign(p_size - 25) AS DOUBLE)              AS sg,
+       greatest(p_size, 25)                           AS gr,
+       least(p_size, 25)                              AS le,
+       round(degrees(p_size / 50.0), 6)               AS deg,
+       round(radians(CAST(p_size AS DOUBLE)), 6)      AS rad,
+       round(pi(), 6)                                 AS pi_
+FROM part
+WHERE p_partkey < 300
+ORDER BY p_partkey
+""",
+    tags=("expression", "math"),
+)
+def expr_math_basics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """abs/ceil/floor/sqrt/cbrt/exp/log/pow/mod/sign/greatest/least/
+    degrees/radians/pi (reference QueryPlanSerde.scala:94-138)."""
+    part = _t(spark, sf_dir, "part").filter(F.col("p_partkey") < 300)
+    return part.select(
+        "p_partkey",
+        F.abs(F.col("p_retailprice") - 1000.0).alias("ab"),
+        F.ceil("p_retailprice").alias("ce"),
+        F.floor("p_retailprice").alias("fl"),
+        F.round(F.sqrt("p_retailprice"), 6).alias("sq"),
+        F.round(F.cbrt("p_retailprice"), 6).alias("cb"),
+        F.round(F.exp(F.col("p_size") / 25.0), 6).alias("ex"),
+        F.round(F.log("p_retailprice"), 6).alias("logn"),
+        F.round(F.log10("p_retailprice"), 6).alias("log10_"),
+        F.round(F.log2("p_retailprice"), 6).alias("log2_"),
+        F.round(F.pow("p_size", F.lit(2.0)), 2).alias("pw"),
+        (F.col("p_size") % 7).alias("md"),
+        F.signum(F.col("p_size") - 25).alias("sg"),
+        F.greatest("p_size", F.lit(25)).alias("gr"),
+        F.least("p_size", F.lit(25)).alias("le"),
+        F.round(F.degrees(F.col("p_size") / 50.0), 6).alias("deg"),
+        F.round(F.radians(F.col("p_size").cast("double")), 6).alias("rad"),
+        F.round(F.lit(3.141592653589793), 6).alias("pi_"),
+    ).orderBy("p_partkey")
+
+
+@register(
+    "expr_math_trig",
+    oracle="""
+SELECT p_partkey,
+       round(sin(x), 6)  AS sn,  round(cos(x), 6)  AS cs,
+       round(tan(x), 6)  AS tn,  round(asin(x / 2.0), 6) AS asn,
+       round(acos(x / 2.0), 6) AS acs, round(atan(x), 6) AS atn,
+       round(atan2(x, 1.0 - x), 6) AS at2,
+       round((exp(x) - exp(-x)) / 2, 6) AS snh,
+       round((exp(x) + exp(-x)) / 2, 6) AS csh,
+       upper(to_hex(p_partkey)) AS hx
+FROM (SELECT p_partkey, (p_size / 50.0) AS x FROM part WHERE p_partkey < 300) t
+ORDER BY p_partkey
+""",
+    tags=("expression", "math"),
+)
+def expr_math_trig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigonometric + hyperbolic + hex (reference Sin..Tanh, Hex)."""
+    part = _t(spark, sf_dir, "part").filter(F.col("p_partkey") < 300)
+    x = (F.col("p_size") / 50.0).alias("x")
+    t = part.select("p_partkey", x)
+    return t.select(
+        "p_partkey",
+        F.round(F.sin("x"), 6).alias("sn"),
+        F.round(F.cos("x"), 6).alias("cs"),
+        F.round(F.tan("x"), 6).alias("tn"),
+        F.round(F.asin(F.col("x") / 2.0), 6).alias("asn"),
+        F.round(F.acos(F.col("x") / 2.0), 6).alias("acs"),
+        F.round(F.atan("x"), 6).alias("atn"),
+        F.round(F.atan2(F.col("x"), 1.0 - F.col("x")), 6).alias("at2"),
+        F.round(F.sinh("x"), 6).alias("snh"),
+        F.round(F.cosh("x"), 6).alias("csh"),
+        F.hex(F.col("p_partkey")).alias("hx"),
+    ).orderBy("p_partkey")
+
+
+# --------------------------------------------------------------------------
+# Conditionals  (reference serde/conditional.scala:29-131)
+# --------------------------------------------------------------------------
+@register(
+    "expr_conditional",
+    oracle="""
+SELECT c_custkey,
+       CASE WHEN c_acctbal < 0 THEN 'debt'
+            WHEN c_acctbal < 5000 THEN 'mid'
+            ELSE 'rich' END                    AS bucket,
+       CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS is_bldg,
+       coalesce(nullif(c_mktsegment, 'MACHINERY'), 'OTHER')  AS seg_or_other,
+       ifnull(nullif(c_nationkey, 0), -1)     AS nk_or_neg,
+       greatest(c_acctbal, 0.0)               AS pos_bal,
+       least(c_acctbal, 0.0)                  AS neg_bal
+FROM customer
+WHERE c_custkey < 400
+ORDER BY c_custkey
+""",
+    tags=("expression", "conditional"),
+)
+def expr_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE WHEN / if / coalesce / nullif / ifnull / greatest / least."""
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") < 400)
+    return cust.select(
+        "c_custkey",
+        F.when(F.col("c_acctbal") < 0, "debt")
+        .when(F.col("c_acctbal") < 5000, "mid")
+        .otherwise("rich")
+        .alias("bucket"),
+        F.expr("IF(c_mktsegment = 'BUILDING', 1, 0)").alias("is_bldg"),
+        F.coalesce(
+            F.nullif(F.col("c_mktsegment"), F.lit("MACHINERY")), F.lit("OTHER")
+        ).alias("seg_or_other"),
+        F.ifnull(F.nullif(F.col("c_nationkey"), F.lit(0)), F.lit(-1)).alias(
+            "nk_or_neg"
+        ),
+        F.greatest("c_acctbal", F.lit(0.0)).alias("pos_bal"),
+        F.least("c_acctbal", F.lit(0.0)).alias("neg_bal"),
+    ).orderBy("c_custkey")
+
+
+@register(
+    "expr_predicates",
+    oracle="""
+SELECT s_suppkey,
+       s_nationkey IN (1, 3, 5, 7)                  AS in_odd,
+       s_acctbal BETWEEN 1000 AND 5000              AS mid_bal,
+       s_name IS NOT NULL                           AS has_name,
+       s_nationkey IS NOT DISTINCT FROM 3           AS null_safe_eq3,
+       NOT (s_acctbal > 0)                          AS non_positive
+FROM supplier
+ORDER BY s_suppkey
+""",
+    tags=("expression", "predicate"),
+)
+def expr_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN / BETWEEN / IS NULL / null-safe equality (<=>) / NOT
+    (reference serde/predicates.scala:31-244)."""
+    supp = _t(spark, sf_dir, "supplier")
+    return supp.select(
+        "s_suppkey",
+        F.col("s_nationkey").isin(1, 3, 5, 7).alias("in_odd"),
+        F.col("s_acctbal").between(1000, 5000).alias("mid_bal"),
+        F.col("s_name").isNotNull().alias("has_name"),
+        F.col("s_nationkey").eqNullSafe(F.lit(3)).alias("null_safe_eq3"),
+        (~(F.col("s_acctbal") > 0)).alias("non_positive"),
+    ).orderBy("s_suppkey")
+
+
+# --------------------------------------------------------------------------
+# Casts  (reference CometCast.scala:139-421, cast.rs)
+# --------------------------------------------------------------------------
+@register(
+    "expr_cast_matrix",
+    oracle="""
+SELECT o_orderkey,
+       CAST(o_orderkey AS VARCHAR)                  AS key_str,
+       CAST(CAST(o_orderkey AS VARCHAR) AS BIGINT)  AS key_roundtrip,
+       CAST(trunc(o_totalprice) AS BIGINT)          AS price_long,
+       CAST(trunc(o_totalprice / 1000) AS INT)      AS price_k,
+       CAST(o_custkey AS DOUBLE)                    AS cust_dbl,
+       CAST(o_orderdate AS DATE)                    AS od_date,
+       CAST(CAST(o_orderdate AS DATE) AS VARCHAR)   AS od_str,
+       CAST(o_orderstatus = 'O' AS INT)             AS is_open_int,
+       CAST('123' AS BIGINT)                        AS lit_int,
+       CAST('2020-06-01' AS DATE)                   AS lit_date
+FROM orders
+WHERE o_orderkey < 500
+ORDER BY o_orderkey
+""",
+    tags=("expression", "cast"),
+)
+def expr_cast_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cast matrix: int↔string, double→int (truncating), int→double,
+    timestamp→date→string, bool→int, string→int/date (reference's
+    single largest compat kernel:
+    spark/src/main/scala/org/apache/comet/expressions/CometCast.scala:139-421,
+    native/spark-expr/src/conversion_funcs/cast.rs)."""
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 500)
+    return orders.select(
+        "o_orderkey",
+        F.col("o_orderkey").cast("string").alias("key_str"),
+        F.col("o_orderkey").cast("string").cast("long").alias("key_roundtrip"),
+        F.col("o_totalprice").cast("long").alias("price_long"),
+        (F.col("o_totalprice") / 1000).cast("int").alias("price_k"),
+        F.col("o_custkey").cast("double").alias("cust_dbl"),
+        F.col("o_orderdate").cast("date").alias("od_date"),
+        F.col("o_orderdate").cast("date").cast("string").alias("od_str"),
+        (F.col("o_orderstatus") == "O").cast("int").alias("is_open_int"),
+        F.lit("123").cast("long").alias("lit_int"),
+        F.lit("2020-06-01").cast("date").alias("lit_date"),
+    ).orderBy("o_orderkey")
+
+
+# --------------------------------------------------------------------------
+# Hash  (reference serde/hash.scala:28-136)
+# --------------------------------------------------------------------------
+@register(
+    "expr_hash_portable",
+    oracle="""
+SELECT n_nationkey,
+       md5(n_name)            AS h_md5,
+       sha256(n_name)         AS h_sha256
+FROM nation
+ORDER BY n_nationkey
+""",
+    tags=("expression", "hash"),
+)
+def expr_hash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """md5 / sha2-256 — the portable subset (reference Md5/Sha2)."""
+    nation = _t(spark, sf_dir, "nation")
+    return nation.select(
+        "n_nationkey",
+        F.md5(F.col("n_name").cast("binary")).alias("h_md5"),
+        F.sha2(F.col("n_name").cast("binary"), 256).alias("h_sha256"),
+    ).orderBy("n_nationkey")
+
+
+@register(
+    "expr_hash_spark_native",
+    oracle=None,  # murmur3/xxhash64/crc32/sha1 have no DuckDB counterpart;
+    # pinned by unit tests against known-stable values instead.
+    tags=("expression", "hash"),
+)
+def expr_hash_spark_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """murmur3 (F.hash, seed 42 — bit-identical to the reference's
+    native/spark-expr/src/hash_funcs/murmur3.rs), xxhash64, crc32, sha1."""
+    nation = _t(spark, sf_dir, "nation")
+    return nation.select(
+        "n_nationkey",
+        F.hash("n_name").alias("h_murmur3"),
+        F.xxhash64("n_name").alias("h_xx64"),
+        F.crc32(F.col("n_name").cast("binary")).alias("h_crc32"),
+        F.sha1(F.col("n_name").cast("binary")).alias("h_sha1"),
+    ).orderBy("n_nationkey")
+
+
+# --------------------------------------------------------------------------
+# Bitwise  (reference serde/bitwise.scala:27-143)
+# --------------------------------------------------------------------------
+@register(
+    "expr_bitwise",
+    oracle="""
+SELECT p_partkey,
+       p_size & 12                       AS b_and,
+       p_size | 3                        AS b_or,
+       xor(p_size, 21)                   AS b_xor,
+       ~p_size                           AS b_not,
+       p_size << 2                       AS shl,
+       p_size >> 1                       AS shr,
+       CAST(bit_count(p_size) AS INT)    AS bcnt,
+       (p_size >> 3) & 1                 AS bit3
+FROM part
+WHERE p_partkey < 300
+ORDER BY p_partkey
+""",
+    tags=("expression", "bitwise"),
+)
+def expr_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """& | ^ ~ shiftleft shiftright bit_count getbit."""
+    part = _t(spark, sf_dir, "part").filter(F.col("p_partkey") < 300)
+    sz = F.col("p_size")
+    return part.select(
+        "p_partkey",
+        sz.bitwiseAND(12).alias("b_and"),
+        sz.bitwiseOR(3).alias("b_or"),
+        sz.bitwiseXOR(21).alias("b_xor"),
+        F.bitwise_not(sz).alias("b_not"),
+        F.shiftleft(sz, 2).alias("shl"),
+        F.shiftright(sz, 1).alias("shr"),
+        F.bit_count(sz).alias("bcnt"),
+        F.shiftright(sz, 3).bitwiseAND(F.lit(1)).alias("bit3"),
+    ).orderBy("p_partkey")
+
+
+# --------------------------------------------------------------------------
+# Arrays  (reference serde/arrays.scala:35-814)
+# --------------------------------------------------------------------------
+@register(
+    "expr_array_ops",
+    oracle="""
+SELECT doc_id,
+       CAST(len(toks) AS INT)                     AS n_toks,
+       list_contains(toks, 'data')                AS has_data,
+       list_sort(toks)[1]                         AS first_sorted,
+       toks[1]                                    AS head,
+       toks[-1]                                   AS tail,
+       list_slice(toks, 2, 4)                     AS mid3,
+       array_to_string(list_slice(toks, 1, 3), '-') AS joined3,
+       CAST(list_position(toks, 'the') AS INT)    AS pos_the,
+       list_sort(list_distinct(toks))             AS uniq_sorted
+FROM (SELECT doc_id, str_split(text, ' ') AS toks
+      FROM documents WHERE doc_id < 40) t
+ORDER BY doc_id
+""",
+    tags=("expression", "array"),
+)
+def expr_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """size/array_contains/sort_array/element_at/slice/array_join/
+    array_position/array_distinct (reference serde/arrays.scala)."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
+    t = docs.select("doc_id", F.split("text", " ").alias("toks"))
+    return t.select(
+        "doc_id",
+        F.size("toks").alias("n_toks"),
+        F.array_contains("toks", "data").alias("has_data"),
+        F.element_at(F.sort_array("toks"), 1).alias("first_sorted"),
+        F.element_at("toks", 1).alias("head"),
+        F.element_at("toks", -1).alias("tail"),
+        F.slice("toks", 2, 3).alias("mid3"),
+        F.array_join(F.slice("toks", 1, 3), "-").alias("joined3"),
+        F.array_position("toks", "the").cast("int").alias("pos_the"),
+        F.sort_array(F.array_distinct("toks")).alias("uniq_sorted"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "expr_array_lambda",
+    oracle="""
+SELECT doc_id,
+       list_transform(list_slice(toks, 1, 5), x -> upper(x)) AS up5,
+       list_filter(toks, x -> length(x) > 5)                 AS long_toks,
+       CAST(len(list_filter(toks, x -> x = 'the')) AS INT)   AS n_the,
+       CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT)
+         AS total_chars
+FROM (SELECT doc_id, str_split(text, ' ') AS toks
+      FROM documents WHERE doc_id < 40) t
+ORDER BY doc_id
+""",
+    tags=("expression", "array", "lambda"),
+)
+def expr_array_lambda(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions: transform / filter / aggregate
+    (reference covers only ArrayFilter among lambdas — strict superset
+    here; serde/arrays.scala ArrayFilter)."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
+    t = docs.select("doc_id", F.split("text", " ").alias("toks"))
+    return t.select(
+        "doc_id",
+        F.transform(F.slice("toks", 1, 5), lambda x: F.upper(x)).alias("up5"),
+        F.filter("toks", lambda x: F.length(x) > 5).alias("long_toks"),
+        F.size(F.filter("toks", lambda x: x == "the")).alias("n_the"),
+        F.aggregate(
+            "toks",
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + F.length(x).cast("long"),
+        ).alias("total_chars"),
+    ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# Maps & structs  (reference serde/maps.scala, serde/structs.scala)
+# --------------------------------------------------------------------------
+@register(
+    "expr_map_struct",
+    oracle="""
+SELECT n_nationkey,
+       ['key', 'region'] AS mkeys,
+       [CAST(n_nationkey AS BIGINT), CAST(n_regionkey AS BIGINT)] AS mvals,
+       CAST(n_nationkey AS BIGINT)  AS s_key,
+       n_name                       AS s_name,
+       2                            AS m_size
+FROM nation
+ORDER BY n_nationkey
+""",
+    tags=("expression", "map", "struct"),
+)
+def expr_map_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """map_from_arrays/map_keys/map_values/element_at + named_struct
+    field access; emitted as plain arrays/scalars so the cross-engine
+    hash is type-stable (map hashing is engine-specific)."""
+    nation = _t(spark, sf_dir, "nation")
+    m = F.map_from_arrays(
+        F.array(F.lit("key"), F.lit("region")),
+        F.array(
+            F.col("n_nationkey").cast("long"), F.col("n_regionkey").cast("long")
+        ),
+    )
+    s = F.named_struct(
+        F.lit("key"), F.col("n_nationkey").cast("long"), F.lit("name"), F.col("n_name")
+    )
+    return nation.select(
+        "n_nationkey",
+        F.map_keys(m).alias("mkeys"),
+        F.map_values(m).alias("mvals"),
+        s.getField("key").alias("s_key"),
+        s.getField("name").alias("s_name"),
+        F.size(m).alias("m_size"),
+    ).orderBy("n_nationkey")
+
+
+# --------------------------------------------------------------------------
+# JSON  (reference serde/structs.scala StructsToJson/JsonToStructs/
+#        GetJsonObject; native/spark-expr/src/json_funcs/)
+# --------------------------------------------------------------------------
+@register(
+    "expr_json",
+    oracle="""
+SELECT event_id,
+       json_extract_string(props, '$.k')                    AS k_str,
+       CAST(json_extract_string(props, '$.k') AS BIGINT)    AS k_int,
+       json_extract_string(props, '$.missing')              AS missing,
+       to_json(struct_pack(id := event_id, typ := event_type)) AS packed
+FROM events
+WHERE event_id < 300
+ORDER BY event_id
+""",
+    tags=("expression", "json"),
+)
+def expr_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """get_json_object / from_json-equivalent extraction / to_json."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 300)
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").alias("k_str"),
+        F.get_json_object("props", "$.k").cast("long").alias("k_int"),
+        F.get_json_object("props", "$.missing").alias("missing"),
+        F.to_json(
+            F.named_struct(
+                F.lit("id"), F.col("event_id"), F.lit("typ"), F.col("event_type")
+            )
+        ).alias("packed"),
+    ).orderBy("event_id")
+
+
+@register(
+    "expr_url_misc",
+    oracle=None,  # url_encode/url_decode have no DuckDB counterpart;
+    # pinned by unit tests with known values.
+    tags=("expression", "url"),
+)
+def expr_url_misc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """url_encode/url_decode (reference StaticInvoke support,
+    serde/statics.scala:29-85)."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
+    enc = F.url_encode(F.substring("text", 1, 30))
+    return docs.select(
+        "doc_id",
+        enc.alias("encoded"),
+        F.url_decode(enc).alias("roundtrip"),
+    ).orderBy("doc_id")

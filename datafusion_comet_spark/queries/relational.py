@@ -1,1 +1,512 @@
-"""Placeholder — populated in this round."""
+"""Relational operator coverage: set ops, expand (rollup/cube/grouping
+sets), explode, pivot, limit/offset, outer/cross joins, local scans.
+
+Maps to SURVEY.md §2.1 rows: Union (#20), Expand (#13 — ROLLUP/CUBE/
+GROUPING SETS arrive via Catalyst's Expand), Explode (#14), Limit with
+offset (#10), HashJoin types (#15), LocalTableScan (#6),
+TakeOrderedAndProject (#23).  INTERSECT/EXCEPT/DISTINCT are lowered by
+Catalyst to joins/aggregates exactly as the reference receives them
+(SURVEY.md §2.1 "Set operations").
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from . import register
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# --------------------------------------------------------------------------
+# UNION ALL  (operator #20)
+# --------------------------------------------------------------------------
+@register(
+    "setop_union_all",
+    oracle="""
+SELECT o_orderstatus, count(*) AS n,
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+         AS total
+FROM (
+  SELECT o_orderstatus, o_totalprice FROM orders WHERE o_totalprice > 400000
+  UNION ALL
+  SELECT o_orderstatus, o_totalprice FROM orders
+  WHERE o_orderpriority = '1-URGENT'
+) u
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+""",
+    tags=("relational", "setop"),
+)
+def setop_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL of two filtered projections, then aggregate."""
+    orders = _t(spark, sf_dir, "orders")
+    a = orders.filter(F.col("o_totalprice") > 400000).select(
+        "o_orderstatus", "o_totalprice"
+    )
+    b = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        "o_orderstatus", "o_totalprice"
+    )
+    return (
+        a.union(b)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("total"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@register(
+    "setop_union_by_name",
+    oracle="""
+SELECT c_mktsegment, count(*) AS n
+FROM (
+  SELECT c_custkey, c_mktsegment FROM customer WHERE c_acctbal > 9000
+  UNION ALL
+  SELECT c_custkey, c_mktsegment FROM customer WHERE c_acctbal < -900
+) u
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+""",
+    tags=("relational", "setop"),
+)
+def setop_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """unionByName across differently-ordered projections."""
+    cust = _t(spark, sf_dir, "customer")
+    a = cust.filter(F.col("c_acctbal") > 9000).select("c_custkey", "c_mktsegment")
+    b = cust.filter(F.col("c_acctbal") < -900).select("c_mktsegment", "c_custkey")
+    return (
+        a.unionByName(b)
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("c_mktsegment")
+    )
+
+
+# --------------------------------------------------------------------------
+# INTERSECT / EXCEPT / DISTINCT  (Catalyst lowers to joins/aggregates)
+# --------------------------------------------------------------------------
+@register(
+    "setop_intersect",
+    oracle="""
+SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+INTERSECT
+SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 300000
+ORDER BY c_custkey
+""",
+    tags=("relational", "setop"),
+)
+def setop_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (distinct) — lowered to a left-semi join + distinct."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    a = cust.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    b = orders.filter(F.col("o_totalprice") > 300000).select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return a.intersect(b).orderBy("c_custkey")
+
+
+@register(
+    "setop_except",
+    oracle="""
+SELECT c_custkey FROM customer WHERE c_acctbal > 9500
+EXCEPT
+SELECT o_custkey AS c_custkey FROM orders
+ORDER BY c_custkey
+""",
+    tags=("relational", "setop"),
+)
+def setop_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (distinct) — lowered to a left-anti join + distinct."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    a = cust.filter(F.col("c_acctbal") > 9500).select("c_custkey")
+    b = orders.select(F.col("o_custkey").alias("c_custkey"))
+    return a.subtract(b).orderBy("c_custkey")
+
+
+@register(
+    "setop_except_all",
+    oracle="""
+SELECT c_nationkey FROM customer WHERE c_mktsegment = 'MACHINERY'
+EXCEPT ALL
+SELECT c_nationkey FROM customer WHERE c_mktsegment = 'MACHINERY'
+  AND c_acctbal > 5000
+ORDER BY c_nationkey
+""",
+    tags=("relational", "setop"),
+)
+def setop_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL — multiset difference preserving multiplicity."""
+    cust = _t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "MACHINERY"
+    )
+    a = cust.select("c_nationkey")
+    b = cust.filter(F.col("c_acctbal") > 5000).select("c_nationkey")
+    return a.exceptAll(b).orderBy("c_nationkey")
+
+
+@register(
+    "setop_intersect_all",
+    oracle="""
+SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'R'
+INTERSECT ALL
+SELECT l_suppkey FROM lineitem WHERE l_linestatus = 'F'
+ORDER BY l_suppkey
+""",
+    tags=("relational", "setop"),
+)
+def setop_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL — multiset intersection."""
+    li = _t(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_returnflag") == "R").select("l_suppkey")
+    b = li.filter(F.col("l_linestatus") == "F").select("l_suppkey")
+    return a.intersectAll(b).orderBy("l_suppkey")
+
+
+@register(
+    "distinct_flags",
+    oracle="""
+SELECT DISTINCT l_returnflag, l_linestatus
+FROM lineitem
+ORDER BY l_returnflag, l_linestatus
+""",
+    tags=("relational", "distinct"),
+)
+def distinct_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT — lowered to a hash aggregate on all columns."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_returnflag", "l_linestatus")
+        .distinct()
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# --------------------------------------------------------------------------
+# Expand: ROLLUP / CUBE / GROUPING SETS  (operator #13)
+# --------------------------------------------------------------------------
+@register(
+    "expand_rollup",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS BIGINT)
+         AS gid,
+       round(sum(l_quantity), 2) AS sum_qty,
+       count(*) AS n
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+ORDER BY gid, l_returnflag, l_linestatus
+""",
+    tags=("relational", "expand"),
+)
+def expand_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP — Catalyst plans the reference's Expand operator
+    (reference: operator.proto:346-349, operators.scala:1143-1207)."""
+    li = _t(spark, sf_dir, "lineitem")
+    gid = (
+        F.grouping("l_returnflag") * 2 + F.grouping("l_linestatus")
+    ).cast("long")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            gid.alias("gid"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("gid", "l_returnflag", "l_linestatus")
+    )
+
+
+@register(
+    "expand_cube",
+    oracle="""
+SELECT o_orderstatus, o_orderpriority,
+       CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS BIGINT)
+         AS gid,
+       count(*) AS n,
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+         AS total
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+ORDER BY gid, o_orderstatus, o_orderpriority
+""",
+    tags=("relational", "expand"),
+)
+def expand_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over two dimensions."""
+    orders = _t(spark, sf_dir, "orders")
+    gid = (
+        F.grouping("o_orderstatus") * 2 + F.grouping("o_orderpriority")
+    ).cast("long")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            gid.alias("gid"),
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("total"),
+        )
+        .orderBy("gid", "o_orderstatus", "o_orderpriority")
+    )
+
+
+@register(
+    "expand_grouping_sets",
+    oracle="""
+SELECT l_returnflag, l_linestatus, count(*) AS n
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+""",
+    tags=("relational", "expand", "sql"),
+)
+def expand_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS via the SQL API (same Catalyst Expand plan)."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus, count(*) AS n
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+        """
+    )
+
+
+# --------------------------------------------------------------------------
+# Explode / posexplode  (operator #14, GenerateExec)
+# --------------------------------------------------------------------------
+@register(
+    "explode_tokens",
+    oracle="""
+SELECT token, count(*) AS n
+FROM (
+  SELECT unnest(str_split(text, ' ')) AS token
+  FROM documents WHERE doc_id < 100
+) t
+GROUP BY token
+ORDER BY n DESC, token
+LIMIT 20
+""",
+    tags=("relational", "explode"),
+)
+def explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explode(split(...)) — unnest an array column, count tokens.
+
+    Reference explodes arrays via ProjectionExec + UnnestExec
+    (reference: planner.rs:1625-1737)."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return (
+        docs.select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "token")
+        .limit(20)
+    )
+
+
+@register(
+    "posexplode_tokens",
+    oracle="""
+SELECT doc_id, CAST(i - 1 AS INT) AS pos, toks[i] AS token
+FROM (SELECT doc_id, str_split(text, ' ') AS toks
+      FROM documents WHERE doc_id < 5) t,
+     UNNEST(range(1, len(toks) + 1)) AS u(i)
+ORDER BY doc_id, pos
+""",
+    tags=("relational", "explode"),
+)
+def posexplode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode — explode with element position."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 5)
+    return docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "token")
+    ).orderBy("doc_id", "pos")
+
+
+# --------------------------------------------------------------------------
+# Pivot
+# --------------------------------------------------------------------------
+@register(
+    "pivot_linestatus",
+    oracle="""
+SELECT l_returnflag,
+       round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS "F",
+       round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS "O"
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+    tags=("relational", "pivot"),
+)
+def pivot_linestatus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (absent from the reference IR — Spark-native bonus;
+    SURVEY.md §2.1 'Missing from the reference')."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(F.round(F.sum("l_quantity"), 2))
+        .orderBy("l_returnflag")
+    )
+
+
+# --------------------------------------------------------------------------
+# Limit / Offset  (operator #10 — Limit with offset)
+# --------------------------------------------------------------------------
+@register(
+    "limit_offset_orders",
+    oracle="""
+SELECT o_orderkey, o_totalprice
+FROM orders
+ORDER BY o_orderkey
+LIMIT 20 OFFSET 10
+""",
+    tags=("relational", "limit"),
+)
+def limit_offset_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted LIMIT ... OFFSET — reference Limit carries both fields
+    (reference: operator.proto:296-299)."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy("o_orderkey")
+        .offset(10)
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+# Outer / cross joins  (operator #15 join types)
+# --------------------------------------------------------------------------
+@register(
+    "join_right_outer",
+    oracle="""
+SELECT c_mktsegment,
+       count(*) AS n_rows,
+       count(o_orderkey) AS n_orders
+FROM orders
+RIGHT OUTER JOIN customer ON o_custkey = c_custkey AND o_totalprice > 450000
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+""",
+    tags=("relational", "join"),
+)
+def join_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RIGHT OUTER join with an extra join-side predicate."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    return (
+        orders.join(
+            cust,
+            (orders.o_custkey == cust.c_custkey)
+            & (orders.o_totalprice > 450000),
+            "right_outer",
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count("o_orderkey").alias("n_orders"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@register(
+    "join_full_outer",
+    oracle="""
+SELECT coalesce(a.k, b.k) AS nationkey,
+       a.n_cust, b.n_supp
+FROM (SELECT c_nationkey AS k, count(*) AS n_cust
+      FROM customer WHERE c_acctbal > 9000 GROUP BY c_nationkey) a
+FULL OUTER JOIN
+     (SELECT s_nationkey AS k, count(*) AS n_supp
+      FROM supplier WHERE s_acctbal > 8000 GROUP BY s_nationkey) b
+  ON a.k = b.k
+ORDER BY nationkey
+""",
+    tags=("relational", "join"),
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join of two aggregates with disjoint key coverage."""
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    a = (
+        cust.filter(F.col("c_acctbal") > 9000)
+        .groupBy(F.col("c_nationkey").alias("ak"))
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+    )
+    b = (
+        supp.filter(F.col("s_acctbal") > 8000)
+        .groupBy(F.col("s_nationkey").alias("bk"))
+        .agg(F.count(F.lit(1)).alias("n_supp"))
+    )
+    return (
+        a.join(b, a.ak == b.bk, "full_outer")
+        .select(
+            F.coalesce("ak", "bk").alias("nationkey"), "n_cust", "n_supp"
+        )
+        .orderBy("nationkey")
+    )
+
+
+@register(
+    "join_cross",
+    oracle="""
+SELECT r_name, n_name
+FROM region CROSS JOIN nation
+ORDER BY r_name, n_name
+""",
+    tags=("relational", "join"),
+)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS join (Spark-native; the reference falls back for
+    cartesian products — SURVEY.md §2.1 'Missing from the reference')."""
+    region = _t(spark, sf_dir, "region").select("r_name")
+    nation = _t(spark, sf_dir, "nation").select("n_name")
+    return region.crossJoin(nation).orderBy("r_name", "n_name")
+
+
+# --------------------------------------------------------------------------
+# LocalTableScan  (operator #6)
+# --------------------------------------------------------------------------
+@register(
+    "local_table_scan",
+    oracle="""
+SELECT v.r_name, count(*) AS n_nations
+FROM (VALUES ('ASIA'), ('EUROPE'), ('AFRICA')) v(r_name)
+JOIN region ON region.r_name = v.r_name
+JOIN nation ON n_regionkey = r_regionkey
+GROUP BY v.r_name
+ORDER BY v.r_name
+""",
+    tags=("relational", "scan"),
+)
+def local_table_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-memory rows (LocalTableScan, reference:
+    spark/sql/comet/CometLocalTableScanExec.scala:107) joined against
+    parquet tables."""
+    wanted = spark.createDataFrame(
+        [("ASIA",), ("EUROPE",), ("AFRICA",)], ["r_name"]
+    )
+    region = _t(spark, sf_dir, "region")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        F.broadcast(wanted)
+        .join(region, wanted.r_name == region.r_name)
+        .join(nation, nation.n_regionkey == region.r_regionkey)
+        .groupBy(wanted.r_name)
+        .agg(F.count(F.lit(1)).alias("n_nations"))
+        .orderBy(wanted.r_name)
+    )

@@ -1,1 +1,185 @@
-"""Placeholder — populated in this round."""
+"""Similarity search over embedding vectors (array<float> column).
+
+North-star operators (BASELINE.json): brute-force cosine top-k as the
+exact baseline, plus an LSH-bucketed variant as the 100 TB scale path
+(bucket join instead of full cross product).  Dot products run as JVM
+array expressions (zip_with + aggregate) — no Python in the hot path;
+queries are broadcast so the scan side streams.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from . import register
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+def _as_double(col) -> Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def dot(a, b) -> Column:
+    """Σ aᵢ·bᵢ as a JVM fold — deterministic left-to-right order."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_norm(a) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
+        )
+    )
+
+
+def cosine(a, b) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+@register(
+    "ann_bruteforce_topk",
+    oracle="""
+SELECT qid, vec_id, sim, rn
+FROM (
+  SELECT q.vec_id AS qid, c.vec_id AS vec_id,
+         round(list_cosine_similarity(q.emb, c.emb), 6) AS sim,
+         row_number() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY list_cosine_similarity(q.emb, c.emb) DESC, c.vec_id
+         ) AS rn
+  FROM (SELECT vec_id, embedding::DOUBLE[] AS emb
+        FROM embeddings WHERE vec_id < 3) q
+  CROSS JOIN (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings) c
+  WHERE q.vec_id <> c.vec_id
+) t
+WHERE rn <= 5
+ORDER BY qid, rn
+""",
+    tags=("similarity", "ann", "bench"),
+)
+def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 per query vector: broadcast the (small) query
+    set against the candidate scan, rank per query.  At 100 TB the
+    candidate side stays partition-local (no shuffle until the final
+    per-query top-k, which AQE-coalesces to tiny)."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double("embedding").alias("emb")
+    )
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), F.col("emb").alias("q_emb")
+    )
+    scored = (
+        emb.join(F.broadcast(queries), F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            cosine(F.col("q_emb"), F.col("emb")).alias("sim_raw"),
+        )
+    )
+    w = W.partitionBy("qid").orderBy(F.col("sim_raw").desc(), F.col("vec_id"))
+    return (
+        scored.select(
+            "qid",
+            "vec_id",
+            F.round("sim_raw", 6).alias("sim"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= 5)
+        .orderBy("qid", "rn")
+    )
+
+
+@register(
+    "embedding_norm_stats",
+    oracle="""
+SELECT label,
+       count(*) AS n,
+       round(avg(sqrt(list_sum(list_transform(embedding::DOUBLE[],
+                                              x -> x * x)))), 6) AS avg_norm,
+       round(max(sqrt(list_sum(list_transform(embedding::DOUBLE[],
+                                              x -> x * x)))), 6) AS max_norm,
+       CAST(max(len(embedding)) AS INT) AS dim
+FROM embeddings
+GROUP BY label
+ORDER BY label
+""",
+    tags=("similarity", "stats"),
+)
+def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label L2-norm statistics — embedding hygiene checks."""
+    emb = _t(spark, sf_dir, "embeddings")
+    norm = l2_norm(_as_double(F.col("embedding")))
+    return (
+        emb.select("label", norm.alias("norm"), F.size("embedding").alias("d"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("norm"), 6).alias("avg_norm"),
+            F.round(F.max("norm"), 6).alias("max_norm"),
+            F.max("d").alias("dim"),
+        )
+        .orderBy("label")
+    )
+
+
+@register(
+    "ann_lsh_bucketed",
+    oracle=None,  # hyperplane signs derive from murmur3 — no DuckDB
+    # counterpart; pytest validates recall against the brute-force query.
+    tags=("similarity", "ann", "lsh"),
+)
+def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH: 12-bit signature from deterministic
+    pseudo-hyperplanes (sign pattern = murmur3(plane, dim)), candidates
+    share a bucket, exact cosine re-rank inside the bucket.
+
+    Scale shape: the cross product is replaced by an equi-join on
+    ``bucket`` — at 1000 executors this is a plain hash-shuffle join
+    whose per-bucket fan-out is 2^-12 of the data."""
+    n_planes = 12
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", _as_double("embedding").alias("emb")
+    )
+
+    def plane_dot(v, j: int) -> Column:
+        # pseudo-hyperplane: component d is ±1 by the murmur3 bit of (j, d)
+        signs = F.transform(
+            F.sequence(F.lit(0), F.size(v) - 1),
+            lambda d: F.when(
+                F.pmod(F.hash(F.concat_ws(":", F.lit(j), d.cast("string"))), F.lit(2))
+                == 0,
+                F.lit(1.0),
+            ).otherwise(F.lit(-1.0)),
+        )
+        return dot(v, signs)
+
+    sig = sum(
+        [
+            F.when(plane_dot(F.col("emb"), j) > 0, F.lit(2**j)).otherwise(F.lit(0))
+            for j in range(n_planes)
+        ],
+        F.lit(0),
+    )
+    bucketed = emb.select("vec_id", "label", "emb", sig.alias("bucket"))
+    left = bucketed.select(
+        F.col("vec_id").alias("a"), F.col("emb").alias("emb_a"), "bucket"
+    )
+    right = bucketed.select(
+        F.col("vec_id").alias("b"), F.col("emb").alias("emb_b"), "bucket"
+    )
+    pairs = (
+        left.join(right, "bucket")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", F.round(cosine(F.col("emb_a"), F.col("emb_b")), 6).alias("sim"))
+        .filter(F.col("sim") > 0.2)
+    )
+    return pairs.orderBy(F.col("sim").desc(), "a", "b").limit(100)

@@ -1,1 +1,249 @@
-"""Placeholder — populated in this round."""
+"""Window-function coverage (SURVEY.md §2.4).
+
+The reference's Window operator supports only COUNT/MIN/MAX/SUM +
+lag/lead with ROWS frames, everything else falling back to Spark
+(reference: spark/sql/comet/CometWindowExec.scala:41-247,
+docs/.../expressions.md:219-232).  The rebuild exposes Spark's full
+native window set — ranking, distribution, offset, and frame-bounded
+aggregates — a strict superset.
+
+Every query partitions and orders with a unique tiebreak column so the
+cross-engine hash is deterministic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from . import register
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+@register(
+    "window_ranking",
+    oracle="""
+SELECT * FROM (
+  SELECT c_mktsegment, c_custkey, c_acctbal,
+         row_number()  OVER w AS rn,
+         rank()        OVER w AS rnk,
+         dense_rank()  OVER w AS drnk
+  FROM customer
+  WINDOW w AS (PARTITION BY c_mktsegment
+               ORDER BY c_acctbal DESC, c_custkey)
+) t
+WHERE rn <= 5
+ORDER BY c_mktsegment, rn
+""",
+    tags=("window", "ranking"),
+)
+def window_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """row_number / rank / dense_rank — top-5 per segment.  These fall
+    back in the reference (expressions.md:232); native here."""
+    cust = _t(spark, sf_dir, "customer")
+    w = W.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    return (
+        cust.select(
+            "c_mktsegment",
+            "c_custkey",
+            "c_acctbal",
+            F.row_number().over(w).alias("rn"),
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(w).alias("drnk"),
+        )
+        .filter(F.col("rn") <= 5)
+        .orderBy("c_mktsegment", "rn")
+    )
+
+
+@register(
+    "window_running_sum",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                  OVER (PARTITION BY o_custkey
+                        ORDER BY o_orderdate, o_orderkey
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                  2) AS DOUBLE) AS running_total,
+       count(*) OVER (PARTITION BY o_custkey) AS n_orders
+FROM orders
+WHERE o_custkey < 100
+ORDER BY o_custkey, o_orderkey
+""",
+    tags=("window", "frame"),
+)
+def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running SUM over a ROWS frame — the frame shape the reference
+    does support natively (operator.proto:393-450); decimal-exact."""
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") < 100)
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wp = W.partitionBy("o_custkey")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w), 2)
+        .cast("double")
+        .alias("running_total"),
+        F.count(F.lit(1)).over(wp).alias("n_orders"),
+    ).orderBy("o_custkey", "o_orderkey")
+
+
+@register(
+    "window_lag_lead",
+    oracle="""
+SELECT o_custkey, o_orderkey, o_totalprice,
+       lag(o_totalprice)     OVER w AS prev_price,
+       lead(o_totalprice)    OVER w AS next_price,
+       lag(o_totalprice, 2, -1.0) OVER w AS prev2_price
+FROM orders
+WHERE o_custkey < 50
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+ORDER BY o_custkey, o_orderkey
+""",
+    tags=("window", "offset"),
+)
+def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead incl. offset + default (reference:
+    CometWindowExec.scala:155-166)."""
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") < 50)
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
+        F.lag("o_totalprice", 2, -1.0).over(w).alias("prev2_price"),
+    ).orderBy("o_custkey", "o_orderkey")
+
+
+@register(
+    "window_moving_avg",
+    oracle="""
+SELECT l_suppkey, l_orderkey, l_linenumber,
+       round(avg(l_quantity)
+             OVER (PARTITION BY l_suppkey
+                   ORDER BY l_shipdate, l_orderkey, l_linenumber
+                   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6)
+         AS qty_ma3,
+       round(min(l_quantity)
+             OVER (PARTITION BY l_suppkey
+                   ORDER BY l_shipdate, l_orderkey, l_linenumber
+                   ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING), 2)
+         AS qty_min3
+FROM lineitem
+WHERE l_suppkey < 10
+ORDER BY l_suppkey, l_orderkey, l_linenumber
+""",
+    tags=("window", "frame"),
+)
+def window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded ROWS frames with literal offsets (reference:
+    CometWindowExec.scala:178-240)."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_suppkey") < 10)
+    order = [F.col("l_shipdate"), F.col("l_orderkey"), F.col("l_linenumber")]
+    w3 = W.partitionBy("l_suppkey").orderBy(*order).rowsBetween(-2, 0)
+    wc = W.partitionBy("l_suppkey").orderBy(*order).rowsBetween(-1, 1)
+    return li.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.avg("l_quantity").over(w3), 6).alias("qty_ma3"),
+        F.round(F.min("l_quantity").over(wc), 2).alias("qty_min3"),
+    ).orderBy("l_suppkey", "l_orderkey", "l_linenumber")
+
+
+@register(
+    "window_distribution",
+    oracle="""
+SELECT s_suppkey, s_acctbal,
+       ntile(4)       OVER w AS quartile,
+       round(percent_rank() OVER w, 6) AS pct_rank,
+       round(cume_dist()    OVER w, 6) AS cume
+FROM supplier
+WINDOW w AS (ORDER BY s_acctbal, s_suppkey)
+ORDER BY s_suppkey
+""",
+    tags=("window", "distribution"),
+)
+def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile / percent_rank / cume_dist over a global window (all fall
+    back in the reference — native Spark superset)."""
+    supp = _t(spark, sf_dir, "supplier")
+    w = W.orderBy("s_acctbal", "s_suppkey")
+    return supp.select(
+        "s_suppkey",
+        "s_acctbal",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    ).orderBy("s_suppkey")
+
+
+@register(
+    "window_first_last_nth",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       first_value(o_orderkey) OVER w AS first_key,
+       last_value(o_orderkey)
+         OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+         AS last_key,
+       nth_value(o_orderkey, 2) OVER w AS second_key
+FROM orders
+WHERE o_custkey < 50
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+ORDER BY o_custkey, o_orderkey
+""",
+    tags=("window", "offset"),
+)
+def window_first_last_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value / last_value (full frame) / nth_value."""
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") < 50)
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wfull = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.first("o_orderkey").over(w).alias("first_key"),
+        F.last("o_orderkey").over(wfull).alias("last_key"),
+        F.nth_value("o_orderkey", 2).over(w).alias("second_key"),
+    ).orderBy("o_custkey", "o_orderkey")
+
+
+@register(
+    "window_range_frame",
+    oracle="""
+SELECT p_type, p_partkey, p_retailprice,
+       count(*) OVER (PARTITION BY p_type
+                      ORDER BY p_retailprice
+                      RANGE BETWEEN 100.0 PRECEDING AND 100.0 FOLLOWING)
+         AS n_similar
+FROM part
+WHERE p_partkey < 200
+ORDER BY p_type, p_partkey
+""",
+    tags=("window", "frame"),
+)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame with numeric offsets (falls back in the reference —
+    only UNBOUNDED/CURRENT RANGE bounds are native there,
+    CometWindowExec.scala:178-240)."""
+    part = _t(spark, sf_dir, "part").filter(F.col("p_partkey") < 200)
+    w = W.partitionBy("p_type").orderBy("p_retailprice").rangeBetween(-100, 100)
+    return part.select(
+        "p_type",
+        "p_partkey",
+        "p_retailprice",
+        F.count(F.lit(1)).over(w).alias("n_similar"),
+    ).orderBy("p_type", "p_partkey")

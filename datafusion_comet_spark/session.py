@@ -43,8 +43,10 @@ DEFAULT_CONF: dict[str, str] = {
     "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
     # --- semantics ---------------------------------------------------------
     "spark.sql.session.timeZone": "UTC",
-    # Read parquet INT64(ns) timestamps without error (events table).
-    "spark.sql.legacy.parquet.nanosAsLong": "false",
+    # Parquet INT64(TIMESTAMP_NANOS) columns (events.ts) are unreadable as
+    # TimestampType in Spark; read them as raw nanosecond longs and let the
+    # catalog normalize to microsecond timestamps (catalog.load_table).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
     # --- misc --------------------------------------------------------------
     "spark.ui.enabled": "false",
     "spark.sql.shuffle.partitions": "32",

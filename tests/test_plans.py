@@ -1,0 +1,81 @@
+"""Plan-shape assertions — the rebuild of the reference's
+checkSparkAnswerAndOperator + plan-stability suites (reference:
+spark/src/test/scala/org/apache/spark/sql/CometTestBase.scala:225-268,
+comet/CometPlanStabilitySuite.scala:78-125).
+
+Correctness says the rows match; these tests say the *plan* is the one
+we want at 100 TB: filters pushed to the scan, dimension joins
+broadcast, no Python (BatchEvalPython) in any hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from datafusion_comet_spark.plans import (
+    broadcast_join_count,
+    operators_in_plan,
+    plan_string,
+    pushed_filters,
+)
+from datafusion_comet_spark.queries import load_all
+
+REGISTRY = load_all()
+
+
+def test_q6_filters_reach_parquet_scan(spark, sf_dir):
+    df = REGISTRY["q6_forecast_revenue"].fn(spark, sf_dir)
+    pf = pushed_filters(df)
+    assert any("l_shipdate" in f for f in pf), f"shipdate not pushed: {pf}"
+    assert any("l_quantity" in f for f in pf), f"quantity not pushed: {pf}"
+
+
+def test_q5_broadcasts_dimension_tables(spark, sf_dir):
+    df = REGISTRY["q5_local_supplier"].fn(spark, sf_dir)
+    assert broadcast_join_count(df) >= 3  # supplier, nation, region
+
+
+def test_q1_is_two_phase_hash_aggregate(spark, sf_dir):
+    df = REGISTRY["q1_pricing_summary"].fn(spark, sf_dir)
+    plan = plan_string(df, "simple")
+    assert "HashAggregate" in plan
+    # partial + final aggregation around a single exchange
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_topk_uses_take_ordered(spark, sf_dir):
+    df = REGISTRY["q3_shipping_priority"].fn(spark, sf_dir)
+    assert "TakeOrderedAndProject" in plan_string(df, "simple")
+
+
+def test_no_python_udf_in_registered_queries(spark, sf_dir):
+    """Hot paths stay JVM-side: no BatchEvalPython / ArrowEvalPython
+    operator may appear in any registered query plan."""
+    offenders = []
+    for name, q in REGISTRY.items():
+        plan = plan_string(q.fn(spark, sf_dir), "simple")
+        if "BatchEvalPython" in plan or "ArrowEvalPython" in plan:
+            offenders.append(name)
+    assert not offenders, f"Python in hot path: {offenders}"
+
+
+def test_scan_prunes_columns(spark, sf_dir):
+    """Column pruning: a two-column projection must not read the full
+    lineitem schema."""
+    df = REGISTRY["q6_forecast_revenue"].fn(spark, sf_dir)
+    plan = plan_string(df, "formatted")
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert read_schema, "no ReadSchema in formatted plan"
+    line = read_schema[0]
+    assert "l_returnflag" not in line and "l_orderkey" not in line, line
+
+
+def test_semi_join_planned_for_exists(spark, sf_dir):
+    df = REGISTRY["q4_order_priority"].fn(spark, sf_dir)
+    ops = " ".join(operators_in_plan(df))
+    assert "LeftSemi" in plan_string(df, "simple") or "Semi" in ops
+
+
+def test_anti_join_planned_for_not_exists(spark, sf_dir):
+    df = REGISTRY["q22_sales_opportunity"].fn(spark, sf_dir)
+    assert "LeftAnti" in plan_string(df, "simple")
