@@ -916,3 +916,236 @@ def q22_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+# --------------------------------------------------------------------------
+# Q2 — minimum-cost supplier (adapted): correlated-min subquery + 4-way join
+# --------------------------------------------------------------------------
+@register(
+    "q2_min_cost_supplier",
+    oracle="""
+SELECT s_acctbal, s_name, n_name, p_partkey, p_type
+FROM part
+JOIN lineitem ON l_partkey = p_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation   ON n_nationkey = s_nationkey
+JOIN region   ON r_regionkey = n_regionkey
+WHERE p_size = 15 AND r_name = 'ASIA'
+  AND l_extendedprice = (
+    SELECT min(l2.l_extendedprice)
+    FROM lineitem l2
+    JOIN supplier s2 ON s2.s_suppkey = l2.l_suppkey
+    JOIN nation n2   ON n2.n_nationkey = s2.s_nationkey
+    JOIN region r2   ON r2.r_regionkey = n2.n_regionkey
+    WHERE l2.l_partkey = p_partkey AND r2.r_name = 'ASIA'
+  )
+GROUP BY s_acctbal, s_name, n_name, p_partkey, p_type
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+""",
+    tags=("tpch", "join", "subquery", "topk"),
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 (adapted: lineitem plays partsupp, l_extendedprice plays
+    ps_supplycost): per-part minimum-price supplier within a region —
+    a correlated MIN subquery decorrelated into an aggregate + equi-join
+    (Catalyst does the same rewrite for the SQL form).  The min is a
+    *selection* over stored doubles (no arithmetic), so the double
+    equality join is exact on both engines."""
+    part = _t(spark, sf_dir, "part").filter(F.col("p_size") == 15)
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+
+    # supplier→nation→region restricted to the region (shared by both
+    # the main tree and the min subquery; computed once, reused).
+    regional_supp = (
+        supp.join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+    )
+    regional_li = li.join(
+        regional_supp.select("s_suppkey"),
+        li.l_suppkey == F.col("s_suppkey"),
+        "left_semi",
+    )
+    min_price = regional_li.groupBy(
+        F.col("l_partkey").alias("mp_partkey")
+    ).agg(F.min("l_extendedprice").alias("min_price"))
+
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(regional_supp, li.l_suppkey == F.col("s_suppkey"))
+        .join(
+            min_price,
+            (F.col("mp_partkey") == F.col("p_partkey"))
+            & (F.col("l_extendedprice") == F.col("min_price")),
+        )
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_type")
+        .distinct()
+        .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+# --------------------------------------------------------------------------
+# Q11 — important stock (adapted): group agg vs global-threshold subquery
+# --------------------------------------------------------------------------
+@register(
+    "q11_important_stock",
+    oracle=f"""
+SELECT l_partkey,
+       CAST(round(sum({SQL_REV}), 2) AS DOUBLE) AS part_value
+FROM lineitem
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation   ON n_nationkey = s_nationkey
+WHERE n_name = 'NATION_9'
+GROUP BY l_partkey
+HAVING sum({SQL_REV}) > (
+  SELECT sum({SQL_REV}) * 0.001
+  FROM lineitem
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation   ON n_nationkey = s_nationkey
+  WHERE n_name = 'NATION_9'
+)
+ORDER BY part_value DESC, l_partkey
+""",
+    tags=("tpch", "aggregate", "subquery", "having"),
+)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 (adapted: revenue plays ps_supplycost*ps_availqty):
+    per-part value within one nation vs a scalar fraction-of-total
+    threshold — grouped agg + broadcast scalar subquery.  Decimal sums
+    keep the threshold comparison exact on both engines."""
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_9")
+
+    national = li.join(
+        supp.join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .select("s_suppkey"),
+        li.l_suppkey == F.col("s_suppkey"),
+        "left_semi",
+    )
+    per_part = national.groupBy("l_partkey").agg(
+        F.sum(_drev()).alias("value_exact")
+    )
+    threshold = per_part.agg(
+        (F.sum("value_exact") * F.lit("0.001").cast("decimal(6,3)")).alias(
+            "threshold"
+        )
+    )
+    return (
+        per_part.join(F.broadcast(threshold))
+        .filter(F.col("value_exact") > F.col("threshold"))
+        .select(
+            "l_partkey", _money(F.col("value_exact")).alias("part_value")
+        )
+        .orderBy(F.col("part_value").desc(), "l_partkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q16 — parts/supplier relationship (adapted): NOT IN + count-distinct
+# --------------------------------------------------------------------------
+@register(
+    "q16_parts_supplier",
+    oracle="""
+SELECT p_brand, p_type, p_size,
+       count(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#1'
+  AND p_type NOT LIKE 'PROMO%'
+  AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+  AND l_suppkey NOT IN (
+    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0
+  )
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+""",
+    tags=("tpch", "anti-join", "distinct", "aggregate"),
+)
+def q16_parts_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 (adapted: lineitem plays partsupp; negative-balance
+    suppliers play the complaint exclusion): NOT IN → null-aware anti
+    join (reference: null-aware HashJoin, operator.proto:360-369 /
+    planner.rs:1818-1827), distinct-supplier counts per part group."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (~F.col("p_type").like("PROMO%"))
+        & (F.col("p_size").isin(1, 4, 7, 10, 13, 16, 19, 22))
+    )
+    bad_supp = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0.0)
+        .select("s_suppkey")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(bad_supp, li.l_suppkey == bad_supp.s_suppkey, "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(
+            F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size"
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Q20 — potential part promotion (adapted): nested semi-joins over a
+# HAVING aggregate
+# --------------------------------------------------------------------------
+@register(
+    "q20_part_promotion",
+    oracle="""
+SELECT s_name, s_acctbal
+FROM supplier
+JOIN nation ON n_nationkey = s_nationkey
+WHERE n_name = 'NATION_9'
+  AND s_suppkey IN (
+    SELECT l_suppkey
+    FROM lineitem
+    WHERE l_partkey IN (
+      SELECT p_partkey FROM part WHERE p_name LIKE '%red%'
+    )
+      AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l_suppkey, l_partkey
+    HAVING sum(l_quantity) > 50
+  )
+ORDER BY s_name
+""",
+    tags=("tpch", "semi-join", "having", "like"),
+)
+def q20_part_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 (adapted: shipped quantity plays availqty): suppliers
+    who moved >50 units of any red part in 1997, within one nation —
+    two nested left-semi joins over a HAVING aggregate.  Quantity sums
+    are integer-valued doubles, exact on both engines."""
+    supp = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_9")
+    li = _t(spark, sf_dir, "lineitem")
+    green = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%red%"))
+        .select("p_partkey")
+    )
+    heavy_suppliers = (
+        li.filter(
+            (F.col("l_shipdate") >= _ts("1997-01-01 00:00:00"))
+            & (F.col("l_shipdate") < _ts("1998-01-01 00:00:00"))
+        )
+        .join(green, li.l_partkey == green.p_partkey, "left_semi")
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("q"))
+        .filter(F.col("q") > 50)
+        .select("l_suppkey")
+    )
+    return (
+        supp.join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .join(heavy_suppliers, supp.s_suppkey == F.col("l_suppkey"), "left_semi")
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name")
+    )
