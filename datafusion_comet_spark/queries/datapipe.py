@@ -119,27 +119,57 @@ def _shingles(tokens, k: int = 3):
     )).otherwise(F.array(F.concat_ws(" ", tokens)))
 
 
+def _shingle_hashes(tokens):
+    """3-token shingle set, pre-hashed: murmur3 over the token triple
+    directly (F.hash is variadic) — no intermediate shingle strings,
+    no slice/concat allocations.  Equivalent set semantics to hashing
+    the joined string, at a fraction of the per-row cost."""
+    n = F.size(tokens)
+    idx = F.sequence(F.lit(0), F.greatest(n - 3, F.lit(0)))
+    tri = F.transform(
+        idx,
+        lambda i: F.hash(
+            F.element_at(tokens, i + 1),
+            F.element_at(tokens, i + 2),
+            F.element_at(tokens, i + 3),
+        ),
+    )
+    short = F.array(F.hash(F.concat_ws(" ", tokens)))
+    return F.array_distinct(F.when(n >= 3, tri).otherwise(short))
+
+
 def minhash_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """doc_id → minhash signature array<int> of length N_HASHES.
 
-    Each hash family member j is murmur3 (F.hash, Spark-native — the
-    same kernel the reference implements natively in
-    native/spark-expr/src/hash_funcs/murmur3.rs) salted with j; the
-    signature element is the min over shingles.  Pure JVM expressions —
-    no Python UDF in the path."""
+    Each shingle string is murmur3-hashed ONCE (F.hash, Spark-native —
+    the same kernel the reference implements natively in
+    native/spark-expr/src/hash_funcs/murmur3.rs); family member j is
+    then murmur3(shingle_hash, j) over two ints — integer re-hash, not
+    a string concat+hash per member.  Shingle hashes are deduplicated
+    (set semantics) so repeated shingles cost one hash, not N_HASHES.
+    Pure JVM expressions — no Python UDF in the path."""
     toks = F.split(F.lower(F.col(text_col)), " ")
+    shingle_hashes = _shingle_hashes(toks)
     sig = F.array(
         *[
             F.array_min(
-                F.transform(
-                    F.col("shingles"), lambda s: F.hash(F.concat(F.lit(str(j) + "#"), s))
-                )
+                F.transform(F.col("sh"), lambda h: F.hash(h, F.lit(j)))
             )
             for j in range(N_HASHES)
         ]
     )
+    # The signature expression is the CPU hot spot (higher-order
+    # functions run interpreted, outside whole-stage codegen); a single
+    # small parquet file arrives as ONE input partition, which would
+    # serialize it.  Repartition with an EXPLICIT partition count — AQE
+    # coalesces a column-only repartition of tiny data back to one
+    # partition, defeating the parallelism — so the compute spreads
+    # across the cluster, and the Exchange is reused by both sides of
+    # the downstream LSH self-join (one compute pass, not two).
+    n_parts = docs.sparkSession.sparkContext.defaultParallelism
     return (
-        docs.select("doc_id", _shingles(toks).alias("shingles"))
+        docs.select("doc_id", shingle_hashes.alias("sh"))
+        .repartition(n_parts, "doc_id")
         .select("doc_id", sig.alias("sig"))
     )
 
@@ -185,12 +215,6 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     right = bands.select(
         F.col("doc_id").alias("b"), F.col("sig").alias("sig_b"), "band", "bucket"
     )
-    pairs = (
-        left.join(right, ["band", "bucket"])
-        .filter(F.col("a") < F.col("b"))
-        .select("a", "b", "sig_a", "sig_b")
-        .distinct()
-    )
     est = (
         F.size(
             F.filter(
@@ -200,9 +224,15 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         / F.lit(float(N_HASHES))
     )
+    # Compute the (deterministic) estimate per band hit and dedup on the
+    # scalar triple — the distinct shuffles 3 scalars per pair instead of
+    # two 16-int signature arrays.
     return (
-        pairs.select("a", "b", F.round(est, 4).alias("est_jaccard"))
+        left.join(right, ["band", "bucket"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", F.round(est, 4).alias("est_jaccard"))
         .filter(F.col("est_jaccard") >= 0.5)
+        .distinct()
         .orderBy("a", "b")
     )
 
