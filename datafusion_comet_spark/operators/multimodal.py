@@ -1,0 +1,156 @@
+"""Multimodal columns: opaque binary payloads + typed metadata.
+
+The 100 TB training-pipeline posture for image/audio/video: the
+payload is an opaque ``binary`` column (or a pointer to object
+storage), metadata travels as a typed struct beside it, and all
+decode / feature-extraction runs as Arrow-batched Python over
+``mapInPandas`` — Spark never interprets the bytes, so the plan
+(partitioning, pushdown on metadata, batch shape) is identical
+whether the payload is a JPEG or a synthetic blob.
+
+The actual codec step is STUBBED: image/audio libraries are not in
+this container, so ``decode_image_batch`` raises ``NotImplementedError``
+unless ``fake=True``, in which case a clearly-marked deterministic
+fake (byte statistics standing in for pixel statistics) exercises the
+full Spark-side plumbing — schema, batching, partition parallelism —
+which is the part that must be right at scale.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Deterministic media-type assignment for the synthetic corpus.
+FORMATS = ("jpeg", "png", "webp")
+
+DECODED_SCHEMA = (
+    "doc_id long, format string, n_bytes long, "
+    "mean_byte double, max_byte long, n_frames long"
+)
+
+
+def attach_payload(docs: DataFrame) -> DataFrame:
+    """documents → multimodal frame: payload binary + metadata struct.
+
+    Payload bytes are the UTF-8 encoding of the text (a deterministic
+    stand-in for real media bytes); metadata mirrors what an ingest
+    service records (format, declared dims, byte size).  At scale this
+    is the schema contract: binary + struct<...> columns partition,
+    shuffle, and predicate-push exactly like any other column."""
+    fmt = F.element_at(
+        F.array(*[F.lit(f) for f in FORMATS]),
+        (F.col("doc_id") % len(FORMATS) + 1).cast("int"),
+    )
+    meta = F.struct(
+        fmt.alias("format"),
+        (F.col("doc_id") % 640 + 16).cast("int").alias("width"),
+        (F.col("doc_id") % 480 + 16).cast("int").alias("height"),
+        F.octet_length("text").cast("long").alias("n_bytes"),
+    )
+    return docs.select(
+        "doc_id",
+        F.col("text").cast("binary").alias("payload"),
+        meta.alias("meta"),
+    )
+
+
+def decode_image_batch(payload: bytes, fmt: str, fake: bool) -> dict:
+    """Decode one payload → pixel statistics.
+
+    STUB: real decoding needs an image library not present in this
+    container.  ``fake=True`` substitutes deterministic byte statistics
+    (documented stand-in, NOT a real decode)."""
+    if not fake:
+        raise NotImplementedError(
+            "image decode requires an imaging library not present in "
+            "this environment; run with fake=True for the deterministic "
+            "plumbing stand-in"
+        )
+    n = len(payload)
+    return {
+        "n_bytes": n,
+        "mean_byte": round(sum(payload) / n, 6) if n else 0.0,
+        "max_byte": max(payload) if n else 0,
+    }
+
+
+def decode_features(frames: DataFrame, fake: bool = True) -> DataFrame:
+    """mapInPandas decode/feature-extract over multimodal frames.
+
+    Arrow delivers columnar batches to Python; each batch is decoded
+    row-wise INSIDE the batch (the per-row codec call is the
+    irreducible cost — real decoders release the GIL).  Output is a
+    fresh columnar frame, so downstream stays JVM-side.  Partition
+    parallelism is the scale axis: 1000 executors × N cores each run
+    this generator independently."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            stats = [
+                decode_image_batch(p, f, fake)
+                for p, f in zip(pdf["payload"], pdf["fmt"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "format": pdf["fmt"],
+                    "n_bytes": [s["n_bytes"] for s in stats],
+                    "mean_byte": [s["mean_byte"] for s in stats],
+                    "max_byte": [s["max_byte"] for s in stats],
+                    "n_frames": [
+                        (s["n_bytes"] + FRAME_BYTES - 1) // FRAME_BYTES
+                        for s in stats
+                    ],
+                }
+            )
+
+    inp = frames.select(
+        "doc_id", "payload", F.col("meta.format").alias("fmt")
+    )
+    return inp.mapInPandas(run, schema=DECODED_SCHEMA)
+
+
+# "Frame" sampling: fixed-size byte windows standing in for video
+# frame extraction — the plumbing (explode fan-out, per-frame hash,
+# partition-local compute) is the real part.
+FRAME_BYTES = 64
+
+
+def sample_frames(frames: DataFrame, stride: int = 4) -> DataFrame:
+    """Every ``stride``-th fixed-size frame per payload, exploded to
+    one row per sampled frame with a content hash.  The explode is
+    partition-local (no shuffle); at scale the fan-out factor is
+    bounded by payload size / FRAME_BYTES / stride."""
+    n_frames = F.ceil(F.octet_length("payload") / F.lit(FRAME_BYTES)).cast("int")
+    idx = F.filter(
+        F.sequence(F.lit(0), n_frames - 1),
+        lambda i: i % stride == 0,
+    )
+    return (
+        frames.select(
+            "doc_id",
+            F.col("meta.format").alias("format"),
+            F.posexplode(
+                F.transform(
+                    idx,
+                    lambda i: F.substring(
+                        F.col("payload").cast("string"),
+                        i * FRAME_BYTES + 1,
+                        FRAME_BYTES,
+                    ),
+                )
+            ).alias("frame_no", "frame"),
+        )
+        .select(
+            "doc_id",
+            "format",
+            "frame_no",
+            F.length("frame").alias("frame_len"),
+            F.md5(F.col("frame").cast("binary")).alias("frame_md5"),
+        )
+    )

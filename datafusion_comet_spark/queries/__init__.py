@@ -64,5 +64,8 @@ def load_all() -> dict[str, Query]:
     from . import windows  # noqa: F401
     from . import datapipe  # noqa: F401
     from . import similarity  # noqa: F401
+    from . import sources  # noqa: F401
+    from . import streaming  # noqa: F401
+    from . import multimodal  # noqa: F401
 
     return REGISTRY

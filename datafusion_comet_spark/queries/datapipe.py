@@ -417,3 +417,119 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return docs.select("doc_id", fp.alias("fingerprint")).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# Exact n-gram Jaccard near-dup  (the ground truth MinHash approximates)
+# --------------------------------------------------------------------------
+@register(
+    "dedup_ngram_jaccard",
+    oracle="""
+SELECT a, b, jaccard
+FROM (
+  SELECT x.doc_id AS a, y.doc_id AS b,
+         round(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+               / (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))),
+               4) AS jaccard
+  FROM (SELECT doc_id, source,
+               list_distinct(list_transform(
+                 generate_series(1, greatest(len(str_split(lower(text), ' ')) - 2, 1)),
+                 i -> str_split(lower(text), ' ')[i] || ' ' ||
+                      coalesce(str_split(lower(text), ' ')[i+1], '') || ' ' ||
+                      coalesce(str_split(lower(text), ' ')[i+2], ''))) AS sh
+        FROM documents WHERE doc_id < 150) x
+  JOIN (SELECT doc_id, source,
+               list_distinct(list_transform(
+                 generate_series(1, greatest(len(str_split(lower(text), ' ')) - 2, 1)),
+                 i -> str_split(lower(text), ' ')[i] || ' ' ||
+                      coalesce(str_split(lower(text), ' ')[i+1], '') || ' ' ||
+                      coalesce(str_split(lower(text), ' ')[i+2], ''))) AS sh
+        FROM documents WHERE doc_id < 150) y
+    ON x.source = y.source AND x.doc_id < y.doc_id
+) t
+WHERE jaccard >= 0.2
+ORDER BY a, b
+""",
+    tags=("datapipe", "dedup", "ngram", "jaccard"),
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard similarity over candidate pairs blocked by
+    ``source`` (the blocking key bounds the pair fan-out — at 100 TB
+    the blocker is an LSH bucket, here a natural key so the oracle can
+    reproduce it).  Set algebra runs JVM-side: array_intersect on
+    distinct shingle arrays, |A∪B| = |A|+|B|−|A∩B|."""
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 150)
+        .select("doc_id", "source", F.split(F.lower("text"), " ").alias("toks"))
+    )
+    sh = F.array_distinct(_shingles(F.col("toks"), 3))
+    shingled = docs.select("doc_id", "source", sh.alias("sh"))
+    left = shingled.select(
+        F.col("doc_id").alias("a"), "source", F.col("sh").alias("sh_a")
+    )
+    right = shingled.select(
+        F.col("doc_id").alias("b"), "source", F.col("sh").alias("sh_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        left.join(right, "source")
+        .filter(F.col("a") < F.col("b"))
+        .select(
+            "a",
+            "b",
+            F.round(inter.cast("double") / union, 4).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.2)
+        .orderBy("a", "b")
+    )
+
+
+# --------------------------------------------------------------------------
+# Embedding-cosine near-dup  (semantic dedup over array<float>)
+# --------------------------------------------------------------------------
+@register(
+    "dedup_embedding_cosine",
+    oracle="""
+SELECT a, b, sim
+FROM (
+  SELECT x.vec_id AS a, y.vec_id AS b,
+         round(list_cosine_similarity(x.embedding::DOUBLE[],
+                                      y.embedding::DOUBLE[]), 5) AS sim
+  FROM embeddings x
+  JOIN embeddings y ON x.label = y.label AND x.vec_id < y.vec_id
+) t
+WHERE sim >= 0.9
+ORDER BY a, b
+""",
+    tags=("datapipe", "dedup", "embedding", "cosine"),
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic near-dup: cosine ≥ 0.9 between embeddings, blocked by
+    ``label`` (standing in for the coarse-quantizer cell an IVF index
+    would assign — the block join is what makes this tractable at
+    100 TB; brute force is the ann_bruteforce_topk query).  Dot
+    products are JVM zip_with/aggregate folds — no Python."""
+    from .similarity import _as_double, cosine
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", _as_double("embedding").alias("emb")
+    )
+    left = emb.select(
+        F.col("vec_id").alias("a"), "label", F.col("emb").alias("emb_a")
+    )
+    right = emb.select(
+        F.col("vec_id").alias("b"), "label", F.col("emb").alias("emb_b")
+    )
+    return (
+        left.join(right, "label")
+        .filter(F.col("a") < F.col("b"))
+        .select(
+            "a",
+            "b",
+            F.round(cosine(F.col("emb_a"), F.col("emb_b")), 5).alias("sim"),
+        )
+        .filter(F.col("sim") >= 0.9)
+        .orderBy("a", "b")
+    )

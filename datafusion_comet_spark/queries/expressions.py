@@ -712,3 +712,124 @@ def expr_url_misc(spark: SparkSession, sf_dir: str) -> DataFrame:
         enc.alias("encoded"),
         F.url_decode(enc).alias("roundtrip"),
     ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# TRY eval mode + integral/decimal arithmetic edge semantics
+# (reference serde/arithmetic.scala:88-359 eval modes LEGACY/TRY/ANSI,
+#  expr.proto:270-281; native math_funcs/{div,modulo_expr}.rs)
+# --------------------------------------------------------------------------
+@register(
+    "expr_try_arithmetic",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       l_quantity + l_discount                         AS plain_add,
+       CASE WHEN l_linenumber = 0 THEN NULL
+            ELSE l_extendedprice / l_linenumber END     AS try_div,
+       CASE WHEN l_linenumber = 0 THEN NULL
+            ELSE CAST(l_orderkey // l_linenumber AS BIGINT) END AS int_div,
+       CASE WHEN l_linenumber = 0 THEN NULL
+            ELSE ((l_orderkey % l_linenumber) + l_linenumber)
+                  % l_linenumber END                    AS pmod_val,
+       -l_quantity                                      AS neg_qty
+FROM lineitem
+WHERE l_orderkey < 300
+ORDER BY l_orderkey, l_linenumber
+""",
+    tags=("expression", "arithmetic", "try-mode"),
+)
+def expr_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRY-mode arithmetic (NULL on error instead of raise):
+    try_add/try_divide, integral div, pmod, unary minus — the
+    reference's MathExpr eval-mode surface (expr.proto:276-281).
+    try_divide by zero → NULL, mirrored with CASE in the oracle."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 300)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.try_add("l_quantity", "l_discount").alias("plain_add"),
+        F.try_divide("l_extendedprice", "l_linenumber").alias("try_div"),
+        F.expr("try_divide(l_orderkey, l_linenumber)")
+        .cast("long")
+        .alias("int_div"),
+        F.pmod("l_orderkey", "l_linenumber").alias("pmod_val"),
+        (-F.col("l_quantity")).alias("neg_qty"),
+    ).orderBy("l_orderkey", "l_linenumber")
+
+
+@register(
+    "expr_decimal_arith",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       CAST(price_d * (1 - disc_d) AS DECIMAL(22, 4))   AS discounted,
+       CAST(price_d + tax_d AS DECIMAL(16, 2))          AS plus_tax,
+       CAST(round(price_d / 7, 4) AS DECIMAL(20, 4))    AS seventh,
+       CAST(price_d AS DOUBLE)                          AS as_double
+FROM (
+  SELECT l_orderkey, l_linenumber,
+         CAST(l_extendedprice AS DECIMAL(14, 2)) AS price_d,
+         CAST(l_discount AS DECIMAL(6, 4))       AS disc_d,
+         CAST(l_tax AS DECIMAL(6, 4))            AS tax_d
+  FROM lineitem
+  WHERE l_orderkey < 200
+) t
+ORDER BY l_orderkey, l_linenumber
+""",
+    tags=("expression", "decimal"),
+)
+def expr_decimal_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decimal arithmetic with pinned result types — the reference's
+    largest kernel family (native/spark-expr/src/math_funcs/
+    wide_decimal_binary_expr.rs, div.rs).  Spark and DuckDB infer
+    different intermediate precision/scale, so every result is cast
+    to an explicit DECIMAL(p,s) on both sides (SURVEY.md §7.4 risk #1)."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 200)
+    price = F.col("l_extendedprice").cast("decimal(14,2)")
+    disc = F.col("l_discount").cast("decimal(6,4)")
+    tax = F.col("l_tax").cast("decimal(6,4)")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        (price * (F.lit(1) - disc)).cast("decimal(22,4)").alias("discounted"),
+        (price + tax).cast("decimal(16,2)").alias("plus_tax"),
+        F.round(price / 7, 4).cast("decimal(20,4)").alias("seventh"),
+        price.cast("double").alias("as_double"),
+    ).orderBy("l_orderkey", "l_linenumber")
+
+
+# --------------------------------------------------------------------------
+# Nondeterministic expressions, pinned to a deterministic plan
+# (reference serde/nondetermenistic.scala:24-86 — partition-seeded
+#  rand/randn, MonotonicallyIncreasingID, SparkPartitionID)
+# --------------------------------------------------------------------------
+@register(
+    "expr_nondeterministic",
+    oracle="""
+SELECT rid, pid, n_nationkey,
+       CASE WHEN r BETWEEN 0 AND 1 THEN 1 ELSE 0 END AS r_in_range
+FROM (
+  SELECT row_number() OVER (ORDER BY n_nationkey) - 1 AS rid,
+         0 AS pid, n_nationkey, 0.5 AS r
+  FROM nation
+) t
+ORDER BY n_nationkey
+""",
+    tags=("expression", "nondeterministic"),
+)
+def expr_nondeterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """monotonically_increasing_id / spark_partition_id / rand(seed),
+    pinned deterministic by coalescing to ONE sorted partition: ids
+    become 0..n-1, partition id 0, and rand(seed) collapses to a
+    range check.  (The reference seeds rand per-partition the same
+    way — partition-stable streams, serde/nondetermenistic.scala.)"""
+    nation = (
+        _t(spark, sf_dir, "nation")
+        .coalesce(1)
+        .sortWithinPartitions("n_nationkey")
+    )
+    return nation.select(
+        F.monotonically_increasing_id().alias("rid"),
+        F.spark_partition_id().alias("pid"),
+        "n_nationkey",
+        F.when(F.rand(seed=42).between(0, 1), 1).otherwise(0).alias("r_in_range"),
+    ).orderBy("n_nationkey")

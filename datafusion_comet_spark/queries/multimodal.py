@@ -1,0 +1,122 @@
+"""Multimodal-column queries: binary payload + metadata plumbing.
+
+North-star pipeline operators (BASELINE.json): media handling at
+100 TB keeps payloads opaque (binary column / object-store pointer),
+metadata typed, and decode in Arrow-batched Python.  The decode codec
+itself is stubbed (no image libs in this container — see
+operators/multimodal.py), but everything Spark-side — schema,
+explode fan-out, mapInPandas batch shape, aggregation — is real and
+oracle-checked where the fake decode is SQL-expressible.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..operators.multimodal import attach_payload, decode_features, sample_frames
+from . import register
+
+
+def _frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return attach_payload(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "multimodal_metadata",
+    oracle="""
+SELECT format, count(*) AS n,
+       sum(octet_length(encode(text))) AS total_bytes,
+       max(width * height) AS max_pixels,
+       min(md5(text)) AS min_md5
+FROM (
+  SELECT doc_id, text,
+         ['jpeg', 'png', 'webp'][CAST(doc_id % 3 AS INT) + 1] AS format,
+         CAST(doc_id % 640 + 16 AS INT) AS width,
+         CAST(doc_id % 480 + 16 AS INT) AS height
+  FROM documents
+) t
+GROUP BY format
+ORDER BY format
+""",
+    tags=("multimodal", "metadata"),
+)
+def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-plane query over multimodal frames: group by declared
+    format, aggregate payload sizes / dimensions / content hashes —
+    all without touching (decoding) the payload bytes.  At 100 TB this
+    is the cheap pre-filter pass that prunes the expensive decode."""
+    frames = _frames(spark, sf_dir)
+    return (
+        frames.select(
+            F.col("meta.format").alias("format"),
+            F.col("meta.n_bytes").alias("n_bytes"),
+            (F.col("meta.width") * F.col("meta.height")).alias("pixels"),
+            F.md5("payload").alias("h"),
+        )
+        .groupBy("format")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("n_bytes").alias("total_bytes"),
+            F.max("pixels").alias("max_pixels"),
+            F.min("h").alias("min_md5"),
+        )
+        .orderBy("format")
+    )
+
+
+@register(
+    "multimodal_decode_stub",
+    oracle=None,  # the fake decode's byte statistics are Python-side;
+    # pytest pins them against an independent pyarrow computation.
+    tags=("multimodal", "decode", "mapInPandas"),
+)
+def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched decode/feature-extract via mapInPandas (STUBBED
+    codec, deterministic fake — operators/multimodal.py): returns
+    per-format feature aggregates.  The Spark-side contract (schema,
+    batching, partition parallelism) is the part under test."""
+    feats = decode_features(_frames(spark, sf_dir), fake=True)
+    return (
+        feats.groupBy("format")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("mean_byte"), 4).alias("avg_mean_byte"),
+            F.max("max_byte").alias("max_byte"),
+            F.sum("n_frames").alias("total_frames"),
+        )
+        .orderBy("format")
+    )
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle="""
+SELECT doc_id, format, frame_no, length(frame) AS frame_len,
+       md5(frame) AS frame_md5
+FROM (
+  SELECT doc_id, format, CAST(src // 4 AS INT) AS frame_no,
+         substring(text, CAST(src * 64 + 1 AS INT), 64) AS frame
+  FROM (
+    SELECT doc_id, text,
+           ['jpeg', 'png', 'webp'][CAST(doc_id % 3 AS INT) + 1] AS format,
+           unnest(generate_series(
+             0, CAST(ceil(length(text) / 64.0) AS BIGINT) - 1)) AS src
+    FROM documents
+  ) s
+  WHERE src % 4 = 0
+) t
+WHERE doc_id < 50
+ORDER BY doc_id, frame_no
+""",
+    tags=("multimodal", "frames", "explode"),
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strided frame sampling (video-style): every 4th 64-byte frame
+    per payload, one row per sampled frame with its content hash.
+    The explode is partition-local — no shuffle until the final
+    order/limit, which exists only for oracle determinism."""
+    frames = _frames(spark, sf_dir)
+    sampled = sample_frames(frames, stride=4)
+    return sampled.filter(F.col("doc_id") < 50).orderBy("doc_id", "frame_no")

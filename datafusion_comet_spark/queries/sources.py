@@ -1,0 +1,152 @@
+"""Source/sink round-trip queries: CSV scan, JSON scan, Parquet writer.
+
+Covers the reference's file-format operators (SURVEY.md §2.1 rows
+4 and 19): CsvScan with its full option set (reference:
+native/proto/src/proto/operator.proto:134-151) and ParquetWriter with
+codec + partitioned layout (operator.proto:320-338).  Every query
+writes from the canonical parquet tables into a scratch dir, reads
+back through the format under test, and aggregates — so the oracle
+(which only sees the canonical tables) verifies the round trip was
+lossless end-to-end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..sources import (
+    scratch_dir,
+    write_read_csv,
+    write_read_json,
+    write_read_parquet,
+)
+from . import register
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+@register(
+    "csv_scan_roundtrip",
+    oracle="""
+SELECT n.n_regionkey AS regionkey,
+       count(*) AS n_nations,
+       min(n.n_name) AS first_name,
+       max(length(n.n_name)) AS max_name_len
+FROM nation n
+GROUP BY n.n_regionkey
+ORDER BY regionkey
+""",
+    tags=("source", "csv"),
+)
+def csv_scan_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV scan with the reference's option surface (header=true,
+    delimiter='|', quote, escape, comment): write nation to CSV, read
+    it back with an explicit schema, aggregate.  A hash-match against
+    the parquet-side oracle proves the scan is lossless."""
+    nation = _t(spark, sf_dir, "nation")
+    back = write_read_csv(spark, nation, scratch_dir(sf_dir, "nation_csv"))
+    return (
+        back.groupBy(F.col("n_regionkey").alias("regionkey"))
+        .agg(
+            F.count(F.lit(1)).alias("n_nations"),
+            F.min("n_name").alias("first_name"),
+            F.max(F.length("n_name")).alias("max_name_len"),
+        )
+        .orderBy("regionkey")
+    )
+
+
+@register(
+    "json_scan_roundtrip",
+    oracle="""
+SELECT r_regionkey, r_name, length(r_name) AS name_len
+FROM region
+ORDER BY r_regionkey
+""",
+    tags=("source", "json"),
+)
+def json_scan_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines scan: write region to JSON, read back with explicit
+    schema (inference is a second full scan — never the plan at
+    100 TB), project."""
+    region = _t(spark, sf_dir, "region")
+    back = write_read_json(spark, region, scratch_dir(sf_dir, "region_json"))
+    return back.select(
+        "r_regionkey", "r_name", F.length("r_name").alias("name_len")
+    ).orderBy("r_regionkey")
+
+
+@register(
+    "parquet_write_partitioned",
+    oracle="""
+SELECT o_orderstatus,
+       count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS sum_price
+FROM orders
+WHERE o_orderpriority = '1-URGENT'
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+""",
+    tags=("sink", "parquet", "partition-pruning"),
+)
+def parquet_write_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned Parquet write (hive-style dirs on o_orderpriority,
+    zstd) then read-back with a filter on the partition column — the
+    filter must prune to one directory at planning time, which is the
+    exact mechanism partition elimination uses at 100 TB."""
+    orders = _t(spark, sf_dir, "orders")
+    back = write_read_parquet(
+        spark,
+        orders,
+        scratch_dir(sf_dir, "orders_part"),
+        partition_by=["o_orderpriority"],
+        codec="zstd",
+    )
+    return (
+        back.filter(F.col("o_orderpriority") == "1-URGENT")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@register(
+    "parquet_write_codecs",
+    oracle="""
+SELECT count(*) AS n, round(sum(o_totalprice), 2) AS sum_price,
+       min(o_orderdate) AS min_date, max(o_orderdate) AS max_date
+FROM orders
+""",
+    tags=("sink", "parquet", "codec"),
+)
+def parquet_write_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet write→read under each codec the reference's writer/
+    shuffle supports (zstd, lz4, snappy — operator.proto:301-306);
+    union the read-backs and verify identical totals under each."""
+    orders = _t(spark, sf_dir, "orders")
+    frames = [
+        write_read_parquet(
+            spark, orders, scratch_dir(sf_dir, f"orders_{codec}"), codec=codec
+        )
+        for codec in ("zstd", "lz4", "snappy")
+    ]
+    totals = [
+        f.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+            F.min("o_orderdate").alias("min_date"),
+            F.max("o_orderdate").alias("max_date"),
+        )
+        for f in frames
+    ]
+    out = totals[0]
+    for t in totals[1:]:
+        out = out.union(t)
+    return out.distinct()

@@ -1,0 +1,215 @@
+"""Structured Streaming queries (capability superset — SURVEY.md §2.6).
+
+The reference supports no streaming at all (reference:
+spark/src/main/scala/org/apache/comet/rules/CometExecRule.scala:548-550);
+these queries exercise the Structured Streaming surface a 100 TB
+event pipeline needs: watermarked tumbling-window aggregation,
+streaming dedup, session windows, and a custom stateful operator via
+``applyInPandasWithState``.  Each runs with an ``availableNow``
+trigger over the static events table so results are deterministic and
+(where SQL-expressible) DuckDB-oracle-checked — the production shape
+is the same plan with a continuous trigger on a landing directory.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from ..streaming import read_events_stream, run_to_memory
+from . import register
+
+
+@register(
+    "stream_window_agg",
+    oracle="""
+SELECT event_type,
+       time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS win_start,
+       count(*) AS n,
+       round(sum(value), 4) AS sum_value
+FROM events
+WHERE event_type IN ('click', 'view')
+GROUP BY event_type, win_start
+ORDER BY event_type, win_start
+LIMIT 200
+""",
+    tags=("streaming", "window", "watermark"),
+)
+def stream_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling-window aggregation: 1-hour windows per
+    event_type with a 30-minute watermark.  Epoch-aligned window
+    starts make the result identical to a batch time_bucket GROUP BY,
+    which is exactly what the oracle checks."""
+    ev = read_events_stream(spark, sf_dir).filter(
+        F.col("event_type").isin("click", "view")
+    )
+    agg = (
+        ev.withWatermark("ts", "30 minutes")
+        .groupBy("event_type", F.window("ts", "1 hour").alias("win"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+    )
+    # complete mode: emit every window at termination (append would
+    # hold back windows above the final watermark).
+    out = run_to_memory(agg, "stream_window_agg_sink", "complete")
+    return (
+        out.select(
+            "event_type", F.col("win.start").alias("win_start"), "n", "sum_value"
+        )
+        .orderBy("event_type", "win_start")
+        .limit(200)
+    )
+
+
+@register(
+    "stream_dedup",
+    oracle="""
+SELECT event_type, count(DISTINCT event_id) AS n_unique
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+    tags=("streaming", "dedup"),
+)
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming deduplication on event_id with a watermark bound on
+    state (dropDuplicatesWithinWatermark shape): dedup happens in the
+    stream (append mode — rows emit on first sight), then a batch
+    aggregation over the sink counts survivors per type."""
+    ev = read_events_stream(spark, sf_dir)
+    deduped = ev.withWatermark("ts", "1 hour").dropDuplicates(["event_id"])
+    out = run_to_memory(deduped, "stream_dedup_sink", "append")
+    return (
+        out.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_unique"))
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "stream_session_window",
+    oracle="""
+SELECT user_id, count(*) AS n_sessions, sum(n_events) AS n_events
+FROM (
+  SELECT user_id, session_id, count(*) AS n_events
+  FROM (
+    SELECT user_id, ts,
+           sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS session_id
+    FROM (
+      SELECT user_id, ts, event_id,
+             CASE WHEN CAST(ts AS TIMESTAMP)
+                       - lag(CAST(ts AS TIMESTAMP), 1,
+                             CAST(ts AS TIMESTAMP) - INTERVAL '1 year')
+                         OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       >= INTERVAL '30 minutes'
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ) marks
+  ) sess
+  GROUP BY user_id, session_id
+) per_session
+WHERE user_id < 40
+GROUP BY user_id
+ORDER BY user_id
+""",
+    tags=("streaming", "session-window"),
+)
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows with a 30-minute gap per user — the built-in
+    ``session_window`` stateful operator.  The oracle re-derives the
+    identical sessionization in batch SQL with a lag()-gap scan
+    (sessions split where the inter-event gap exceeds 30 min)."""
+    ev = read_events_stream(spark, sf_dir)
+    sessions = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy("user_id", F.session_window("ts", "30 minutes").alias("sw"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    out = run_to_memory(sessions, "stream_session_sink", "complete")
+    return (
+        out.filter(F.col("user_id") < 40)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum("n_events").alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def _running_stats(
+    key: tuple,
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Stateful per-user accumulator: (count, sum, max) across batches.
+
+    State survives between micro-batches — with a continuous trigger
+    this maintains per-user lifetime stats over an unbounded stream;
+    per-key state is O(1) so 10^9 users is a memory, not correctness,
+    problem (state store backed, RocksDB in production)."""
+    (user_id,) = key
+    n, s, mx = state.get if state.exists else (0, 0.0, float("-inf"))
+    for pdf in pdfs:
+        n += len(pdf)
+        s += float(pdf["value"].sum())
+        mx = max(mx, float(pdf["value"].max()))
+    state.update((n, s, mx))
+    yield pd.DataFrame(
+        {
+            "user_id": [user_id],
+            "n": [n],
+            "sum_value": [round(s, 4)],
+            "max_value": [mx],
+        }
+    )
+
+
+@register(
+    "stream_stateful_running",
+    oracle="""
+SELECT user_id, count(*) AS n,
+       round(sum(value), 4) AS sum_value,
+       max(value) AS max_value
+FROM events
+WHERE user_id < 20
+GROUP BY user_id
+ORDER BY user_id
+""",
+    tags=("streaming", "stateful", "applyInPandasWithState"),
+)
+def stream_stateful_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: a
+    per-user running (count, sum, max) kept in GroupState across
+    micro-batches — the PySpark-native analogue of a hand-written
+    stateful operator.  Over the finite availableNow input the final
+    emission per key equals the batch aggregate, which the oracle
+    verifies."""
+    ev = read_events_stream(spark, sf_dir).filter(F.col("user_id") < 20)
+    stats = ev.groupBy("user_id").applyInPandasWithState(
+        _running_stats,
+        outputStructType="user_id long, n long, sum_value double, max_value double",
+        stateStructType="n long, s double, mx double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    out = run_to_memory(stats, "stream_stateful_sink", "update")
+    # update mode may emit a row per key per batch; keep the final
+    # (cumulative) emission per key.
+    return (
+        out.groupBy("user_id")
+        .agg(
+            F.max("n").alias("n"),
+            F.max("sum_value").alias("sum_value"),
+            F.max("max_value").alias("max_value"),
+        )
+        .orderBy("user_id")
+    )

@@ -1,0 +1,89 @@
+"""Structured Streaming layer.
+
+The reference explicitly rejects streaming plans — its rule returns
+the plan untouched whenever the plan is streaming (reference:
+spark/src/main/scala/org/apache/comet/rules/CometExecRule.scala:548-550)
+and the IR has no watermark/state machinery
+(native/proto/src/proto/operator.proto:38-56).  The PySpark build gets
+Structured Streaming natively, so streaming is a capability SUPERSET:
+file-stream sources, watermarked window aggregation, streaming
+deduplication, session windows, and arbitrary stateful operators via
+``applyInPandasWithState``.
+
+Pattern used by every streaming query here: ``readStream`` over the
+canonical parquet table dir → transform → memory sink with an
+``availableNow`` trigger → await termination → return the sink table
+as a (batch) DataFrame.  ``availableNow`` processes exactly the data
+present at start and terminates, which makes streaming queries
+deterministic and oracle-comparable; the identical pipeline with a
+continuous trigger is the production deployment shape.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+# Explicit schema: streaming file sources never infer (inference is a
+# second listing+scan).  events.ts is parquet TIMESTAMP(NANOS), read
+# as a raw ns long (spark.sql.legacy.parquet.nanosAsLong, see
+# session.DEFAULT_CONF) and normalized to a µs timestamp below.
+EVENTS_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-stream over the events table with a normalized timestamp
+    column.  In production the same code points at a landing dir that
+    continuously receives files."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # The file-stream source lists a DIRECTORY (the landing-dir model);
+    # pathGlobFilter narrows it to the events table file(s).
+    raw = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+
+def run_to_memory(
+    df: DataFrame,
+    name: str,
+    output_mode: str,
+) -> DataFrame:
+    """Execute a streaming DataFrame to completion into a memory sink;
+    return the sink contents as a batch DataFrame.
+
+    A FRESH checkpoint dir per run makes the query reprocess the full
+    input (a reused checkpoint would see zero new files and emit
+    nothing — the deterministic-replay analogue of exactly-once)."""
+    ckpt = tempfile.mkdtemp(prefix=f"dcs_ckpt_{name}_")
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return df.sparkSession.table(name)

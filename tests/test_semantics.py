@@ -116,3 +116,43 @@ def test_lsh_recall_vs_bruteforce(spark, sf_dir):
     na = math.sqrt(sum(x * x for x in a))
     nb = math.sqrt(sum(x * x for x in b))
     assert abs(d / (na * nb) - top.sim) < 1e-4
+
+
+def test_multimodal_decode_stub_matches_local(spark, sf_dir):
+    """The fake decode's byte statistics must equal an independent
+    pandas computation over the same payloads (pin for the NOSQL
+    rows-only driver check)."""
+    import pandas as pd
+
+    feats = REGISTRY["multimodal_decode_stub"].fn(spark, sf_dir)
+    got = {r.format: r for r in feats.collect()}
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    rows = []
+    for r in docs:
+        payload = r.text.encode("utf-8")
+        fmt = ("jpeg", "png", "webp")[r.doc_id % 3]
+        rows.append(
+            {
+                "format": fmt,
+                "mean_byte": round(sum(payload) / len(payload), 6),
+                "max_byte": max(payload),
+                "n_frames": (len(payload) + 63) // 64,
+            }
+        )
+    pdf = pd.DataFrame(rows)
+    for fmt, grp in pdf.groupby("format"):
+        assert got[fmt].n == len(grp)
+        assert abs(got[fmt].avg_mean_byte - round(grp.mean_byte.mean(), 4)) < 1e-3
+        assert got[fmt].max_byte == grp.max_byte.max()
+        assert got[fmt].total_frames == grp.n_frames.sum()
+
+
+def test_multimodal_real_decode_is_explicit_stub(spark, sf_dir):
+    """Without fake=True the decode must refuse loudly, not fabricate."""
+    import pytest as _pytest
+
+    from datafusion_comet_spark.operators.multimodal import decode_image_batch
+
+    with _pytest.raises(NotImplementedError):
+        decode_image_batch(b"\xff\xd8\xff", "jpeg", fake=False)
