@@ -148,29 +148,32 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
     a string concat+hash per member.  Shingle hashes are deduplicated
     (set semantics) so repeated shingles cost one hash, not N_HASHES.
     Pure JVM expressions — no Python UDF in the path."""
-    toks = F.split(F.lower(F.col(text_col)), " ")
-    shingle_hashes = _shingle_hashes(toks)
-    sig = F.array(
-        *[
-            F.array_min(
-                F.transform(F.col("sh"), lambda h: F.hash(h, F.lit(j)))
-            )
-            for j in range(N_HASHES)
-        ]
-    )
-    # The signature expression is the CPU hot spot (higher-order
-    # functions run interpreted, outside whole-stage codegen); a single
-    # small parquet file arrives as ONE input partition, which would
-    # serialize it.  Repartition with an EXPLICIT partition count — AQE
-    # coalesces a column-only repartition of tiny data back to one
-    # partition, defeating the parallelism — so the compute spreads
-    # across the cluster, and the Exchange is reused by both sides of
-    # the downstream LSH self-join (one compute pass, not two).
+    # Two pitfalls shape this plan.  (1) Higher-order lambdas run
+    # INTERPRETED (outside whole-stage codegen) with NO common-subexpr
+    # elimination: if the lambda body references an expression tree
+    # (element_at(split(...), i)), the split re-executes per element —
+    # quadratic in tokens.  Materializing the token array as a column
+    # BELOW an exchange (CollapseProject cannot cross it) makes
+    # element_at a cheap attribute read.  (2) The 16 family members as
+    # transform/array_min lambdas were the remaining interpreted cost —
+    # explode the (distinct) shingle hashes to rows instead and take 16
+    # codegen'd min(hash(h, j)) aggregates; the repartition on doc_id
+    # (explicit count — AQE would coalesce tiny data to one partition)
+    # parallelizes the shingling and pre-satisfies the groupBy's
+    # partitioning, so the agg adds no second shuffle.
     n_parts = docs.sparkSession.sparkContext.defaultParallelism
-    return (
-        docs.select("doc_id", shingle_hashes.alias("sh"))
+    exploded = (
+        docs.select(
+            "doc_id", F.split(F.lower(F.col(text_col)), " ").alias("toks")
+        )
         .repartition(n_parts, "doc_id")
-        .select("doc_id", sig.alias("sig"))
+        .select("doc_id", F.explode(_shingle_hashes(F.col("toks"))).alias("h"))
+    )
+    agg = exploded.groupBy("doc_id").agg(
+        *[F.min(F.hash("h", F.lit(j))).alias(f"m{j}") for j in range(N_HASHES)]
+    )
+    return agg.select(
+        "doc_id", F.array(*[f"m{j}" for j in range(N_HASHES)]).alias("sig")
     )
 
 
@@ -209,6 +212,14 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("band", "bucket"),
     )
+    # Materialize ONE exchange on the join keys and derive both join
+    # sides from it: the signature/band compute sits BELOW the
+    # exchange, so ReuseExchange evaluates it once (without this the
+    # self-join recomputes the whole signature pipeline per side), and
+    # the join's required partitioning is already satisfied — no
+    # further shuffle.
+    n_parts = spark.sparkContext.defaultParallelism
+    bands = bands.repartition(n_parts, "band", "bucket")
     left = bands.select(
         F.col("doc_id").alias("a"), F.col("sig").alias("sig_a"), "band", "bucket"
     )
@@ -309,30 +320,47 @@ ORDER BY doc_id
 )
 def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-scoring features per document: token count, mean token
-    length, stopword ratio, distinct-token ratio — all with array
-    lambdas, no UDF."""
+    length, stopword ratio, distinct-token ratio.
+
+    Shape: explode tokens to rows and aggregate — every expression
+    (length, isin, count, count_distinct) stays inside whole-stage
+    codegen, where the array-lambda formulation (F.aggregate/F.filter
+    higher-order functions) runs interpreted and was the bench hot
+    spot.  The doc_id repartition parallelizes the split/explode and
+    pre-satisfies the groupBy partitioning (no second shuffle)."""
     docs = _t(spark, sf_dir, "documents")
-    toks = F.split(F.lower("text"), " ")
-    t = docs.select("doc_id", "lang", toks.alias("toks"))
-    n = F.size("toks").cast("double")
-    return t.select(
+    n_parts = spark.sparkContext.defaultParallelism
+    toks = (
+        docs.select("doc_id", "lang", F.lower("text").alias("t"))
+        .repartition(n_parts, "doc_id")
+        .select(
+            "doc_id", "lang", F.explode(F.split("t", " ")).alias("tok")
+        )
+    )
+    # Two-level aggregation instead of count_distinct: level 1 collapses
+    # to (doc, token) with a count, level 2 derives every metric from
+    # the collapsed rows (distinct count = row count, totals = weighted
+    # sums).  Avoids the Expand plan a mixed distinct/non-distinct
+    # aggregate needs — one less pass and a much simpler codegen unit.
+    per_tok = toks.groupBy("doc_id", "lang", "tok").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    agg = per_tok.groupBy("doc_id", "lang").agg(
+        F.sum("cnt").alias("n"),
+        F.sum(F.length("tok") * F.col("cnt")).alias("len_total"),
+        F.sum(
+            F.when(F.col("tok").isin(*STOPWORDS), F.col("cnt")).otherwise(0)
+        ).alias("n_stop"),
+        F.count(F.lit(1)).alias("n_distinct"),
+    )
+    n = F.col("n").cast("double")
+    return agg.select(
         "doc_id",
         "lang",
-        F.size("toks").alias("n_tokens"),
-        F.round(
-            F.aggregate(
-                "toks", F.lit(0).cast("long"), lambda a, x: a + F.length(x)
-            ).cast("double")
-            / n,
-            6,
-        ).alias("avg_tok_len"),
-        F.round(
-            F.size(F.filter("toks", lambda x: x.isin(*STOPWORDS))).cast("double") / n,
-            6,
-        ).alias("stopword_ratio"),
-        F.round(F.size(F.array_distinct("toks")).cast("double") / n, 6).alias(
-            "distinct_ratio"
-        ),
+        F.col("n").cast("int").alias("n_tokens"),
+        F.round(F.col("len_total").cast("double") / n, 6).alias("avg_tok_len"),
+        F.round(F.col("n_stop") / n, 6).alias("stopword_ratio"),
+        F.round(F.col("n_distinct") / n, 6).alias("distinct_ratio"),
     ).orderBy("doc_id")
 
 

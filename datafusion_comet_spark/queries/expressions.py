@@ -715,6 +715,36 @@ def expr_url_misc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# CSV struct conversion  (reference StructsToCsv serde/structs.scala;
+#  native/spark-expr/src/csv_funcs/)
+# --------------------------------------------------------------------------
+@register(
+    "expr_csv_struct",
+    oracle="""
+SELECT n_nationkey,
+       n_nationkey || ',' || n_name AS as_csv,
+       n_nationkey AS rt_key,
+       n_name AS rt_name
+FROM nation
+ORDER BY n_nationkey
+""",
+    tags=("expression", "csv", "struct"),
+)
+def expr_csv_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """to_csv over a struct and the from_csv round trip back to typed
+    fields — the reference's StructsToCsv/CsvToStructs pair."""
+    nation = _t(spark, sf_dir, "nation")
+    csv = F.to_csv(F.struct("n_nationkey", "n_name"))
+    parsed = F.from_csv(csv, F.lit("k INT, name STRING"))
+    return nation.select(
+        "n_nationkey",
+        csv.alias("as_csv"),
+        parsed.getField("k").alias("rt_key"),
+        parsed.getField("name").alias("rt_name"),
+    ).orderBy("n_nationkey")
+
+
+# --------------------------------------------------------------------------
 # TRY eval mode + integral/decimal arithmetic edge semantics
 # (reference serde/arithmetic.scala:88-359 eval modes LEGACY/TRY/ANSI,
 #  expr.proto:270-281; native math_funcs/{div,modulo_expr}.rs)
