@@ -510,3 +510,117 @@ def local_table_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_nations"))
         .orderBy(wanted.r_name)
     )
+
+
+# --------------------------------------------------------------------------
+# Range partitioning  (reference ShuffleWriter RangePartitioning,
+#  native/proto/src/proto/partitioning.proto:29-60)
+# --------------------------------------------------------------------------
+@register(
+    "shuffle_range_partition",
+    oracle="""
+SELECT o_orderkey, o_totalprice
+FROM orders
+WHERE o_orderkey % 97 = 0
+ORDER BY o_totalprice, o_orderkey
+""",
+    tags=("relational", "shuffle", "range-partition"),
+)
+def shuffle_range_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-partitioned shuffle + partition-local sort == total order
+    (the distributed-sort decomposition a 100 TB ORDER BY uses: sample
+    → range boundaries → shuffle → sort within partition, no single
+    merge point).  The oracle checks the total order end-to-end."""
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 97 == 0)
+    return (
+        orders.select("o_orderkey", "o_totalprice")
+        .repartitionByRange(8, "o_totalprice", "o_orderkey")
+        .sortWithinPartitions("o_totalprice", "o_orderkey")
+        # the final orderBy is a no-op re-statement for the oracle's
+        # deterministic row order; AQE sees the child already range
+        # partitioned + sorted, so it costs nothing extra
+        .orderBy("o_totalprice", "o_orderkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# Skew-salted join  (the manual skew-mitigation pattern; AQE's
+#  skewJoin does this adaptively — session.py enables it)
+# --------------------------------------------------------------------------
+N_SALT = 8
+
+
+@register(
+    "join_skew_salted",
+    oracle="""
+SELECT e.event_type, count(*) AS n, round(sum(e.value), 4) AS sum_value
+FROM events e
+JOIN (SELECT DISTINCT event_type FROM events WHERE event_type <> 'view') t
+  ON e.event_type = t.event_type
+GROUP BY e.event_type
+ORDER BY e.event_type
+""",
+    tags=("relational", "join", "skew", "salt"),
+)
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted equi-join on a low-cardinality (maximally skewed) key:
+    the probe side appends salt = pmod(hash(row), N) to its key, the
+    build side explodes ×N with every salt value, and the join key
+    becomes (key, salt) — fanning each hot key across N reducers.
+    Values are identical to the unsalted join, which the oracle
+    checks.  (At scale, prefer AQE skew-join for sort-merge paths;
+    salting is the explicit fallback when a hot key exceeds what
+    split-and-replicate can handle.)"""
+    ev = _t(spark, sf_dir, "events")
+    dim = (
+        ev.filter(F.col("event_type") != "view")
+        .select("event_type")
+        .distinct()
+    )
+    salted_probe = ev.withColumn(
+        "salt", F.pmod(F.hash("event_id"), F.lit(N_SALT))
+    )
+    salted_build = dim.withColumn(
+        "salt", F.explode(F.array(*[F.lit(i) for i in range(N_SALT)]))
+    )
+    return (
+        salted_probe.join(salted_build, ["event_type", "salt"])
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# grouping() / grouping_id()  (Expand metadata — reference Expand
+#  operator.proto:346-349 backs these)
+# --------------------------------------------------------------------------
+@register(
+    "expand_grouping_flags",
+    oracle="""
+SELECT o_orderstatus, o_orderpriority,
+       grouping(o_orderstatus) AS g_status,
+       grouping(o_orderpriority) AS g_prio,
+       count(*) AS n
+FROM orders
+GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+ORDER BY g_status, g_prio, o_orderstatus, o_orderpriority
+""",
+    tags=("relational", "expand", "grouping"),
+)
+def expand_grouping_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """grouping() flags over ROLLUP — distinguishes 'NULL because
+    aggregated away' from data NULLs in the Expand output."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping("o_orderstatus").cast("int").alias("g_status"),
+            F.grouping("o_orderpriority").cast("int").alias("g_prio"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("g_status", "g_prio", "o_orderstatus", "o_orderpriority")
+    )

@@ -79,3 +79,26 @@ def test_semi_join_planned_for_exists(spark, sf_dir):
 def test_anti_join_planned_for_not_exists(spark, sf_dir):
     df = REGISTRY["q22_sales_opportunity"].fn(spark, sf_dir)
     assert "LeftAnti" in plan_string(df, "simple")
+
+
+def test_minhash_self_join_reuses_exchange(spark, sf_dir):
+    """The LSH self-join must evaluate the signature pipeline ONCE:
+    after execution the adaptive plan shows a reused exchange/stage
+    (without it the whole interpreted shingle computation runs twice)."""
+    df = REGISTRY["dedup_minhash_lsh"].fn(spark, sf_dir)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in plan or "reused" in plan.lower(), plan[:2000]
+
+
+def test_range_partition_plans_range_exchange(spark, sf_dir):
+    df = REGISTRY["shuffle_range_partition"].fn(spark, sf_dir)
+    assert "rangepartitioning" in plan_string(df, "simple").lower()
+
+
+def test_salted_join_spreads_key(spark, sf_dir):
+    """The salted join's shuffle key must include the salt column —
+    that's the whole point (hot key fans out across N reducers)."""
+    df = REGISTRY["join_skew_salted"].fn(spark, sf_dir)
+    plan = plan_string(df, "simple")
+    assert "salt" in plan, plan[:2000]
