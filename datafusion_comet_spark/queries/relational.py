@@ -624,3 +624,40 @@ def expand_grouping_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("g_status", "g_prio", "o_orderstatus", "o_orderpriority")
     )
+
+
+# --------------------------------------------------------------------------
+# Explicit sort-merge join  (reference SortMergeJoin operator,
+#  operator.proto:371-377 / planner.rs:1738-1803)
+# --------------------------------------------------------------------------
+@register(
+    "join_sort_merge",
+    oracle="""
+SELECT c.c_mktsegment,
+       count(*) AS n_orders,
+       round(sum(o.o_totalprice), 2) AS revenue
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+GROUP BY c.c_mktsegment
+ORDER BY c.c_mktsegment
+""",
+    tags=("relational", "join", "sort-merge"),
+)
+def join_sort_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-to-fact equi-join pinned to SortMergeJoin via the MERGE
+    hint — the shape used when BOTH sides are too large to broadcast
+    or hash-build (the 100 TB fact-fact case): shuffle on the key,
+    sort each side, streaming merge with spill-safe memory use.
+    Values identical to any other join strategy, which the oracle
+    checks; the plan test asserts SortMergeJoin actually ran."""
+    cust = _t(spark, sf_dir, "customer").hint("merge")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+        .orderBy("c_mktsegment")
+    )

@@ -102,3 +102,8 @@ def test_salted_join_spreads_key(spark, sf_dir):
     df = REGISTRY["join_skew_salted"].fn(spark, sf_dir)
     plan = plan_string(df, "simple")
     assert "salt" in plan, plan[:2000]
+
+
+def test_merge_hint_plans_sort_merge_join(spark, sf_dir):
+    df = REGISTRY["join_sort_merge"].fn(spark, sf_dir)
+    assert "SortMergeJoin" in plan_string(df, "simple")
