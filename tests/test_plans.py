@@ -107,3 +107,45 @@ def test_salted_join_spreads_key(spark, sf_dir):
 def test_merge_hint_plans_sort_merge_join(spark, sf_dir):
     df = REGISTRY["join_sort_merge"].fn(spark, sf_dir)
     assert "SortMergeJoin" in plan_string(df, "simple")
+
+
+def test_runtime_bloom_filter_injects_on_selective_join(spark, sf_dir):
+    """Spark's runtime-filter feature — the consumer of the reference's
+    bloom_filter_agg / might_contain kernels (ObjectHashAggregate,
+    reference: spark/.../operators.scala:1675-1893, BloomFilterAggregate
+    serde/aggregates.scala:629) — injects a bloom filter on the probe
+    side of a selective join, and results are unchanged."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+
+    def build():
+        part = spark.read.parquet(f"{sf_dir}/part.parquet").filter(
+            F.col("p_size") == 1
+        )
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        return (
+            li.join(part, li.l_partkey == part.p_partkey)
+            .groupBy("p_type")
+            .count()
+            .orderBy("p_type")
+        )
+
+    baseline = build().collect()
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        df = build()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "bloom_filter_agg" in plan and "might_contain" in plan
+        assert "ObjectHashAggregate" in plan
+        assert df.collect() == baseline
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
