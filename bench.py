@@ -67,18 +67,28 @@ def main() -> None:
     # warmup: JVM JIT + catalyst caches + parquet footer reads
     registry["q1_pricing_summary"].fn(spark, sf_dir).collect()
 
+    # min over ITERATIONS runs per query — the reference's reported
+    # numbers take min-per-query across iterations (reference:
+    # benchmarks/tpc/tpcbench.py; results format
+    # benchmarks/results/0.16.0/*.json), which measures steady-state
+    # execution rather than first-run codegen/JIT compile.
+    iterations = int(os.environ.get("SPARK_GRAFT_BENCH_ITERATIONS", "2"))
     per_query: dict[str, float] = {}
-    t_total = time.perf_counter()
     for name in names:
-        t0 = time.perf_counter()
-        df = registry[name].fn(spark, sf_dir)
-        # collect() forces full evaluation incl. the final projection
-        # (count() would let Catalyst prune result expressions); all
-        # bench queries return small (aggregated / limited) results.
-        n = len(df.collect())
-        per_query[name] = round(time.perf_counter() - t0, 3)
+        best = None
+        n = 0
+        for _ in range(iterations):
+            t0 = time.perf_counter()
+            df = registry[name].fn(spark, sf_dir)
+            # collect() forces full evaluation incl. the final projection
+            # (count() would let Catalyst prune result expressions); all
+            # bench queries return small (aggregated / limited) results.
+            n = len(df.collect())
+            elapsed = time.perf_counter() - t0
+            best = elapsed if best is None else min(best, elapsed)
+        per_query[name] = round(best, 3)
         print(f"# {name}: {per_query[name]:.3f}s ({n} rows)", file=sys.stderr)
-    total = round(time.perf_counter() - t_total, 3)
+    total = round(sum(per_query.values()), 3)
 
     print(
         json.dumps(
