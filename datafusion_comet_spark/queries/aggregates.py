@@ -347,3 +347,41 @@ def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@register(
+    "agg_first_last_sorted",
+    oracle="""
+SELECT o_orderstatus,
+       first(o_orderkey ORDER BY o_orderkey) AS first_key,
+       last(o_orderkey ORDER BY o_orderkey) AS last_key,
+       first(o_totalprice ORDER BY o_orderkey) AS first_price
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+""",
+    tags=("aggregate", "first-last"),
+)
+def agg_first_last_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Literal First/Last aggregates (reference serde/aggregates.scala:
+    249-318) made deterministic: Spark's first/last are order-sensitive
+    within a group, so the input is pre-sorted within hash partitions
+    on the group key — the sortWithinPartitions + groupBy pattern gives
+    first/last a defined order without a global sort, mirroring
+    DuckDB's ordered-aggregate `first(x ORDER BY y)`."""
+    orders = _t(spark, sf_dir, "orders")
+    n_parts = spark.sparkContext.defaultParallelism
+    sorted_in = (
+        orders.select("o_orderstatus", "o_orderkey", "o_totalprice")
+        .repartition(n_parts, "o_orderstatus")
+        .sortWithinPartitions("o_orderkey")
+    )
+    return (
+        sorted_in.groupBy("o_orderstatus")
+        .agg(
+            F.first("o_orderkey").alias("first_key"),
+            F.last("o_orderkey").alias("last_key"),
+            F.first("o_totalprice").alias("first_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
