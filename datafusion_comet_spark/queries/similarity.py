@@ -183,3 +183,30 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("sim") > 0.2)
     )
     return pairs.orderBy(F.col("sim").desc(), "a", "b").limit(100)
+
+
+@register(
+    "embedding_quantize_int8",
+    oracle="""
+SELECT vec_id,
+       list_transform(embedding::DOUBLE[],
+                      x -> CAST(round(greatest(-1.0, least(1.0, x)) * 127)
+                                AS INT)) AS q
+FROM embeddings
+WHERE vec_id < 100
+ORDER BY vec_id
+""",
+    tags=("similarity", "quantize"),
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar int8 quantization of embeddings (clip to [-1,1], scale
+    by 127, round) — the storage/bandwidth lever for vector corpora:
+    4× smaller than float32 before any indexing.  Element-wise
+    transform; partition-local, no shuffle."""
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
+    clipped = lambda x: F.greatest(F.lit(-1.0), F.least(F.lit(1.0), x))
+    q = F.transform(
+        _as_double(F.col("embedding")),
+        lambda x: F.round(clipped(x) * 127, 0).cast("int"),
+    )
+    return emb.select("vec_id", q.alias("q")).orderBy("vec_id")

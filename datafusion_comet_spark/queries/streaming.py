@@ -213,3 +213,47 @@ def stream_stateful_running(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "stream_static_join",
+    oracle="""
+SELECT e.event_type, d.n_nations, count(*) AS n
+FROM events e
+JOIN (SELECT n_regionkey, count(*) AS n_nations
+      FROM nation GROUP BY n_regionkey) d
+  ON (length(e.event_type) % 5) = d.n_regionkey
+GROUP BY e.event_type, d.n_nations
+ORDER BY e.event_type
+""",
+    tags=("streaming", "stream-static-join"),
+)
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: each micro-batch joins against a static
+    (batch) dimension — the enrichment pattern for streams at scale
+    (the small dim broadcasts per batch; no stream-side state).  The
+    join key is an engine-independent derivation (length % 5 — Spark's
+    murmur3 and DuckDB's hash differ, so a hash bucket could not be
+    oracle-reproduced)."""
+    from ..catalog import load_table
+
+    ev = read_events_stream(spark, sf_dir)
+    dim = (
+        load_table(spark, sf_dir, "nation")
+        .groupBy("n_regionkey")
+        .agg(F.count(F.lit(1)).alias("n_nations"))
+    )
+    joined = ev.join(
+        dim,
+        (F.length("event_type") % 5) == F.col("n_regionkey"),
+    )
+    out = run_to_memory(
+        joined.select("event_id", "event_type", "n_nations"),
+        "stream_static_sink",
+        "append",
+    )
+    return (
+        out.groupBy("event_type", "n_nations")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("event_type")
+    )
