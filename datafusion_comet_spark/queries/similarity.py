@@ -210,3 +210,54 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda x: F.round(clipped(x) * 127, 0).cast("int"),
     )
     return emb.select("vec_id", q.alias("q")).orderBy("vec_id")
+
+
+@register(
+    "ann_ivf_kmeans",
+    oracle=None,  # k-means cell assignments have no DuckDB counterpart;
+    # pytest checks recall against the exact brute-force query.
+    tags=("similarity", "ann", "ivf"),
+)
+def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: a k-means coarse quantizer (pyspark.ml KMeans,
+    fixed seed) assigns every vector to a cell; each query searches
+    ONLY its own cell — the inverted-file structure that turns
+    brute-force O(n) per query into O(n/k).
+
+    Scale shape: the index build is one ML fit over a sample-sized
+    input (centroids are tiny and broadcast); assignment is a
+    map-side transform; search is an equi-join on cell id.  At 100 TB
+    the cell column is written back to the corpus as a partition key
+    so a query touches one partition per probed cell."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double("embedding").alias("emb")
+    )
+    feats = emb.select(
+        "vec_id", "emb", array_to_vector("emb").alias("features")
+    )
+    model = KMeans(k=8, seed=42, maxIter=10).fit(feats.select("features"))
+    assigned = model.transform(feats).select(
+        "vec_id", "emb", F.col("prediction").alias("cell")
+    )
+    queries = assigned.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), F.col("emb").alias("q_emb"), "cell"
+    )
+    scored = (
+        assigned.join(F.broadcast(queries), "cell")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid", "vec_id", cosine(F.col("q_emb"), F.col("emb")).alias("sim_raw")
+        )
+    )
+    w = W.partitionBy("qid").orderBy(F.col("sim_raw").desc(), F.col("vec_id"))
+    return (
+        scored.select(
+            "qid", "vec_id", F.round("sim_raw", 6).alias("sim"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= 5)
+        .orderBy("qid", "rn")
+    )

@@ -156,3 +156,23 @@ def test_multimodal_real_decode_is_explicit_stub(spark, sf_dir):
 
     with _pytest.raises(NotImplementedError):
         decode_image_batch(b"\xff\xd8\xff", "jpeg", fake=False)
+
+
+def test_ivf_recall_vs_bruteforce(spark, sf_dir):
+    """IVF cell-local search must recover a reasonable share of the
+    exact top-5 (single-probe recall; the scale/recall dial is the
+    number of probed cells)."""
+    exact = REGISTRY["ann_bruteforce_topk"].fn(spark, sf_dir).collect()
+    ivf = REGISTRY["ann_ivf_kmeans"].fn(spark, sf_dir).collect()
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r.qid, set()).add(r.vec_id)
+    ivf_sets = {}
+    for r in ivf:
+        ivf_sets.setdefault(r.qid, set()).add(r.vec_id)
+    assert set(ivf_sets) == set(exact_sets)
+    recalls = [
+        len(ivf_sets[q] & exact_sets[q]) / len(exact_sets[q])
+        for q in exact_sets
+    ]
+    assert sum(recalls) / len(recalls) >= 0.3, recalls
