@@ -67,5 +67,6 @@ def load_all() -> dict[str, Query]:
     from . import sources  # noqa: F401
     from . import streaming  # noqa: F401
     from . import multimodal  # noqa: F401
+    from . import temporal  # noqa: F401
 
     return REGISTRY

@@ -1,0 +1,171 @@
+"""Temporal join operators: as-of join and bounded range join.
+
+The reference has NO as-of/range/interval join in its IR — the join oneof
+stops at Inner/Outer/Semi/Anti equi joins (reference:
+native/proto/src/proto/operator.proto:379-386; SURVEY.md §2.1 "Missing
+from the reference").  These are the canonical event-attribution
+operators a training-data/analytics pipeline needs, so we provide them
+as compositions of existing DataFrame ops (SURVEY.md §7 custom-operator
+policy (a)):
+
+* **As-of join** — the distributed `merge_asof` pattern: UNION the two
+  sides with a marker column, hash-partition once by key, sort within
+  the partition by (time, marker), and carry the quote side forward with
+  ``last(..., ignorenulls=True)`` over a running ROWS frame.  Cost is
+  ONE shuffle of rows proportional to |left|+|right| — no range
+  explosion, no per-key collect; at 100 TB this is a single exchange on
+  the join key followed by a partition-local sort (SCALE.md).
+
+* **Range join** — equi-key + bounded time predicate.  Spark executes
+  this as a hash join on the equi key with the range as a residual
+  filter, so the shuffle is keyed and the inequality never degenerates
+  into a nested-loop cartesian.  (For a keyless range join the scale
+  path is bucketing the time axis to manufacture an equi key; the equi
+  key here plays that role.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from . import register
+
+
+@register(
+    "join_asof",
+    oracle="""
+WITH u AS (
+  SELECT user_id,
+         CAST(ts AS TIMESTAMP) AS t,
+         0 AS marker,
+         event_id AS click_id,
+         NULL::BIGINT AS purchase_id
+  FROM events WHERE event_type = 'click'
+  UNION ALL
+  SELECT user_id,
+         CAST(ts AS TIMESTAMP) AS t,
+         1 AS marker,
+         NULL::BIGINT AS click_id,
+         event_id AS purchase_id
+  FROM events WHERE event_type = 'purchase'
+), carried AS (
+  SELECT user_id, t, marker, purchase_id,
+         last_value(click_id IGNORE NULLS)
+           OVER (PARTITION BY user_id
+                 ORDER BY t, marker, click_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS click_id,
+         last_value(CASE WHEN marker = 0 THEN t END IGNORE NULLS)
+           OVER (PARTITION BY user_id
+                 ORDER BY t, marker, click_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS click_t
+  FROM u
+)
+SELECT purchase_id, user_id, click_id,
+       epoch_us(t) - epoch_us(click_t) AS lag_us
+FROM carried
+WHERE marker = 1
+ORDER BY purchase_id
+""",
+    tags=("temporal", "join"),
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase attributed to the user's most recent
+    click at-or-before it (ties at identical timestamps resolve to the
+    click, then the highest click_id — pinned by the window ordering so
+    both engines agree)."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts").alias("t"),
+        F.lit(0).alias("marker"),
+        F.col("event_id").alias("click_id"),
+        F.lit(None).cast("bigint").alias("purchase_id"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("t"),
+        F.lit(1).alias("marker"),
+        F.lit(None).cast("bigint").alias("click_id"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("t", "marker", "click_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = clicks.unionByName(purchases).select(
+        "purchase_id",
+        "user_id",
+        F.last("click_id", ignorenulls=True).over(w).alias("click_id"),
+        F.last(
+            F.when(F.col("marker") == 0, F.col("t")), ignorenulls=True
+        )
+        .over(w)
+        .alias("click_t"),
+        "marker",
+        "t",
+    )
+    return (
+        carried.filter(F.col("marker") == 1)
+        .select(
+            "purchase_id",
+            "user_id",
+            "click_id",
+            (F.unix_micros("t") - F.unix_micros("click_t")).alias("lag_us"),
+        )
+        .orderBy("purchase_id")
+    )
+
+
+@register(
+    "join_range",
+    oracle="""
+SELECT c.user_id,
+       count(*) AS n_pairs,
+       count(DISTINCT c.event_id) AS n_converting_clicks,
+       round(sum(p.value), 4) AS conv_value
+FROM events c
+JOIN events p
+  ON p.user_id = c.user_id
+ AND p.event_type = 'purchase'
+ AND c.event_type = 'click'
+ AND CAST(p.ts AS TIMESTAMP) >  CAST(c.ts AS TIMESTAMP)
+ AND CAST(p.ts AS TIMESTAMP) <= CAST(c.ts AS TIMESTAMP) + INTERVAL '1 hour'
+GROUP BY c.user_id
+ORDER BY c.user_id
+""",
+    tags=("temporal", "join"),
+)
+def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded range join: (click, purchase) pairs for the same user
+    with the purchase in (click_ts, click_ts + 1h].  Hash join on
+    user_id with the time window as a residual predicate."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("c_ts")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("value"),
+        F.col("ts").alias("p_ts"),
+    )
+    pairs = clicks.join(
+        purchases,
+        (F.col("p_user") == F.col("user_id"))
+        & (F.col("p_ts") > F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 1 HOUR")),
+        "inner",
+    )
+    return (
+        pairs.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.countDistinct("click_id").alias("n_converting_clicks"),
+            F.round(F.sum("value"), 4).alias("conv_value"),
+        )
+        .orderBy("user_id")
+    )
