@@ -161,12 +161,16 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
     # (explicit count — AQE would coalesce tiny data to one partition)
     # parallelizes the shingling and pre-satisfies the groupBy's
     # partitioning, so the agg adds no second shuffle.
+    # Repartition the RAW text and tokenize above the exchange: the
+    # shuffle ships the original string bytes, not the ~1.5× larger
+    # token-array representation — at 100 TB the exchange is the cost.
+    # The projection above the shuffle still materializes `toks` as a
+    # column before the lambda reads it (pitfall (1) below).
     n_parts = docs.sparkSession.sparkContext.defaultParallelism
     exploded = (
-        docs.select(
-            "doc_id", F.split(F.lower(F.col(text_col)), " ").alias("toks")
-        )
+        docs.select("doc_id", F.col(text_col).alias("_text"))
         .repartition(n_parts, "doc_id")
+        .select("doc_id", F.split(F.lower(F.col("_text")), " ").alias("toks"))
         .select("doc_id", F.explode(_shingle_hashes(F.col("toks"))).alias("h"))
     )
     agg = exploded.groupBy("doc_id").agg(
