@@ -661,3 +661,53 @@ def join_sort_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+# --------------------------------------------------------------------------
+# Unpivot / melt  (inverse of pivot — Spark-native bonus, like pivot
+# absent from the reference IR; Catalyst lowers it to an Expand, the
+# same operator backing rollup/cube — reference: operator.proto:346-349)
+# --------------------------------------------------------------------------
+@register(
+    "unpivot_charges",
+    oracle="""
+SELECT l_orderkey, l_linenumber, charge, round(amount, 2) AS amount
+FROM (
+  SELECT l_orderkey, l_linenumber, 'extended' AS charge, l_extendedprice AS amount
+  FROM lineitem
+  UNION ALL
+  SELECT l_orderkey, l_linenumber, 'discount', l_discount FROM lineitem
+  UNION ALL
+  SELECT l_orderkey, l_linenumber, 'tax', l_tax FROM lineitem
+) u
+WHERE l_orderkey <= 100
+ORDER BY l_orderkey, l_linenumber, charge
+""",
+    tags=("relational", "unpivot"),
+)
+def unpivot_charges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long unpivot of the lineitem charge columns.  At scale the
+    Expand multiplies rows ×3 BEFORE the exchange, so the filter is
+    pushed below it into the scan (plan shows PushedFilters on
+    l_orderkey) — row explosion never crosses the shuffle."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 100)
+    return (
+        li.unpivot(
+            ["l_orderkey", "l_linenumber"],
+            ["l_extendedprice", "l_discount", "l_tax"],
+            "charge",
+            "amount",
+        )
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.when(F.col("charge") == "l_extendedprice", "extended")
+            .when(F.col("charge") == "l_discount", "discount")
+            .otherwise("tax")
+            .alias("charge"),
+            F.round(F.col("amount").cast("decimal(18,4)"), 2)
+            .cast("double")
+            .alias("amount"),
+        )
+        .orderBy("l_orderkey", "l_linenumber", "charge")
+    )
