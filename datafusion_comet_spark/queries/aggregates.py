@@ -385,3 +385,41 @@ def agg_first_last_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+@register(
+    "agg_listagg_sorted",
+    oracle="""
+SELECT r_name,
+       string_agg(n_name, ',' ORDER BY n_name) AS nations,
+       count(*) AS n
+FROM nation JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+ORDER BY r_name
+""",
+    tags=("aggregate", "listagg"),
+)
+def agg_listagg_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (LISTAGG ... WITHIN GROUP).  Built as
+    array_sort(collect_list(...)) -> array_join so the result is
+    deterministic regardless of partitioning — raw listagg/string_agg
+    concatenation order is shuffle-dependent, which would break any
+    distributed run (and the oracle hash).  collect_list is bounded
+    here by group cardinality; at 100 TB cap collected groups or use
+    a windowed top-k first."""
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    return (
+        nation.join(
+            F.broadcast(region),
+            nation.n_regionkey == region.r_regionkey,
+        )
+        .groupBy("r_name")
+        .agg(
+            F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias(
+                "nations"
+            ),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("r_name")
+    )

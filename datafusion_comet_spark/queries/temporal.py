@@ -169,3 +169,66 @@ def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "events_hourly_gapfill",
+    oracle="""
+WITH spine AS (
+  SELECT unnest(generate_series(TIMESTAMP '2024-01-01 00:00:00',
+                                TIMESTAMP '2024-01-30 23:00:00',
+                                INTERVAL 1 HOUR)) AS hour
+), types AS (SELECT DISTINCT event_type FROM events),
+hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour,
+         count(*) AS n_events, round(sum(value), 4) AS total_value
+  FROM events GROUP BY 1, 2
+)
+SELECT t.event_type, s.hour,
+       coalesce(h.n_events, 0) AS n_events,
+       coalesce(h.total_value, 0.0) AS total_value
+FROM spine s CROSS JOIN types t
+LEFT JOIN hourly h ON h.event_type = t.event_type AND h.hour = s.hour
+ORDER BY t.event_type, s.hour
+""",
+    tags=("temporal", "gapfill"),
+)
+def events_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense hourly rollup with zero-filled gaps: a literal time spine
+    (sequence -> explode) cross-joined with the observed event types,
+    left-joined against the aggregated counts.  Time-series gap-fill
+    has no reference counterpart (no temporal operators in the IR —
+    reference: native/proto/src/proto/operator.proto:38-56).
+
+    Scale shape: the facts aggregate FIRST (map-side partials, one
+    shuffle on (type, hour)); the spine is a few-KB generated dimension
+    broadcast to it — the dense left join never shuffles the fact
+    table a second time, and works identically when `events` is 100 TB
+    because spine size depends only on the time range."""
+    ev = load_table(spark, sf_dir, "events")
+    spine = spark.range(1).select(
+        F.explode(
+            F.expr(
+                "sequence(timestamp'2024-01-01 00:00:00',"
+                " timestamp'2024-01-30 23:00:00', interval 1 hour)"
+            )
+        ).alias("hour")
+    )
+    types = ev.select("event_type").distinct()
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 4).alias("total_value"),
+    )
+    dense = F.broadcast(spine.crossJoin(types))
+    return (
+        dense.join(hourly, ["event_type", "hour"], "left")
+        .select(
+            "event_type",
+            "hour",
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+            F.coalesce("total_value", F.lit(0.0)).alias("total_value"),
+        )
+        .orderBy("event_type", "hour")
+    )
