@@ -711,3 +711,60 @@ def unpivot_charges(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_orderkey", "l_linenumber", "charge")
     )
+
+
+# --------------------------------------------------------------------------
+# Bucketed co-located join  (the 100 TB fact-fact pattern: both sides
+# pre-bucketed on the join key, so the join needs NO exchange at all —
+# the payoff the reference's native shuffle only reduces the cost of,
+# bucketing removes entirely; reference shuffle:
+# native/shuffle/src/shuffle_writer.rs, operator.proto:308-318)
+# --------------------------------------------------------------------------
+@register(
+    "join_bucketed_colocated",
+    oracle="""
+SELECT c_mktsegment, count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS revenue
+FROM customer JOIN orders ON c_custkey = o_custkey
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+""",
+    tags=("relational", "join", "bucketing"),
+)
+def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write both join sides as bucketed+sorted tables on the join key,
+    then sort-merge join them: with equal bucket counts the join reads
+    bucket i against bucket i — zero shuffle, zero sort (one file per
+    bucket because the writer pre-partitions with the same hash the
+    bucketing uses).  At 100 TB this is how repeatedly-joined fact
+    tables are laid out so the shuffle is paid once at write time, not
+    per query; the plan test asserts the join subtree has no Exchange."""
+    from ..sources import scratch_dir
+
+    n_buckets = 8
+    orders = _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    for name, df, key in (
+        ("dcs_orders_bkt", orders, "o_custkey"),
+        ("dcs_cust_bkt", cust, "c_custkey"),
+    ):
+        (
+            df.repartition(n_buckets, key)
+            .write.mode("overwrite")
+            .option("path", scratch_dir(sf_dir, name))
+            .bucketBy(n_buckets, key)
+            .sortBy(key)
+            .format("parquet")
+            .saveAsTable(name)
+        )
+    o = spark.table("dcs_orders_bkt")
+    c = spark.table("dcs_cust_bkt").hint("merge")
+    return (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+        .orderBy("c_mktsegment")
+    )

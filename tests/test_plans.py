@@ -149,3 +149,15 @@ def test_runtime_bloom_filter_injects_on_selective_join(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_bucketed_join_has_no_exchange_below_join(spark, sf_dir):
+    """Both sides pre-bucketed on the join key → the SortMergeJoin's
+    subtree must contain no Exchange (the only shuffle allowed in the
+    whole plan is the final groupBy's)."""
+    df = REGISTRY["join_bucketed_colocated"].fn(spark, sf_dir)
+    plan = plan_string(df, "simple")
+    assert "SortMergeJoin" in plan, plan[:2000]
+    join_subtree = plan[plan.index("SortMergeJoin"):]
+    assert "Exchange" not in join_subtree, join_subtree[:2000]
+    assert "SelectedBucketsCount" in plan or "Bucketed: true" in plan, plan[:2000]
