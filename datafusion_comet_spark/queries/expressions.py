@@ -863,3 +863,40 @@ def expr_nondeterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_nationkey",
         F.when(F.rand(seed=42).between(0, 1), 1).otherwise(0).alias("r_in_range"),
     ).orderBy("n_nationkey")
+
+
+@register(
+    "expr_higher_order",
+    oracle="""
+SELECT doc_id,
+       CAST(len(list_filter(str_split(text, ' '),
+                            t -> length(t) > 4)) AS INT) AS n_long,
+       CAST(list_sum(list_transform(str_split(text, ' '),
+                                    t -> length(t))) AS INT) AS total_len,
+       len(list_filter(str_split(text, ' '), t -> length(t) > 9)) > 0
+         AS any_very_long,
+       list_sort(list_distinct(str_split(text, ' ')))[1:3] AS first3
+FROM documents
+WHERE doc_id < 50
+ORDER BY doc_id
+""",
+    tags=("expression", "higher-order"),
+)
+def expr_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array lambdas: filter / transform / aggregate /
+    exists / sort+distinct+slice over a tokenized text column.  The
+    reference covers only the `filter` lambda (ArrayFilter, reference:
+    spark/src/main/scala/org/apache/comet/serde/arrays.scala:35-814);
+    Spark evaluates the whole lambda family JVM-side inside codegen —
+    no Python in the loop, so the 100 TB path stays vectorized."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    toks = F.split("text", " ")
+    return docs.select(
+        "doc_id",
+        F.size(F.filter(toks, lambda t: F.length(t) > 4)).alias("n_long"),
+        F.aggregate(
+            toks, F.lit(0), lambda acc, t: acc + F.length(t)
+        ).alias("total_len"),
+        F.exists(toks, lambda t: F.length(t) > 9).alias("any_very_long"),
+        F.slice(F.sort_array(F.array_distinct(toks)), 1, 3).alias("first3"),
+    ).orderBy("doc_id")

@@ -768,3 +768,42 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+@register(
+    "generator_inline",
+    oracle="""
+SELECT doc_id, (u).tok AS tok, (u).len AS len
+FROM (
+  SELECT doc_id,
+         unnest(list_transform(str_split(text, ' '),
+                t -> {'tok': t, 'len': CAST(length(t) AS INT)})) AS u
+  FROM documents WHERE doc_id < 5
+)
+ORDER BY doc_id, tok, len
+""",
+    tags=("relational", "explode"),
+)
+def generator_inline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """inline() — explode an array<struct> into one row per struct
+    with the struct fields as columns.  The reference's Explode
+    operator handles explode only; posexplode/inline fall back to
+    Spark (reference: docs/.../operators.md:33,
+    operator.proto:351-358).  Here the struct array is built inline
+    with a transform lambda, so the whole generator pipeline is a
+    single codegen'd Project + Generate — no shuffle at all."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 5)
+    return (
+        docs.select(
+            "doc_id",
+            F.inline(
+                F.transform(
+                    F.split("text", " "),
+                    lambda t: F.struct(
+                        t.alias("tok"), F.length(t).alias("len")
+                    ),
+                )
+            ),
+        )
+        .orderBy("doc_id", "tok", "len")
+    )

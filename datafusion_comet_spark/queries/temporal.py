@@ -232,3 +232,168 @@ def events_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "hour")
     )
+
+
+@register(
+    "events_sessionize",
+    oracle="""
+WITH o AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS t, event_id, value,
+         CASE WHEN lag(CAST(ts AS TIMESTAMP))
+                     OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   IS NULL
+              OR epoch_us(CAST(ts AS TIMESTAMP))
+                 - epoch_us(lag(CAST(ts AS TIMESTAMP))
+                     OVER (PARTITION BY user_id ORDER BY ts, event_id))
+                 > 1800000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+), s AS (
+  SELECT user_id, t, value, new_s,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY t, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS session_seq
+  FROM o
+)
+SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+       count(*) AS n_events,
+       min(t) AS session_start,
+       epoch_us(max(t)) - epoch_us(min(t)) AS duration_us,
+       round(sum(value), 4) AS total_value
+FROM s
+GROUP BY user_id, session_seq
+ORDER BY user_id, session_seq
+""",
+    tags=("temporal", "sessionize"),
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization: a new session starts after a >30 min
+    silence per user.  The canonical pattern — lag() gap flag, running
+    sum of flags as the session id, then a per-session rollup.  No
+    reference counterpart (no temporal/stateful operators in the IR —
+    reference: native/proto/src/proto/operator.proto:38-56).
+
+    Scale shape: ONE hash exchange on user_id serves both windows and
+    the final aggregate (same partitioning reused across stages); all
+    session logic is partition-local after that single shuffle, so the
+    plan is identical at 100 TB — no per-user collect, no driver state.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    flagged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "value",
+        F.when(gap_us.isNull() | (gap_us > 30 * 60 * 1_000_000), 1)
+        .otherwise(0)
+        .alias("new_s"),
+    )
+    sessioned = flagged.withColumn(
+        "session_seq",
+        F.sum("new_s")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("bigint"),
+    )
+    return (
+        sessioned.groupBy("user_id", "session_seq")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias(
+                "duration_us"
+            ),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .orderBy("user_id", "session_seq")
+    )
+
+
+@register(
+    "events_funnel",
+    oracle="""
+WITH stages AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'view'     THEN CAST(ts AS TIMESTAMP) END) AS t_view,
+         min(CASE WHEN event_type = 'click'    THEN CAST(ts AS TIMESTAMP) END) AS t_click,
+         min(CASE WHEN event_type = 'purchase' THEN CAST(ts AS TIMESTAMP) END) AS t_purchase
+  FROM events GROUP BY user_id
+)
+SELECT count(*) AS n_users,
+       CAST(sum(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+       CAST(sum(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_view_click,
+       CAST(sum(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                      AND t_purchase > t_click
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_view_click_purchase
+FROM stages
+""",
+    tags=("temporal", "funnel"),
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel: users whose first view precedes their first
+    click precedes their first purchase.  Conditional-min aggregation
+    collapses each user to one row (map-side partials, one shuffle on
+    user_id), then a global count — the standard funnel shape that
+    avoids self-joining the event log once per stage.
+
+    Scale shape: the event table is touched ONCE; stage ordering is
+    computed on the collapsed per-user row (|users| << |events|), so
+    the plan cost is a single keyed aggregate regardless of event
+    volume."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def first_ts(etype: str):
+        return F.min(F.when(F.col("event_type") == etype, F.col("ts")))
+
+    stages = ev.groupBy("user_id").agg(
+        first_ts("view").alias("t_view"),
+        first_ts("click").alias("t_click"),
+        first_ts("purchase").alias("t_purchase"),
+    )
+    reached_view = F.col("t_view").isNotNull()
+    reached_click = reached_view & (F.col("t_click") > F.col("t_view"))
+    reached_purch = reached_click & (F.col("t_purchase") > F.col("t_click"))
+    return stages.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(reached_view.cast("int")).cast("bigint").alias("n_view"),
+        F.sum(reached_click.cast("int")).cast("bigint").alias("n_view_click"),
+        F.sum(reached_purch.cast("int"))
+        .cast("bigint")
+        .alias("n_view_click_purchase"),
+    )
+
+
+@register(
+    "events_value_histogram",
+    oracle="""
+SELECT CAST(least(floor(value / 25.0), 13) AS INT) AS bucket,
+       count(*) AS n,
+       round(sum(value), 4) AS bucket_value,
+       round(min(value), 4) AS lo,
+       round(max(value), 4) AS hi
+FROM events
+GROUP BY bucket
+ORDER BY bucket
+""",
+    tags=("temporal", "histogram"),
+)
+def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of the event value distribution: bucket
+    index computed inline (floor-divide + clamp), one hash aggregate.
+    The distributed-histogram shape: no sort, no window — a 100 TB
+    scan collapses map-side into at most 14 groups before the
+    exchange, so the shuffle is bytes-sized regardless of input."""
+    ev = load_table(spark, sf_dir, "events")
+    bucket = F.least(F.floor(F.col("value") / 25.0), F.lit(13)).cast("int")
+    return (
+        ev.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("bucket_value"),
+            F.round(F.min("value"), 4).alias("lo"),
+            F.round(F.max("value"), 4).alias("hi"),
+        )
+        .orderBy("bucket")
+    )

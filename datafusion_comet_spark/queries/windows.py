@@ -247,3 +247,56 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_retailprice",
         F.count(F.lit(1)).over(w).alias("n_similar"),
     ).orderBy("p_type", "p_partkey")
+
+
+@register(
+    "window_topk_per_group",
+    oracle="""
+WITH rev AS (
+  SELECT l_suppkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+  FROM lineitem GROUP BY l_suppkey
+), ranked AS (
+  SELECT n.n_name, s.s_name, r.revenue,
+         rank() OVER (PARTITION BY n.n_name
+                      ORDER BY r.revenue DESC, s.s_suppkey) AS rnk
+  FROM rev r
+  JOIN supplier s ON s.s_suppkey = r.l_suppkey
+  JOIN nation n ON n.n_nationkey = s.s_nationkey
+)
+SELECT n_name, s_name, revenue, CAST(rnk AS INT) AS rnk
+FROM ranked WHERE rnk <= 3
+ORDER BY n_name, rnk, s_name
+""",
+    tags=("window", "topk"),
+)
+def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group: the rank-then-filter idiom (top 3 suppliers by
+    lineitem revenue within each nation).  The heavy aggregate runs
+    FIRST on the fact table (one keyed shuffle producing |suppliers|
+    rows); the supplier/nation dimensions broadcast onto that small
+    result; the window then partitions by nation over dimension-sized
+    data.  At 100 TB only the first aggregate sees the fact table —
+    the ranking never shuffles fact-scale rows, and Spark pushes the
+    rank()<=3 predicate into the window via WindowGroupLimit (a
+    per-partition top-k before the final sort, the same shape as the
+    reference's TakeOrderedAndProject, reference:
+    spark/sql/comet/CometTakeOrderedAndProjectExec.scala:38-80)."""
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    rev = li.groupBy("l_suppkey").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "revenue"
+        )
+    )
+    joined = rev.join(
+        F.broadcast(supp), supp.s_suppkey == rev.l_suppkey
+    ).join(F.broadcast(nat), F.col("n_nationkey") == F.col("s_nationkey"))
+    w = W.partitionBy("n_name").orderBy(F.col("revenue").desc(), "s_suppkey")
+    return (
+        joined.select(
+            "n_name", "s_name", "revenue", F.rank().over(w).cast("int").alias("rnk")
+        )
+        .filter(F.col("rnk") <= 3)
+        .orderBy("n_name", "rnk", "s_name")
+    )
