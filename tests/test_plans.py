@@ -161,3 +161,45 @@ def test_bucketed_join_has_no_exchange_below_join(spark, sf_dir):
     join_subtree = plan[plan.index("SortMergeJoin"):]
     assert "Exchange" not in join_subtree, join_subtree[:2000]
     assert "SelectedBucketsCount" in plan or "Bucketed: true" in plan, plan[:2000]
+
+
+def test_sessionize_single_user_exchange(spark, sf_dir):
+    """Sessionization must reuse ONE hash exchange on user_id across
+    the lag window, the running-sum window, and the session rollup —
+    the whole point of the pattern at 100 TB (SCALE.md).  Windows add
+    partition-local sorts but no second shuffle of the event table."""
+    df = REGISTRY["events_sessionize"].fn(spark, sf_dir)
+    plan = plan_string(df, "simple")
+    hash_exchanges = [
+        ln
+        for ln in plan.splitlines()
+        if "Exchange hashpartitioning" in ln and "user_id" in ln
+    ]
+    assert len(hash_exchanges) == 1, plan[:3000]
+
+
+def test_topk_per_group_pushes_window_group_limit(spark, sf_dir):
+    """rank() <= k over a window must plan a WindowGroupLimit (the
+    per-partition top-k pruning Spark inserts before the full window
+    sort — the window analog of TakeOrderedAndProject)."""
+    df = REGISTRY["window_topk_per_group"].fn(spark, sf_dir)
+    assert "WindowGroupLimit" in plan_string(df, "simple")
+
+
+def test_funnel_single_pass_over_events(spark, sf_dir):
+    """The ordered funnel touches the events scan exactly once — the
+    conditional-min collapse replaces the naive one-self-join-per-stage
+    shape."""
+    df = REGISTRY["events_funnel"].fn(spark, sf_dir)
+    plan = plan_string(df, "formatted")
+    scans = [ln for ln in plan.splitlines() if ln.startswith("Location: InMemoryFileIndex")]
+    assert len(scans) == 1, plan[:3000]
+
+
+def test_higher_order_lambdas_stay_jvm_side(spark, sf_dir):
+    """Array lambdas (filter/aggregate/exists) must evaluate as
+    Catalyst expressions, not Python UDFs."""
+    df = REGISTRY["expr_higher_order"].fn(spark, sf_dir)
+    plan = plan_string(df, "simple")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "aggregate(" in plan or "transform(" in plan or "exists(" in plan, plan[:2000]
