@@ -272,6 +272,20 @@ _MAP = {
     ),
     "MapContainsKey": lambda: F.map_contains_key(c("m"), "k1"),
     "StringToMap": lambda: F.str_to_map(F.lit("a:1,b:2"), F.lit(","), F.lit(":")),
+    # map higher-order lambdas: beyond the reference's map surface
+    # (serde/maps.scala has no lambda handlers) — Spark natives.
+    "TransformKeys": lambda: F.sort_array(
+        F.map_keys(F.transform_keys(c("m"), lambda k, v: F.upper(k)))
+    ),
+    "TransformValues": lambda: F.sort_array(
+        F.map_values(F.transform_values(c("m"), lambda k, v: v * 2))
+    ),
+    "MapFilter": lambda: F.sort_array(
+        F.map_keys(F.map_filter(c("m"), lambda k, v: v > 0))
+    ),
+    "MapZipWith": lambda: F.sort_array(
+        F.map_values(F.map_zip_with(c("m"), c("m"), lambda k, v1, v2: v1 + v2))
+    ),
 }
 for name, b in _MAP.items():
     _e(EXPRESSIONS, name, "scalar", (lambda bb=b: bb().alias("v")), "serde/maps.scala:27-168")

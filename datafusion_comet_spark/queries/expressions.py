@@ -900,3 +900,68 @@ def expr_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.exists(toks, lambda t: F.length(t) > 9).alias("any_very_long"),
         F.slice(F.sort_array(F.array_distinct(toks)), 1, 3).alias("first3"),
     ).orderBy("doc_id")
+
+
+@register(
+    "expr_map_lambda",
+    oracle="""
+WITH per AS (
+  SELECT user_id, event_type, count(*) AS n
+  FROM events WHERE user_id < 200 GROUP BY user_id, event_type
+), agg AS (
+  SELECT user_id,
+         list({'key': event_type, 'value': n}) AS entries,
+         sum(n) AS total
+  FROM per GROUP BY user_id
+)
+SELECT user_id,
+       list_sort(list_transform(list_filter(entries, e -> e.value >= 3),
+                                e -> e.key || ':' || CAST(e.value AS VARCHAR)))
+         AS busy,
+       CAST(2 * total AS BIGINT) AS total2,
+       list_sort(list_transform(entries, e -> upper(e.key))) AS types_uc
+FROM agg
+ORDER BY user_id
+""",
+    tags=("expression", "map", "higher-order"),
+)
+def expr_map_lambda(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map higher-order lambdas: a per-user event_type→count map built
+    with map_from_entries, then map_filter / transform_values /
+    transform_keys / map_entries over it.  The reference's map surface
+    has no lambda handlers at all (reference: serde/maps.scala:27-168)
+    — these are Spark natives, evaluated JVM-side.  The oracle never
+    materializes a MAP: it checks the same semantics through DuckDB
+    list lambdas over the entry structs."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 200)
+    per = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    agg = per.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.col("event_type").alias("key"), F.col("n").alias("value")
+                    )
+                )
+            )
+        ).alias("m")
+    )
+    return agg.select(
+        "user_id",
+        F.sort_array(
+            F.transform(
+                F.map_entries(F.map_filter("m", lambda k, v: v >= 3)),
+                lambda e: F.concat_ws(
+                    ":", e["key"], e["value"].cast("string")
+                ),
+            )
+        ).alias("busy"),
+        F.aggregate(
+            F.map_values(F.transform_values("m", lambda k, v: v * 2)),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ).alias("total2"),
+        F.sort_array(
+            F.map_keys(F.transform_keys("m", lambda k, v: F.upper(k)))
+        ).alias("types_uc"),
+    ).orderBy("user_id")

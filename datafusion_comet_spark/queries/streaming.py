@@ -257,3 +257,63 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("event_type")
     )
+
+
+@register(
+    "stream_stream_join",
+    oracle="""
+SELECT c.user_id, count(*) AS n_pairs
+FROM events c
+JOIN events p
+  ON p.user_id = c.user_id
+ AND c.event_type = 'click'
+ AND p.event_type = 'purchase'
+ AND CAST(p.ts AS TIMESTAMP) >  CAST(c.ts AS TIMESTAMP)
+ AND CAST(p.ts AS TIMESTAMP) <= CAST(c.ts AS TIMESTAMP) + INTERVAL '1 hour'
+GROUP BY c.user_id
+ORDER BY c.user_id
+""",
+    tags=("streaming", "stream-stream-join"),
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join: clicks joined to the purchases that
+    follow within one hour, both sides watermarked so the state store
+    can evict rows older than the time-range bound.  The reference has
+    no streaming at all (reference: rules/CometExecRule.scala:548-550);
+    this is the batch `join_range` semantics running incrementally —
+    per-key join state is bounded by watermark + range (1 h of stream
+    per key), independent of total stream length, which is what makes
+    the operator viable on an unbounded 100 TB/day stream."""
+    clicks = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            "user_id",
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    purchases = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    pairs = clicks.join(
+        purchases,
+        (F.col("p_user") == F.col("user_id"))
+        & (F.col("p_ts") > F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 1 HOUR")),
+        "inner",
+    )
+    out = run_to_memory(
+        pairs.select("user_id", "c_ts", "p_ts"), "stream_stream_sink", "append"
+    )
+    return (
+        out.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy("user_id")
+    )
