@@ -565,3 +565,44 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("sim") >= 0.9)
         .orderBy("a", "b")
     )
+
+
+@register(
+    "sample_hash_deterministic",
+    oracle="""
+SELECT lang,
+       count(*) AS n_sampled,
+       min(doc_id) AS first_doc,
+       max(doc_id) AS last_doc
+FROM documents
+WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+      < CASE WHEN lang = 'en' THEN '0d' ELSE '34' END
+GROUP BY lang
+ORDER BY lang
+""",
+    tags=("datapipe", "sampling"),
+)
+def sample_hash_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling by content-key hash: keep a
+    document iff a hex prefix of md5(doc_id) falls under the stratum's
+    threshold (~5% for 'en', ~20% otherwise).  This is the
+    reproducible alternative to TABLESAMPLE/sampleBy for training-data
+    pipelines: membership is a pure function of the key — stable
+    across reruns, cluster sizes, and partitioning, and the same row
+    set can be reproduced by any engine (the oracle recomputes it in
+    DuckDB).  Evaluates as a pushdown-friendly scan filter: no
+    shuffle, no RNG state, trivially parallel at 100 TB."""
+    docs = load_table(spark, sf_dir, "documents")
+    threshold = F.when(F.col("lang") == "en", "0d").otherwise("34")
+    sampled = docs.filter(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2) < threshold
+    )
+    return (
+        sampled.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy("lang")
+    )
