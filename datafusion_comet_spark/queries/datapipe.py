@@ -606,3 +606,153 @@ def sample_hash_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# --------------------------------------------------------------------------
+# Vocabulary / n-gram construction (tokenizer-building primitives)
+# --------------------------------------------------------------------------
+@register(
+    "vocab_top_tokens",
+    oracle="""
+SELECT tok,
+       CAST(count(*) AS BIGINT) AS n_total,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM (SELECT doc_id, unnest(str_split(lower(text), ' ')) AS tok
+      FROM documents)
+WHERE tok <> ''
+GROUP BY tok
+ORDER BY n_total DESC, tok
+LIMIT 50
+""",
+    tags=("datapipe", "text", "vocabulary"),
+)
+def vocab_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary building: global token frequency + document frequency,
+    top-50.  The corpus-wide term-count pass every tokenizer/BPE
+    training run starts from.  Shape at 100 TB: explode → two-level
+    aggregate — level 1 collapses to (token, doc) locally so the
+    distinct count never ships raw token rows; level 2 is a top-k over
+    the (small) vocabulary, planned as TakeOrderedAndProject."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    per_doc = toks.groupBy("tok", "doc_id").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    return (
+        per_doc.groupBy("tok")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("n_total"),
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        )
+        .orderBy(F.col("n_total").desc(), "tok")
+        .limit(50)
+    )
+
+
+@register(
+    "ngram_bigram_counts",
+    oracle="""
+SELECT bigram, CAST(count(*) AS BIGINT) AS n
+FROM (
+  SELECT unnest(list_transform(range(1, len(toks)),
+                               i -> toks[i] || ' ' || toks[i+1])) AS bigram
+  FROM (SELECT str_split(lower(text), ' ') AS toks FROM documents)
+)
+GROUP BY bigram
+ORDER BY n DESC, bigram
+LIMIT 40
+""",
+    tags=("datapipe", "text", "ngram"),
+)
+def ngram_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-bigram counts, top-40: adjacent-token pairs built with a
+    ``transform(sequence(...))`` higher-order lambda over the token
+    array — pure JVM expressions, no Python, no self-join (the naive
+    posexplode-then-self-join formulation shuffles the corpus twice;
+    this shuffles only the bigram aggregate)."""
+    docs = _t(spark, sf_dir, "documents")
+    bigrams = docs.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(split(lower(text), ' ')) - 2), "
+                "i -> concat(element_at(split(lower(text), ' '), i + 1), ' ', "
+                "element_at(split(lower(text), ' '), i + 2)))"
+            )
+        ).alias("bigram")
+    )
+    return (
+        bigrams.groupBy("bigram")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .orderBy(F.col("n").desc(), "bigram")
+        .limit(40)
+    )
+
+
+@register(
+    "doc_quality_filter",
+    oracle=f"""
+WITH feat AS (
+  SELECT source, lang,
+         len(toks) AS n_tokens,
+         CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
+           / len(toks) AS avg_len,
+         CAST(len(list_filter(toks, t -> t IN {STOPWORDS})) AS DOUBLE)
+           / len(toks) AS stop_ratio
+  FROM (SELECT source, lang, str_split(lower(text), ' ') AS toks
+        FROM documents)
+)
+SELECT source, lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN n_tokens BETWEEN 20 AND 200
+                      AND avg_len BETWEEN 2.0 AND 8.0
+                      AND stop_ratio < 0.5
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+FROM feat
+GROUP BY source, lang
+ORDER BY source, lang
+""",
+    tags=("datapipe", "text", "quality-filter"),
+)
+def doc_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus quality gate (the C4/Gopher-style rule filter):
+    per-document token count, mean token length, and stopword-ratio
+    bounds, rolled up to keep-rates per (source, lang).  One scan, one
+    shuffle on the tiny (source, lang) key; the per-doc features are
+    array lambdas over the split — acceptable here because each doc is
+    touched once (contrast text_stats, which explodes because it needs
+    distinct-token counts)."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.lower("text"), " ")
+    n_tok = F.size(toks)
+    feat = docs.select(
+        "source",
+        "lang",
+        n_tok.alias("n_tokens"),
+        (
+            F.aggregate(
+                F.transform(toks, lambda t: F.length(t)),
+                F.lit(0),
+                lambda acc, x: acc + x,
+            ).cast("double")
+            / n_tok
+        ).alias("avg_len"),
+        (
+            F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS))).cast("double")
+            / n_tok
+        ).alias("stop_ratio"),
+    )
+    kept = (
+        F.col("n_tokens").between(20, 200)
+        & F.col("avg_len").between(2.0, 8.0)
+        & (F.col("stop_ratio") < 0.5)
+    )
+    return (
+        feat.groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.when(kept, 1).otherwise(0)).cast("bigint").alias("n_kept"),
+        )
+        .orderBy("source", "lang")
+    )

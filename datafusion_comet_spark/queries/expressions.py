@@ -965,3 +965,86 @@ def expr_map_lambda(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.map_keys(F.transform_keys("m", lambda k, v: F.upper(k)))
         ).alias("types_uc"),
     ).orderBy("user_id")
+
+
+# --------------------------------------------------------------------------
+# Intervals (beyond the reference: YearMonth/DayTime intervals are an
+# explicit TODO there — serde/QueryPlanSerde.scala:822-828; SURVEY §1.2)
+# --------------------------------------------------------------------------
+@register(
+    "expr_interval",
+    oracle="""
+SELECT o_orderpriority,
+       min(CAST(o_orderdate + INTERVAL 3 MONTH AS DATE))  AS min_plus_3m,
+       max(CAST(o_orderdate - INTERVAL 90 DAY AS DATE))   AS max_minus_90d,
+       min(CAST(o_orderdate AS TIMESTAMP) + INTERVAL 36 HOUR) AS min_plus_36h,
+       max(CAST(o_orderdate + INTERVAL '1' YEAR AS DATE)) AS max_plus_1y,
+       count(*) AS n
+FROM orders
+WHERE o_orderdate < DATE '1997-01-01'
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+    tags=("expression", "interval", "datetime"),
+)
+def expr_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI interval arithmetic: date ± INTERVAL (month/day/year) and
+    timestamp + INTERVAL hour.  The reference explicitly does NOT
+    support interval types (reference: serde/QueryPlanSerde.scala:822-828
+    marks YearMonthIntervalType/DayTimeIntervalType as TODO) — Spark
+    evaluates these natively in codegen, a strict superset."""
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1997-01-01").cast("date")
+    )
+    d = F.col("o_orderdate")
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.min((d + F.expr("INTERVAL 3 MONTH")).cast("date")).alias("min_plus_3m"),
+            F.max((d - F.expr("INTERVAL 90 DAY")).cast("date")).alias("max_minus_90d"),
+            F.min(d.cast("timestamp") + F.expr("INTERVAL 36 HOUR")).alias("min_plus_36h"),
+            F.max((d + F.expr("INTERVAL 1 YEAR")).cast("date")).alias("max_plus_1y"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+# --------------------------------------------------------------------------
+# Variant (Spark 4 semi-structured type; beyond the reference, whose JSON
+# surface is get_json_object/from_json/to_json only — serde/structs.scala)
+# --------------------------------------------------------------------------
+@register(
+    "expr_variant",
+    oracle="""
+SELECT event_type,
+       count(*) AS n,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+       min(CAST(json_extract_string(props, '$.k') AS INT)) AS min_k,
+       max(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+    tags=("expression", "variant", "json"),
+)
+def expr_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VariantType path: ``parse_json`` the props column once
+    into a variant, extract a typed field with ``variant_get``, and
+    aggregate.  Variant stores shredded binary — at 100 TB this beats
+    per-access ``get_json_object`` re-parsing; the reference's JSON
+    surface stops at get_json_object/from_json (reference:
+    native/spark-expr/src/json_funcs/, serde/structs.scala:32-322)."""
+    events = _t(spark, sf_dir, "events")
+    k = F.variant_get(F.parse_json(F.col("props")), "$.k", "int")
+    return (
+        events.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").cast("bigint").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )

@@ -807,3 +807,44 @@ def generator_inline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id", "tok", "len")
     )
+
+
+@register(
+    "join_theta_nested_loop",
+    oracle="""
+SELECT n1.n_regionkey AS r_lo, n2.n_regionkey AS r_hi,
+       CAST(count(*) AS BIGINT) AS n_pairs
+FROM nation n1
+JOIN nation n2
+  ON n1.n_regionkey < n2.n_regionkey
+ AND n1.n_nationkey <> n2.n_nationkey
+GROUP BY r_lo, r_hi
+ORDER BY r_lo, r_hi
+""",
+    tags=("join", "theta", "nested-loop"),
+)
+def join_theta_nested_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure inequality (theta) join — no equi key at all.  The
+    reference's IR has no nested-loop join (its join oneof is equi
+    SortMergeJoin/HashJoin only, reference:
+    native/proto/src/proto/operator.proto:360-386, and cartesian
+    products fall back to Spark); Spark plans this as
+    BroadcastNestedLoopJoin, which is exactly right IFF one side is
+    dimension-sized — the broadcast side here is nation (25 rows).  At
+    100 TB the rule stands: theta joins are only sane when one input
+    broadcasts; otherwise manufacture an equi key (see join_range)."""
+    n1 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_regionkey").alias("r_lo"), F.col("n_nationkey").alias("k1")
+    )
+    n2 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_regionkey").alias("r_hi"), F.col("n_nationkey").alias("k2")
+    )
+    return (
+        n1.join(
+            F.broadcast(n2),
+            (F.col("r_lo") < F.col("r_hi")) & (F.col("k1") != F.col("k2")),
+        )
+        .groupBy("r_lo", "r_hi")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+        .orderBy("r_lo", "r_hi")
+    )

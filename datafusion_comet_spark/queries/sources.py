@@ -20,7 +20,9 @@ from ..sources import (
     scratch_dir,
     write_read_csv,
     write_read_json,
+    write_read_orc,
     write_read_parquet,
+    write_read_text,
 )
 from . import register
 
@@ -150,3 +152,59 @@ def parquet_write_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t in totals[1:]:
         out = out.union(t)
     return out.distinct()
+
+
+@register(
+    "orc_scan_roundtrip",
+    oracle="""
+SELECT s_nationkey,
+       count(*) AS n_supp,
+       round(sum(s_acctbal), 2) AS sum_bal,
+       min(s_name) AS first_name
+FROM supplier
+GROUP BY s_nationkey
+ORDER BY s_nationkey
+""",
+    tags=("source", "sink", "orc"),
+)
+def orc_scan_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC scan/sink: write supplier to zstd ORC, read it back through
+    Spark's vectorized ORC reader, aggregate.  Beyond the reference's
+    format surface (its scan oneof is Parquet/CSV/Iceberg only —
+    reference: native/proto/src/proto/operator.proto:38-56); the oracle
+    sees only the canonical parquet, so a hash match proves the ORC
+    round trip is lossless."""
+    supplier = _t(spark, sf_dir, "supplier")
+    back = write_read_orc(spark, supplier, scratch_dir(sf_dir, "supplier_orc"))
+    return (
+        back.groupBy("s_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_supp"),
+            F.round(F.sum("s_acctbal"), 2).alias("sum_bal"),
+            F.min("s_name").alias("first_name"),
+        )
+        .orderBy("s_nationkey")
+    )
+
+
+@register(
+    "text_scan_roundtrip",
+    oracle="""
+SELECT n_name AS value, CAST(length(n_name) AS INT) AS len
+FROM nation
+ORDER BY value
+""",
+    tags=("source", "sink", "text"),
+)
+def text_scan_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw-text source: write nation names as newline-delimited text,
+    read back via ``spark.read.text`` (one ``value`` column — the
+    ingestion shape of every LLM-corpus pipeline; splits parallelize on
+    line boundaries at any scale)."""
+    nation = _t(spark, sf_dir, "nation")
+    back = write_read_text(
+        spark, nation.select("n_name"), scratch_dir(sf_dir, "nation_txt")
+    )
+    return back.select(
+        "value", F.length("value").alias("len")
+    ).orderBy("value")

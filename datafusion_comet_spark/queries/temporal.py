@@ -397,3 +397,48 @@ def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@register(
+    "events_retention",
+    oracle="""
+WITH firsts AS (
+  SELECT user_id, CAST(min(date_trunc('day', ts)) AS DATE) AS cohort_day
+  FROM events
+  GROUP BY user_id
+)
+SELECT f.cohort_day,
+       CAST(date_diff('day', f.cohort_day,
+                      CAST(date_trunc('day', e.ts) AS DATE)) AS INT) AS day_offset,
+       CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
+FROM events e
+JOIN firsts f ON e.user_id = f.user_id
+WHERE date_diff('day', f.cohort_day,
+                CAST(date_trunc('day', e.ts) AS DATE)) BETWEEN 0 AND 7
+GROUP BY f.cohort_day, day_offset
+ORDER BY f.cohort_day, day_offset
+""",
+    tags=("temporal", "events", "retention"),
+)
+def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: bucket users by first-seen day, count distinct
+    returning users at day offsets 0–7.  Two aggregations share the
+    user_id partitioning — the first-seen groupBy and the join back both
+    hash on user_id, so the second shuffle reuses the first exchange;
+    only the final (cohort, offset) rollup reshuffles, and that output
+    is tiny (days × 8 rows) at any corpus size."""
+    events = load_table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("day")
+    )
+    firsts = events.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    joined = events.join(firsts, "user_id").select(
+        "user_id",
+        "cohort_day",
+        F.datediff("day", "cohort_day").alias("day_offset"),
+    )
+    return (
+        joined.filter(F.col("day_offset").between(0, 7))
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.count_distinct("user_id").cast("bigint").alias("n_users"))
+        .orderBy("cohort_day", "day_offset")
+    )

