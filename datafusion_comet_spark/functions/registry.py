@@ -329,6 +329,23 @@ for name, kind, build, ref in [
 ]:
     _e(EXPRESSIONS, name, kind, build, ref)
 
+# --- intervals & variant (beyond the reference: interval types are an
+# explicit TODO at serde/QueryPlanSerde.scala:822-828; the JSON surface
+# stops at get_json_object/from_json, serde/structs.scala) -------------
+for name, kind, build, ref in [
+    ("IntervalAddMonth", "scalar", lambda: (c("d") + F.expr("INTERVAL 2 MONTH")).cast("date").alias("v"), "QueryPlanSerde.scala:822-828 (unsupported there)"),
+    ("IntervalSubDay", "scalar", lambda: (c("d") - F.expr("INTERVAL 10 DAY")).cast("date").alias("v"), "QueryPlanSerde.scala:822-828"),
+    ("IntervalAddHourTs", "scalar", lambda: (c("ts") + F.expr("INTERVAL 6 HOUR")).alias("v"), "QueryPlanSerde.scala:822-828"),
+    ("MakeInterval", "scalar", lambda: (c("d") + F.make_interval(F.lit(0), F.lit(1), F.lit(0), F.lit(3))).cast("date").alias("v"), "QueryPlanSerde.scala:822-828"),
+    ("ParseJson", "scalar", lambda: F.is_variant_null(F.parse_json(c("js"))).alias("v"), "superset: Spark 4 VariantType"),
+    ("VariantGet", "scalar", lambda: F.variant_get(F.parse_json(c("js")), "$.a", "int").alias("v"), "superset: Spark 4 VariantType"),
+    ("TryVariantGet", "scalar", lambda: F.try_variant_get(F.parse_json(c("js")), "$.a", "int").alias("v"), "superset: Spark 4 VariantType"),
+    ("Levenshtein", "scalar", lambda: F.levenshtein(c("s"), c("s2")).alias("v"), "superset: not in serde/strings.scala"),
+    ("FormatString", "scalar", lambda: F.format_string("%s-%d", c("s"), c("i")).alias("v"), "superset: not in serde/strings.scala"),
+    ("FormatNumber", "scalar", lambda: F.format_number(c("dbl"), 2).alias("v"), "superset: not in serde/strings.scala"),
+]:
+    _e(EXPRESSIONS, name, kind, build, ref)
+
 # --- aggregates (serde/aggregates.scala:35-770; agg_funcs/) -----------
 _AGG = {
     "Count": lambda: F.count(c("i")),
@@ -357,6 +374,13 @@ _AGG = {
     "AggFilterClause": lambda: F.expr("sum(i) FILTER (WHERE b)"),
     "MinBy": lambda: F.min_by(c("s"), c("i")),
     "MaxBy": lambda: F.max_by(c("s"), c("i")),
+    # superset: reference aggrSerdeMap has no median/mode/percentile
+    # (QueryPlanSerde.scala:275-294 — approx/percentile aggs fall back)
+    "Median": lambda: F.median(c("dbl")),
+    "Mode": lambda: F.mode(c("i")),
+    "Percentile": lambda: F.percentile(c("dbl"), F.lit(0.5)),
+    "ApproxPercentile": lambda: F.percentile_approx(c("dbl"), F.lit(0.5)),
+    "HllSketchEstimate": lambda: F.hll_sketch_estimate(F.hll_sketch_agg(c("i"))),
 }
 for name, b in _AGG.items():
     _e(EXPRESSIONS, name, "agg", (lambda bb=b: bb().alias("v")), "serde/aggregates.scala:35-770")

@@ -203,3 +203,36 @@ def test_higher_order_lambdas_stay_jvm_side(spark, sf_dir):
     plan = plan_string(df, "simple")
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "aggregate(" in plan or "transform(" in plan or "exists(" in plan, plan[:2000]
+
+
+def test_theta_join_plans_broadcast_nested_loop(spark, sf_dir):
+    """A pure-inequality join must broadcast the dimension side and run
+    as BroadcastNestedLoopJoin — never a shuffled cartesian."""
+    df = REGISTRY["join_theta_nested_loop"].fn(spark, sf_dir)
+    assert "BroadcastNestedLoopJoin" in plan_string(df, "simple")
+
+
+def test_vocab_topk_uses_take_ordered(spark, sf_dir):
+    """Vocabulary top-k must plan TakeOrderedAndProject (per-partition
+    heap + merge) — a full global sort of the vocabulary would shuffle
+    every distinct token at 100 TB."""
+    df = REGISTRY["vocab_top_tokens"].fn(spark, sf_dir)
+    assert "TakeOrderedAndProject" in plan_string(df, "simple")
+
+
+def test_variant_extract_stays_jvm_side(spark, sf_dir):
+    """parse_json/variant_get must evaluate as JVM expressions (no
+    Python UDF stage) so the scan-side projection stays in codegen."""
+    df = REGISTRY["expr_variant"].fn(spark, sf_dir)
+    plan = plan_string(df, "simple")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_retention_reuses_user_exchange(spark, sf_dir):
+    """The first-seen aggregate and the join back to events both hash on
+    user_id; AQE must not insert a second full exchange of events beyond
+    the two the pattern needs (one per side of the self-join)."""
+    df = REGISTRY["events_retention"].fn(spark, sf_dir)
+    plan = plan_string(df, "simple")
+    # events is scanned once per side but never more
+    assert plan.count("Scan parquet") <= 2
