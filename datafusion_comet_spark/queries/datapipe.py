@@ -756,3 +756,55 @@ def doc_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "lang")
     )
+
+
+@register(
+    "dedup_levenshtein",
+    oracle="""
+SELECT a, b, CAST(dist AS INT) AS dist
+FROM (
+  SELECT x.doc_id AS a, y.doc_id AS b,
+         levenshtein(substr(x.text, 1, 80), substr(y.text, 1, 80)) AS dist
+  FROM documents x
+  JOIN documents y
+    ON x.lang = y.lang
+   AND x.n_chars // 40 = y.n_chars // 40
+   AND x.doc_id < y.doc_id
+) t
+WHERE dist <= 12
+ORDER BY a, b
+""",
+    tags=("datapipe", "dedup", "levenshtein"),
+)
+def dedup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-dup: Levenshtein over an 80-char prefix,
+    candidate pairs blocked by (lang, length-bucket) so the join is
+    equi-keyed — the quadratic distance only runs inside a block, never
+    across the corpus.  The prefix bound caps the DP cost per pair (the
+    practical trick for fuzzy dedup at scale); blocking plays the role
+    LSH bands play in dedup_minhash_lsh, trading recall for a shuffle
+    join instead of O(n²)."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        (F.col("n_chars") / 40).cast("int").alias("bucket"),
+        F.substring("text", 1, 80).alias("prefix"),
+    )
+    left = docs.select(
+        F.col("doc_id").alias("a"), "lang", "bucket",
+        F.col("prefix").alias("pa"),
+    )
+    right = docs.select(
+        F.col("doc_id").alias("b"), "lang", "bucket",
+        F.col("prefix").alias("pb"),
+    )
+    return (
+        left.join(right, ["lang", "bucket"])
+        .filter(F.col("a") < F.col("b"))
+        .select(
+            "a", "b",
+            F.levenshtein("pa", "pb").cast("int").alias("dist"),
+        )
+        .filter(F.col("dist") <= 12)
+        .orderBy("a", "b")
+    )
