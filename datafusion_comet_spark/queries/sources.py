@@ -208,3 +208,55 @@ def text_scan_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.select(
         "value", F.length("value").alias("len")
     ).orderBy("value")
+
+
+@register(
+    "python_datasource_scan",
+    oracle="""
+WITH gen AS (
+  SELECT i AS id,
+         (i * 2654435761) % 4294967296 % 97 AS user_id,
+         ['view', 'click', 'purchase'][CAST((i * 2654435761) % 4294967296 % 3 AS INT) + 1] AS kind,
+         (i * 2654435761) % 4294967296 % 1000 AS points
+  FROM (SELECT unnest(generate_series(0, 1999)) AS i)
+)
+SELECT kind,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(points) AS BIGINT) AS sum_points,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       min(id) AS min_id,
+       max(id) AS max_id
+FROM gen
+GROUP BY kind
+ORDER BY kind
+""",
+    tags=("source", "python-datasource"),
+)
+def python_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom connector through the PySpark 4 Python DataSource API
+    (the single-engine analogue of the reference's native scan
+    extension point, reference: operator.proto:38-56 scan oneof):
+    metadata-only partition planning, one independent reader per
+    partition, deterministic rows recomputed by the DuckDB oracle.
+    Aggregates downstream run in ordinary codegen — the source is just
+    another leaf."""
+    from ..sources.python_datasource import register_synthetic_source
+
+    register_synthetic_source(spark)
+    df = (
+        spark.read.format("synthetic_events")
+        .option("n_rows", "2000")
+        .option("n_partitions", "8")
+        .load()
+    )
+    return (
+        df.groupBy("kind")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("points").cast("bigint").alias("sum_points"),
+            F.count_distinct("user_id").cast("bigint").alias("n_users"),
+            F.min("id").alias("min_id"),
+            F.max("id").alias("max_id"),
+        )
+        .orderBy("kind")
+    )

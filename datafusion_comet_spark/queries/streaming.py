@@ -317,3 +317,60 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_pairs"))
         .orderBy("user_id")
     )
+
+
+@register(
+    "stream_foreach_batch",
+    oracle="""
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       round(sum(value), 4) AS sum_value
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+    tags=("streaming", "sink", "foreachBatch"),
+)
+def stream_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once custom sink via ``foreachBatch``: each micro-batch
+    lands in its own ``batch_id=<n>`` parquet directory, so a replayed
+    batch overwrites its own output instead of duplicating it — the
+    idempotent-by-construction pattern for sinks without transactional
+    support.  The read-back aggregate over every landed directory must
+    equal the batch aggregate over the source, which the oracle checks."""
+    import shutil
+    import tempfile
+    import os
+
+    from ..streaming import read_events_stream
+
+    out_dir = os.path.join(
+        tempfile.gettempdir(), "dcs_io", os.path.basename(sf_dir.rstrip("/")),
+        "foreach_batch_sink",
+    )
+    shutil.rmtree(out_dir, ignore_errors=True)
+
+    def land(batch_df: DataFrame, batch_id: int) -> None:
+        # Overwrite THIS batch's directory only: replays are idempotent.
+        batch_df.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"batch_id={batch_id}")
+        )
+
+    ev = read_events_stream(spark, sf_dir).select("event_type", "value")
+    ckpt = tempfile.mkdtemp(prefix="dcs_ckpt_foreach_batch_")
+    q = (
+        ev.writeStream.foreachBatch(land)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    landed = spark.read.option("basePath", out_dir).parquet(out_dir)
+    return (
+        landed.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )
