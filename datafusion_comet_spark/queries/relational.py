@@ -848,3 +848,69 @@ def join_theta_nested_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
         .orderBy("r_lo", "r_hi")
     )
+
+
+@register(
+    "merge_upsert",
+    oracle="""
+WITH updates AS (
+  SELECT o_orderkey,
+         round(o_totalprice * 1.10, 2) AS new_price,
+         'RESTATED' AS new_comment
+  FROM orders
+  WHERE o_orderkey % 100 = 0
+),
+merged AS (
+  SELECT coalesce(u.o_orderkey, t.o_orderkey) AS o_orderkey,
+         CASE WHEN u.o_orderkey IS NOT NULL THEN u.new_price
+              ELSE round(t.o_totalprice, 2) END AS price,
+         CASE WHEN u.o_orderkey IS NOT NULL THEN u.new_comment
+              ELSE t.o_orderpriority END AS tag
+  FROM orders t
+  FULL OUTER JOIN updates u ON t.o_orderkey = u.o_orderkey
+)
+SELECT tag,
+       CAST(count(*) AS BIGINT) AS n,
+       round(sum(price), 2) AS sum_price
+FROM merged
+GROUP BY tag
+ORDER BY tag
+""",
+    tags=("merge", "upsert", "full-outer-join"),
+)
+def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO semantics (WHEN MATCHED UPDATE / WHEN NOT MATCHED
+    INSERT) as a full-outer join + coalesce — the engine-level pattern
+    table formats (Delta/Iceberg) compile MERGE down to.  The reference
+    has no write-side merge at all (its writer surface is a plain
+    ParquetWriter, reference: operator.proto:320-338).  At 100 TB the
+    join shuffles on the merge key exactly once; with a bucketed or
+    partitioned target the exchange drops to the updates side only
+    (see join_bucketed_colocated), which is the copy-on-write MERGE
+    cost model."""
+    orders = load_table(spark, sf_dir, "orders")
+    updates = orders.filter(F.col("o_orderkey") % 100 == 0).select(
+        F.col("o_orderkey").alias("u_key"),
+        F.round(F.col("o_totalprice") * 1.10, 2).alias("new_price"),
+        F.lit("RESTATED").alias("new_comment"),
+    )
+    matched = F.col("u_key").isNotNull()
+    merged = orders.join(
+        updates, orders.o_orderkey == updates.u_key, "full_outer"
+    ).select(
+        F.coalesce(F.col("u_key"), F.col("o_orderkey")).alias("key"),
+        F.when(matched, F.col("new_price"))
+        .otherwise(F.round(F.col("o_totalprice"), 2))
+        .alias("price"),
+        F.when(matched, F.col("new_comment"))
+        .otherwise(F.col("o_orderpriority"))
+        .alias("tag"),
+    )
+    return (
+        merged.groupBy("tag")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.round(F.sum("price"), 2).alias("sum_price"),
+        )
+        .orderBy("tag")
+    )

@@ -1,0 +1,201 @@
+"""TPC-DS-shaped composite queries on the TPC-H-ish star schema.
+
+The reference's second benchmark surface is TPC-DS (103 queries,
+reference: benchmarks/results/0.16.0/{spark,comet}-tpcds.json;
+spark/src/test/resources/tpcds-query-results/), whose signature shapes
+go beyond TPC-H: multi-channel UNION→ROLLUP reports (q5/q77), set-op
+customer cohorts (q38/q87), and rank-within-category windows over
+aggregates (q67).  These queries reproduce those *plan shapes* on the
+available tables so the engine's coverage is judged on the same
+operator compositions the reference is benchmarked on.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from . import register
+from .tpch import SQL_REV, _dec, _drev, _money
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+@register(
+    "tpcds_channel_rollup",
+    oracle=f"""
+WITH orders_channel AS (
+  SELECT 'ORDERS' AS channel, n.n_name AS nation,
+         CAST(round(sum(CAST(o.o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+           AS amount
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n   ON c.c_nationkey = n.n_nationkey
+  GROUP BY n.n_name
+),
+returns_channel AS (
+  SELECT 'RETURNS' AS channel, n.n_name AS nation,
+         CAST(round(sum({SQL_REV}), 2) AS DOUBLE) AS amount
+  FROM lineitem l
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n   ON s.s_nationkey = n.n_nationkey
+  WHERE l.l_returnflag = 'R'
+  GROUP BY n.n_name
+),
+u AS (SELECT * FROM orders_channel UNION ALL SELECT * FROM returns_channel)
+SELECT coalesce(channel, 'ALL') AS channel,
+       coalesce(nation, 'ALL') AS nation,
+       CAST(round(sum(amount), 2) AS DOUBLE) AS total
+FROM u
+GROUP BY ROLLUP (channel, nation)
+ORDER BY channel, nation
+""",
+    tags=("tpcds-style", "union", "rollup", "join"),
+)
+def tpcds_channel_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q5/q77 shape: per-channel revenue legs UNION ALL'd, then
+    a ROLLUP total report.  Each leg aggregates BEFORE the union — the
+    rollup's Expand multiplies rows ×3, so it must run over the
+    (tiny) per-nation aggregates, never over the fact tables; at 100 TB
+    this ordering is the difference between an Expand over hundreds of
+    rows and one over billions."""
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    orders_leg = (
+        _t(spark, sf_dir, "orders")
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(_money(F.sum(_dec("o_totalprice"))).alias("amount"))
+        .select(F.lit("ORDERS").alias("channel"), "nation", "amount")
+    )
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    returns_leg = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(_money(F.sum(_drev())).alias("amount"))
+        .select(F.lit("RETURNS").alias("channel"), "nation", "amount")
+    )
+    u = orders_leg.unionByName(returns_leg)
+    return (
+        u.rollup("channel", "nation")
+        .agg(F.round(F.sum("amount"), 2).cast("double").alias("total"))
+        .select(
+            F.coalesce("channel", F.lit("ALL")).alias("channel"),
+            F.coalesce("nation", F.lit("ALL")).alias("nation"),
+            "total",
+        )
+        .orderBy("channel", "nation")
+    )
+
+
+@register(
+    "tpcds_customer_cohort_setops",
+    oracle="""
+WITH y95 AS (
+  SELECT DISTINCT o_custkey FROM orders
+  WHERE o_orderdate >= DATE '1995-01-01' AND o_orderdate < DATE '1996-01-01'
+),
+y96 AS (
+  SELECT DISTINCT o_custkey FROM orders
+  WHERE o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1997-01-01'
+)
+SELECT
+  CAST((SELECT count(*) FROM (SELECT * FROM y95 INTERSECT SELECT * FROM y96) t)
+    AS BIGINT) AS both_years,
+  CAST((SELECT count(*) FROM (SELECT * FROM y95 EXCEPT SELECT * FROM y96) t)
+    AS BIGINT) AS only_95,
+  CAST((SELECT count(*) FROM (SELECT * FROM y96 EXCEPT SELECT * FROM y95) t)
+    AS BIGINT) AS only_96
+""",
+    tags=("tpcds-style", "intersect", "except", "cohort"),
+)
+def tpcds_customer_cohort_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q38/q87 shape: year-over-year customer cohorts via
+    INTERSECT / EXCEPT.  Catalyst lowers both to left-semi/anti joins
+    over the distinct key sets (exactly what the reference receives
+    after lowering, SURVEY.md §2.1 set-ops note) — the distinct
+    aggregates collapse each year to its key set before any join, so
+    the set ops never touch fact-table rows."""
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_custkey", F.col("o_orderdate").cast("date").alias("d")
+    )
+
+    def year(a: str, b: str) -> DataFrame:
+        return (
+            orders.filter(
+                (F.col("d") >= F.lit(a).cast("date"))
+                & (F.col("d") < F.lit(b).cast("date"))
+            )
+            .select("o_custkey")
+            .distinct()
+        )
+
+    y95 = year("1995-01-01", "1996-01-01")
+    y96 = year("1996-01-01", "1997-01-01")
+    both = y95.intersect(y96).agg(
+        F.count(F.lit(1)).cast("bigint").alias("both_years")
+    )
+    only95 = y95.exceptAll(y96).agg(
+        F.count(F.lit(1)).cast("bigint").alias("only_95")
+    )
+    only96 = y96.exceptAll(y95).agg(
+        F.count(F.lit(1)).cast("bigint").alias("only_96")
+    )
+    return both.crossJoin(only95).crossJoin(only96)
+
+
+@register(
+    "tpcds_rank_in_category",
+    oracle=f"""
+SELECT brand, container, revenue, rk
+FROM (
+  SELECT p.p_brand AS brand, p.p_type AS container,
+         CAST(round(sum({SQL_REV}), 2) AS DOUBLE) AS revenue,
+         CAST(rank() OVER (PARTITION BY p.p_brand
+                           ORDER BY round(sum({SQL_REV}), 2) DESC,
+                                    p.p_type) AS INT) AS rk
+  FROM lineitem l
+  JOIN part p ON l.l_partkey = p.p_partkey
+  GROUP BY p.p_brand, p.p_type
+) t
+WHERE rk <= 3
+ORDER BY brand, rk, container
+""",
+    tags=("tpcds-style", "window-over-agg", "rank"),
+)
+def tpcds_rank_in_category(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q67 shape: rank within category over an aggregate —
+    revenue per (brand, container), rank() partitioned by brand, keep
+    top-3.  The window runs over the aggregated rows (|brands|×
+    |containers|), so the expensive fact-table shuffle happens once for
+    the groupBy and the window re-partitions only the summary — plus
+    WindowGroupLimit prunes rank>3 before the final sort."""
+    part = _t(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_type"
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_extendedprice", "l_discount"
+    )
+    agg = (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(
+            F.col("p_brand").alias("brand"),
+            F.col("p_type").alias("container"),
+        )
+        .agg(_money(F.sum(_drev())).alias("revenue"))
+    )
+    w = Window.partitionBy("brand").orderBy(
+        F.col("revenue").desc(), F.col("container")
+    )
+    return (
+        agg.select("*", F.rank().over(w).cast("int").alias("rk"))
+        .filter(F.col("rk") <= 3)
+        .orderBy("brand", "rk", "container")
+    )
