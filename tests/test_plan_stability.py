@@ -1,0 +1,73 @@
+"""Plan-stability goldens — approved physical-operator sequences per query.
+
+Rebuild of the reference's plan-stability suite (reference:
+spark/src/test/scala/org/apache/spark/sql/comet/CometPlanStabilitySuite.scala:78-125,
+goldens under spark/src/test/resources/tpcds-plan-stability/): the
+*shape* of the physical plan for headline queries is part of the
+contract, not an accident — a regression that swaps a broadcast join
+for a shuffled one, or drops TakeOrderedAndProject for a global sort,
+changes no rows at test scale but is a cliff at 100 TB.
+
+Goldens store the ordered physical operator-name sequence (names only,
+as `plans.introspect` extracts them — formatting and expression ids
+vary across Spark versions, operator sequences don't).  Regenerate
+after an intentional plan change with:
+
+    SPARK_GRAFT_REGEN_GOLDENS=1 python -m pytest tests/test_plan_stability.py
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from datafusion_comet_spark.plans import operators_in_plan
+from datafusion_comet_spark.queries import load_all
+
+REGISTRY = load_all()
+GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "goldens", "plans")
+
+# Queries whose plan shape is pinned: the TPC-H headliners exercising
+# each join/agg strategy plus the scale-critical pipeline operators.
+PINNED = [
+    "q1_pricing_summary",       # two-phase hash agg + sort
+    "q3_shipping_priority",     # TakeOrderedAndProject top-k
+    "q5_local_supplier",        # broadcast dimension joins
+    "q9_product_profit",        # deep join tree
+    "q21_waiting_supplier",     # semi + anti self-joins
+    "dedup_minhash_lsh",        # reused exchange self-join
+    "text_stats",               # explode + two-level aggregate
+    "vocab_top_tokens",         # two-level agg + TakeOrderedAndProject
+    "window_topk_per_group",    # WindowGroupLimit
+    "tpcds_rank_in_category",   # window over aggregate
+    "merge_upsert",             # full-outer merge join
+    "join_theta_nested_loop",   # BroadcastNestedLoopJoin
+]
+
+REGEN = os.environ.get("SPARK_GRAFT_REGEN_GOLDENS") == "1"
+
+
+def _golden_path(name: str) -> str:
+    return os.path.join(GOLDEN_DIR, f"{name}.txt")
+
+
+@pytest.mark.parametrize("name", PINNED)
+def test_plan_matches_golden(spark, sf_dir, name):
+    df = REGISTRY[name].fn(spark, sf_dir)
+    ops = operators_in_plan(df)
+    path = _golden_path(name)
+    if REGEN or not os.path.exists(path):
+        os.makedirs(GOLDEN_DIR, exist_ok=True)
+        with open(path, "w") as f:
+            f.write("\n".join(ops) + "\n")
+        if REGEN:
+            pytest.skip(f"golden regenerated: {path}")
+    with open(path) as f:
+        golden = f.read().splitlines()
+    assert ops == golden, (
+        f"physical plan shape changed for {name!r}:\n"
+        f"  golden : {golden}\n"
+        f"  current: {ops}\n"
+        "If intentional, regenerate with SPARK_GRAFT_REGEN_GOLDENS=1."
+    )
