@@ -82,3 +82,65 @@ def views(spark, sf_dir):
 def test_random_filter_agg_matches_duckdb(views, sf_dir, sql):
     df = views.sql(sql)
     compare_to_oracle(df, sql, sf_dir)
+
+
+@st.composite
+def join_query(draw) -> str:
+    """Random join shape: lineitem ⋈ orders with predicates on both
+    sides, inner or left-outer, aggregated by an orders key."""
+    how = draw(st.sampled_from(["JOIN", "LEFT JOIN"]))
+    lpred = draw(predicate())
+    o_lit = draw(st.integers(1000, 400000))
+    key = draw(st.sampled_from(["o_orderpriority", "o_orderstatus"]))
+    # null-safe aggregates: count(col) skips unmatched left-join rows,
+    # exact-decimal sum avoids float ordering
+    return (
+        f"SELECT o.{key} AS k, count(l.l_orderkey) AS n, "
+        f"round(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))), 2) AS s "
+        f"FROM orders o {how} "
+        f"(SELECT * FROM lineitem WHERE {lpred}) l "
+        f"ON o.o_orderkey = l.l_orderkey "
+        f"WHERE o.o_totalprice > {o_lit} "
+        f"GROUP BY o.{key} ORDER BY k"
+    )
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(sql=join_query())
+def test_random_join_agg_matches_duckdb(views, sf_dir, sql):
+    df = views.sql(sql)
+    compare_to_oracle(df, sql, sf_dir)
+
+
+@st.composite
+def window_query(draw) -> str:
+    """Random unordered-frame window over a filtered lineitem: per-row
+    output with partition aggregates — deterministic because the frame
+    is the whole partition and sums are exact decimals."""
+    pred = draw(predicate())
+    part = draw(st.sampled_from(["l_returnflag", "l_linestatus", "l_suppkey % 10"]))
+    val = draw(st.sampled_from(["l_quantity", "l_extendedprice"]))
+    return (
+        f"SELECT l_orderkey, l_linenumber, "
+        f"round(sum(CAST({val} AS DECIMAL(18,2))) OVER (PARTITION BY {part}), 2) AS ws, "
+        f"count(*) OVER (PARTITION BY {part}) AS wc "
+        f"FROM lineitem WHERE {pred} "
+        f"ORDER BY l_orderkey, l_linenumber"
+    )
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(sql=window_query())
+def test_random_window_matches_duckdb(views, sf_dir, sql):
+    df = views.sql(sql)
+    compare_to_oracle(df, sql, sf_dir)
