@@ -346,6 +346,28 @@ for name, kind, build, ref in [
 ]:
     _e(EXPRESSIONS, name, kind, build, ref)
 
+# --- superset misc: functions with no reference serde entry at all
+# (not in any dispatch map, QueryPlanSerde.scala:51-294) — native in
+# Spark, declared so the surface delta over the reference is explicit.
+for name, kind, build, ref in [
+    ("FromXml", "scalar", lambda: F.from_xml(F.lit("<r><a>7</a></r>"), "a INT").alias("v"), "superset: XML not in reference"),
+    ("SchemaOfXml", "scalar", lambda: F.schema_of_xml(F.lit("<r><a>1</a></r>")).alias("v"), "superset"),
+    ("Mask", "scalar", lambda: F.mask(c("s")).alias("v"), "superset: PII masking"),
+    ("Sentences", "scalar", lambda: F.sentences(c("s")).alias("v"), "superset"),
+    ("TryParseJson", "scalar", lambda: F.is_variant_null(F.try_parse_json(c("js"))).alias("v"), "superset"),
+    ("Overlay", "scalar", lambda: F.overlay(c("s"), F.lit("XX"), 2).alias("v"), "superset"),
+    ("Soundex", "scalar", lambda: F.soundex(c("s")).alias("v"), "superset"),
+    ("RegexpExtractAll", "scalar", lambda: F.regexp_extract_all(c("s"), F.lit("([a-z]+)"), 1).alias("v"), "superset"),
+    ("Base64", "scalar", lambda: F.base64(c("bin")).alias("v"), "superset"),
+    ("Unbase64", "scalar", lambda: F.unbase64(F.base64(c("bin"))).alias("v"), "superset"),
+    ("ToBinary", "scalar", lambda: F.to_binary(F.hex(c("i")), F.lit("hex")).alias("v"), "superset"),
+    ("Elt", "scalar", lambda: F.elt(F.lit(1), c("s"), c("s2")).alias("v"), "superset"),
+    ("WidthBucket", "scalar", lambda: F.width_bucket(c("dbl"), F.lit(0.0), F.lit(100.0), F.lit(10)).alias("v"), "superset"),
+    ("TryElementAt", "scalar", lambda: F.try_element_at(c("arr"), F.lit(99)).alias("v"), "superset"),
+    ("Cardinality", "scalar", lambda: F.cardinality(c("arr")).alias("v"), "superset"),
+]:
+    _e(EXPRESSIONS, name, kind, build, ref)
+
 # --- aggregates (serde/aggregates.scala:35-770; agg_funcs/) -----------
 _AGG = {
     "Count": lambda: F.count(c("i")),
@@ -381,6 +403,9 @@ _AGG = {
     "Percentile": lambda: F.percentile(c("dbl"), F.lit(0.5)),
     "ApproxPercentile": lambda: F.percentile_approx(c("dbl"), F.lit(0.5)),
     "HllSketchEstimate": lambda: F.hll_sketch_estimate(F.hll_sketch_agg(c("i"))),
+    "BitmapConstructAgg": lambda: F.bitmap_count(
+        F.bitmap_construct_agg(F.bitmap_bit_position(c("i")))
+    ),
 }
 for name, b in _AGG.items():
     _e(EXPRESSIONS, name, "agg", (lambda bb=b: bb().alias("v")), "serde/aggregates.scala:35-770")
