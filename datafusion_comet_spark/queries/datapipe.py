@@ -532,27 +532,36 @@ FROM (
   FROM embeddings x
   JOIN embeddings y ON x.label = y.label AND x.vec_id < y.vec_id
 ) t
-WHERE sim >= 0.9
-ORDER BY a, b
+ORDER BY sim DESC, a, b
+LIMIT 20
 """,
     tags=("datapipe", "dedup", "embedding", "cosine"),
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Semantic near-dup: cosine ≥ 0.9 between embeddings, blocked by
-    ``label`` (standing in for the coarse-quantizer cell an IVF index
-    would assign — the block join is what makes this tractable at
-    100 TB; brute force is the ann_bruteforce_topk query).  Dot
-    products are JVM zip_with/aggregate folds — no Python."""
-    from .similarity import _as_double, cosine
+    """Semantic near-dup candidates: the 20 most-similar embedding
+    pairs by cosine, blocked by ``label`` (standing in for the
+    coarse-quantizer cell an IVF index would assign — the block join is
+    what makes this tractable at 100 TB; brute force is the
+    ann_bruteforce_topk query).  A production run thresholds instead of
+    ranking; top-k keeps the gate non-vacuous on synthetic data whose
+    max pairwise similarity (~0.5) never crosses a dedup threshold.
+    Dot products are JVM zip_with/aggregate folds — no Python."""
+    from .similarity import _as_double, dot, l2_norm
 
-    emb = _t(spark, sf_dir, "embeddings").select(
-        "vec_id", "label", _as_double("embedding").alias("emb")
+    # Norms materialize per row below the self-join (O(n)), so the
+    # per-pair work inside a block is the dot fold alone.
+    emb = (
+        _t(spark, sf_dir, "embeddings")
+        .select("vec_id", "label", _as_double("embedding").alias("emb"))
+        .select("vec_id", "label", "emb", l2_norm(F.col("emb")).alias("nrm"))
     )
     left = emb.select(
-        F.col("vec_id").alias("a"), "label", F.col("emb").alias("emb_a")
+        F.col("vec_id").alias("a"), "label",
+        F.col("emb").alias("emb_a"), F.col("nrm").alias("nrm_a"),
     )
     right = emb.select(
-        F.col("vec_id").alias("b"), "label", F.col("emb").alias("emb_b")
+        F.col("vec_id").alias("b"), "label",
+        F.col("emb").alias("emb_b"), F.col("nrm").alias("nrm_b"),
     )
     return (
         left.join(right, "label")
@@ -560,10 +569,14 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "a",
             "b",
-            F.round(cosine(F.col("emb_a"), F.col("emb_b")), 5).alias("sim"),
+            F.round(
+                dot(F.col("emb_a"), F.col("emb_b"))
+                / (F.col("nrm_a") * F.col("nrm_b")),
+                5,
+            ).alias("sim"),
         )
-        .filter(F.col("sim") >= 0.9)
-        .orderBy("a", "b")
+        .orderBy(F.col("sim").desc(), "a", "b")
+        .limit(20)
     )
 
 

@@ -71,18 +71,28 @@ def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     set against the candidate scan, rank per query.  At 100 TB the
     candidate side stays partition-local (no shuffle until the final
     per-query top-k, which AQE-coalesces to tiny)."""
-    emb = _t(spark, sf_dir, "embeddings").select(
-        "vec_id", _as_double("embedding").alias("emb")
+    # Materialize the L2 norm per row BELOW the join: cosine(a,b) =
+    # dot/(|a|·|b|), and the norm folds are interpreted lambdas — computed
+    # per pair they dominate; per row they are O(n) not O(n·q).
+    emb = (
+        _t(spark, sf_dir, "embeddings")
+        .select("vec_id", _as_double("embedding").alias("emb"))
+        .select("vec_id", "emb", l2_norm(F.col("emb")).alias("nrm"))
     )
     queries = emb.filter(F.col("vec_id") < 3).select(
-        F.col("vec_id").alias("qid"), F.col("emb").alias("q_emb")
+        F.col("vec_id").alias("qid"),
+        F.col("emb").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
     )
     scored = (
         emb.join(F.broadcast(queries), F.col("vec_id") != F.col("qid"))
         .select(
             "qid",
             "vec_id",
-            cosine(F.col("q_emb"), F.col("emb")).alias("sim_raw"),
+            (
+                dot(F.col("q_emb"), F.col("emb"))
+                / (F.col("nrm") * F.col("q_nrm"))
+            ).alias("sim_raw"),
         )
     )
     w = W.partitionBy("qid").orderBy(F.col("sim_raw").desc(), F.col("vec_id"))
