@@ -479,8 +479,8 @@ FROM (
         FROM documents WHERE doc_id < 150) y
     ON x.source = y.source AND x.doc_id < y.doc_id
 ) t
-WHERE jaccard >= 0.2
-ORDER BY a, b
+ORDER BY jaccard DESC, a, b
+LIMIT 20
 """,
     tags=("datapipe", "dedup", "ngram", "jaccard"),
 )
@@ -488,8 +488,11 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram Jaccard similarity over candidate pairs blocked by
     ``source`` (the blocking key bounds the pair fan-out — at 100 TB
     the blocker is an LSH bucket, here a natural key so the oracle can
-    reproduce it).  Set algebra runs JVM-side: array_intersect on
-    distinct shingle arrays, |A∪B| = |A|+|B|−|A∩B|."""
+    reproduce it); the 20 most-similar pairs are reported (a
+    production run thresholds — top-k keeps the gate non-vacuous on
+    synthetic text with no true near-dups).  Set algebra runs
+    JVM-side: array_intersect on distinct shingle arrays,
+    |A∪B| = |A|+|B|−|A∩B|."""
     docs = (
         _t(spark, sf_dir, "documents")
         .filter(F.col("doc_id") < 150)
@@ -513,8 +516,8 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             "b",
             F.round(inter.cast("double") / union, 4).alias("jaccard"),
         )
-        .filter(F.col("jaccard") >= 0.2)
-        .orderBy("a", "b")
+        .orderBy(F.col("jaccard").desc(), "a", "b")
+        .limit(20)
     )
 
 

@@ -118,19 +118,24 @@ def setop_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "setop_except",
     oracle="""
-SELECT c_custkey FROM customer WHERE c_acctbal > 9500
+SELECT c_custkey FROM customer WHERE c_mktsegment = 'MACHINERY'
 EXCEPT
-SELECT o_custkey AS c_custkey FROM orders
+SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'F'
 ORDER BY c_custkey
 """,
     tags=("relational", "setop"),
 )
 def setop_except(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXCEPT (distinct) — lowered to a left-anti join + distinct."""
+    """EXCEPT (distinct) — lowered to a left-anti join + distinct.
+    (Predicates chosen so the difference is non-empty at every test
+    scale — every synthetic customer has at least one order, so the
+    subtracted side is the 'F'-status subset.)"""
     cust = _t(spark, sf_dir, "customer")
     orders = _t(spark, sf_dir, "orders")
-    a = cust.filter(F.col("c_acctbal") > 9500).select("c_custkey")
-    b = orders.select(F.col("o_custkey").alias("c_custkey"))
+    a = cust.filter(F.col("c_mktsegment") == "MACHINERY").select("c_custkey")
+    b = orders.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
     return a.subtract(b).orderBy("c_custkey")
 
 

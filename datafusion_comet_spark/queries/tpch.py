@@ -888,20 +888,27 @@ SELECT c_mktsegment, count(*) AS numcust,
          AS totacctbal
 FROM customer
 WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
-  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderpriority = '1-URGENT')
 GROUP BY c_mktsegment
 ORDER BY c_mktsegment
 """,
     tags=("tpch", "anti-join", "subquery", "aggregate"),
 )
 def q22_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q22 (adapted: mktsegment replaces phone prefix): rich
-    customers with no orders — scalar avg subquery + left-anti join.
-    The avg threshold stays double: acctbal values are 2-dp, an exact
-    tie with the irrational-ish average is implausible, and both
-    engines compare against their own aggregate consistently."""
+    """TPC-H Q22 (adapted: mktsegment replaces phone prefix; the anti
+    join excludes customers with URGENT orders — every synthetic
+    customer has some order, so the original no-orders form is vacuous
+    at every scale): rich customers without urgent orders — scalar avg
+    subquery + left-anti join.  The avg threshold stays double:
+    acctbal values are 2-dp, an exact tie with the irrational-ish
+    average is implausible, and both engines compare against their own
+    aggregate consistently."""
     cust = _t(spark, sf_dir, "customer")
-    orders = _t(spark, sf_dir, "orders")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
     avg_bal = cust.filter(F.col("c_acctbal") > 0.0).agg(
         F.avg("c_acctbal").alias("avg_bal")
     )
@@ -1100,11 +1107,10 @@ def q16_parts_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q20_part_promotion",
     oracle="""
-SELECT s_name, s_acctbal
+SELECT n_name, s_name, s_acctbal
 FROM supplier
 JOIN nation ON n_nationkey = s_nationkey
-WHERE n_name = 'NATION_9'
-  AND s_suppkey IN (
+WHERE s_suppkey IN (
     SELECT l_suppkey
     FROM lineitem
     WHERE l_partkey IN (
@@ -1113,19 +1119,21 @@ WHERE n_name = 'NATION_9'
       AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
       AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
     GROUP BY l_suppkey, l_partkey
-    HAVING sum(l_quantity) > 50
+    HAVING sum(l_quantity) > 40
   )
-ORDER BY s_name
+ORDER BY n_name, s_name
 """,
     tags=("tpch", "semi-join", "having", "like"),
 )
 def q20_part_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q20 (adapted: shipped quantity plays availqty): suppliers
-    who moved >50 units of any red part in 1997, within one nation —
-    two nested left-semi joins over a HAVING aggregate.  Quantity sums
-    are integer-valued doubles, exact on both engines."""
+    """TPC-H Q20 (adapted: shipped quantity plays availqty; threshold
+    40 and no single-nation cut so the result is non-empty at every
+    test scale): suppliers who moved >40 units of any red part in
+    1997, with their nation — two nested left-semi joins over a HAVING
+    aggregate.  Quantity sums are integer-valued doubles, exact on
+    both engines."""
     supp = _t(spark, sf_dir, "supplier")
-    nat = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_9")
+    nat = _t(spark, sf_dir, "nation")
     li = _t(spark, sf_dir, "lineitem")
     green = (
         _t(spark, sf_dir, "part")
@@ -1140,12 +1148,12 @@ def q20_part_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(green, li.l_partkey == green.p_partkey, "left_semi")
         .groupBy("l_suppkey", "l_partkey")
         .agg(F.sum("l_quantity").alias("q"))
-        .filter(F.col("q") > 50)
+        .filter(F.col("q") > 40)
         .select("l_suppkey")
     )
     return (
         supp.join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
         .join(heavy_suppliers, supp.s_suppkey == F.col("l_suppkey"), "left_semi")
-        .select("s_name", "s_acctbal")
-        .orderBy("s_name")
+        .select("n_name", "s_name", "s_acctbal")
+        .orderBy("n_name", "s_name")
     )
