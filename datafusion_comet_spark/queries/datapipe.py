@@ -824,3 +824,143 @@ def dedup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("dist") <= 12)
         .orderBy("a", "b")
     )
+
+
+def connected_components(
+    edges: DataFrame, src: str = "a", dst: str = "b", max_iter: int = 20
+) -> DataFrame:
+    """Connected components by iterative min-label propagation:
+    ``(node) -> component`` where component = min node id reachable.
+
+    The dedup endgame: candidate near-dup PAIRS (from LSH/jaccard/
+    cosine) must collapse into duplicate CLUSTERS with one canonical
+    survivor each.  Each iteration is a join + min-aggregate — pure
+    DataFrame ops, O(diameter) rounds (near-dup clusters are shallow;
+    typical corpora converge in 3-5).  At 100 TB every round is one
+    keyed shuffle of the (nodes + edges) relation; the loop runs on
+    the driver but touches no data there (the fixpoint check is a
+    1-row aggregate).  The reference has nothing iterative at all —
+    its IR is a straight-line operator tree (reference:
+    native/proto/src/proto/operator.proto:31-57)."""
+    sym = edges.selectExpr(f"{src} AS n", f"{dst} AS m")
+    sym = sym.union(sym.selectExpr("m AS n", "n AS m"))
+    # initial label: self (isolated endpoints keep themselves); every
+    # projection re-aliases so self-join lineage stays unambiguous
+    labels = sym.selectExpr("n AS node").distinct().selectExpr(
+        "node", "node AS comp"
+    )
+    for _ in range(max_iter):
+        # candidate label per node: min over neighbours' labels and own
+        neigh = (
+            sym.selectExpr("n AS dst_node", "m AS nbr")
+            .join(labels.selectExpr("node AS nbr", "comp"), "nbr")
+            .selectExpr("dst_node AS node", "comp")
+        )
+        new_labels = (
+            labels.select("node", "comp")
+            .union(neigh)
+            .groupBy("node")
+            .agg(F.min("comp").alias("comp"))
+        )
+        changed = (
+            new_labels.selectExpr("node", "comp AS comp_new")
+            .join(labels, "node")
+            .filter(F.col("comp_new") != F.col("comp"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+@register(
+    "dedup_cluster_components",
+    oracle=None,  # iterative fixpoint — not single-statement SQL;
+    # pinned by tests/test_semantics.py against a known cluster layout
+    tags=("datapipe", "dedup", "graph", "iterative"),
+)
+def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters from candidate pairs: Levenshtein-blocked
+    pairs (dedup_levenshtein) → connected components → cluster summary
+    (canonical = min doc_id, cluster size).  The full dedup pipeline
+    shape: pair generation never sees O(n²), component labels converge
+    in O(cluster diameter) keyed shuffles, survivors are one
+    min-aggregate away."""
+    pairs = dedup_levenshtein(spark, sf_dir).select("a", "b")
+    comps = connected_components(pairs)
+    return (
+        comps.groupBy("comp")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("cluster_size"),
+            F.min("node").alias("canonical_doc"),
+            F.max("node").alias("max_doc"),
+        )
+        .orderBy("comp")
+    )
+
+
+@register(
+    "text_tfidf_topk",
+    oracle="""
+WITH tf AS (
+  SELECT doc_id, tok, count(*) AS tf
+  FROM (SELECT doc_id, unnest(str_split(lower(text), ' ')) AS tok
+        FROM documents)
+  WHERE tok <> ''
+  GROUP BY doc_id, tok
+),
+idf AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+n AS (SELECT count(*) AS n_docs FROM documents)
+SELECT doc_id, tok, tfidf, rn
+FROM (
+  SELECT tf.doc_id, tf.tok,
+         round(tf.tf * ln((n.n_docs + 1.0) / (idf.df + 1.0)), 5) AS tfidf,
+         CAST(row_number() OVER (
+           PARTITION BY tf.doc_id
+           ORDER BY round(tf.tf * ln((n.n_docs + 1.0) / (idf.df + 1.0)), 5)
+                      DESC, tf.tok) AS INT) AS rn
+  FROM tf JOIN idf ON tf.tok = idf.tok CROSS JOIN n
+) t
+WHERE rn <= 3 AND doc_id < 50
+ORDER BY doc_id, rn
+""",
+    tags=("datapipe", "text", "tfidf"),
+)
+def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF with smoothed idf = ln((N+1)/(df+1)), top-3 terms per
+    document — the classic relevance/keyword-extraction pass.  Shape at
+    100 TB: term frequencies collapse map-side in the (doc, tok)
+    aggregate; document frequencies derive FROM the tf relation (no
+    second corpus scan); N is a 1-row broadcast; the per-doc top-k is a
+    WindowGroupLimit, never a global sort."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    idf = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(idf, "tok")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "tok",
+            F.round(
+                F.col("tf")
+                * F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)),
+                5,
+            ).alias("tfidf"),
+        )
+    )
+    w = W.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "tok")
+    return (
+        scored.select(
+            "doc_id", "tok", "tfidf",
+            F.row_number().over(w).cast("int").alias("rn"),
+        )
+        .filter((F.col("rn") <= 3) & (F.col("doc_id") < 50))
+        .orderBy("doc_id", "rn")
+    )

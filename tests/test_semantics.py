@@ -176,3 +176,24 @@ def test_ivf_recall_vs_bruteforce(spark, sf_dir):
         for q in exact_sets
     ]
     assert sum(recalls) / len(recalls) >= 0.3, recalls
+
+
+def test_connected_components_known_graph(spark):
+    """Min-label propagation must produce exact components on a known
+    graph: {1,2,3,4} (path), {10,11} (edge), {20,21,22} (triangle)."""
+    from datafusion_comet_spark.queries.datapipe import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (20, 22)],
+        "a long, b long",
+    )
+    got = {
+        (r["node"], r["comp"])
+        for r in connected_components(edges).collect()
+    }
+    want = {
+        (1, 1), (2, 1), (3, 1), (4, 1),
+        (10, 10), (11, 10),
+        (20, 20), (21, 20), (22, 20),
+    }
+    assert got == want
