@@ -260,3 +260,51 @@ def python_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("kind")
     )
+
+
+@register(
+    "parquet_schema_evolution",
+    oracle="""
+SELECT r_regionkey,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CASE WHEN has_flag THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged
+FROM (
+  SELECT r_regionkey, FALSE AS has_flag FROM region
+  UNION ALL
+  SELECT r_regionkey, TRUE  AS has_flag FROM region
+)
+GROUP BY r_regionkey
+ORDER BY r_regionkey
+""",
+    tags=("source", "parquet", "schema-evolution"),
+)
+def parquet_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on read: generation 1 writes region WITHOUT the
+    ``flag`` column, generation 2 adds it; ``mergeSchema`` reconciles
+    by NAME and old files surface NULL for the new column (the
+    Spark-side analogue of the reference's NativeScan default-value /
+    schema-evolution machinery, reference: operator.proto:126-132,
+    CometScanRule.scala:149-257).  At 100 TB this is how a years-old
+    lakehouse table gains columns without rewrites — readers see one
+    logical schema across file generations."""
+    import os
+
+    region = _t(spark, sf_dir, "region")
+    base = scratch_dir(sf_dir, "region_evolve")
+    region.select("r_regionkey", "r_name").write.mode("overwrite").parquet(
+        os.path.join(base, "gen=1")
+    )
+    region.select(
+        "r_regionkey", "r_name", F.lit(True).alias("flag")
+    ).write.mode("overwrite").parquet(os.path.join(base, "gen=2"))
+    merged = spark.read.option("mergeSchema", "true").parquet(base)
+    return (
+        merged.groupBy("r_regionkey")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(
+                F.when(F.coalesce(F.col("flag"), F.lit(False)), 1).otherwise(0)
+            ).cast("bigint").alias("n_flagged"),
+        )
+        .orderBy("r_regionkey")
+    )
