@@ -120,3 +120,64 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     frames = _frames(spark, sf_dir)
     sampled = sample_frames(frames, stride=4)
     return sampled.filter(F.col("doc_id") < 50).orderBy("doc_id", "frame_no")
+
+
+@register(
+    "multimodal_resize_stub",
+    oracle="""
+SELECT format,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(floor(octet_length(encode(text))
+                 * (64.0 * 64.0) / (((doc_id % 640) + 16) * ((doc_id % 480) + 16)))
+           AS BIGINT)) AS BIGINT) AS total_resized_bytes
+FROM (
+  SELECT doc_id, text,
+         ['jpeg', 'png', 'webp'][CAST(doc_id % 3 AS INT) + 1] AS format
+  FROM documents
+) t
+GROUP BY format
+ORDER BY format
+""",
+    tags=("multimodal", "resize", "mapInPandas"),
+)
+def multimodal_resize_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize plumbing via Arrow-batched mapInPandas (STUBBED codec —
+    the real pixel resample needs an image library; the deterministic
+    stand-in scales payload size by the 64×64-target to source-dims
+    ratio from the metadata struct).  What must be right at 100 TB and
+    IS exercised: the binary+struct schema through a Python batch
+    iterator, per-partition parallelism, and the metadata arithmetic —
+    which the SQL oracle recomputes independently."""
+    import pandas as pd
+
+    frames = _frames(spark, sf_dir)
+
+    def resize_batches(it):
+        for pdf in it:
+            meta = pdf["meta"]
+            w = meta.apply(lambda m: m["width"]).astype("int64")
+            h = meta.apply(lambda m: m["height"]).astype("int64")
+            n_bytes = pdf["payload"].apply(len).astype("int64")
+            import numpy as np
+            scaled = np.floor(
+                n_bytes * (64.0 * 64.0) / (w * h)
+            ).astype("int64")
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "format": meta.apply(lambda m: m["format"]),
+                    "resized_bytes": scaled,
+                }
+            )
+
+    resized = frames.mapInPandas(
+        resize_batches, "doc_id long, format string, resized_bytes long"
+    )
+    return (
+        resized.groupBy("format")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("resized_bytes").cast("bigint").alias("total_resized_bytes"),
+        )
+        .orderBy("format")
+    )
