@@ -365,6 +365,11 @@ for name, kind, build, ref in [
     ("WidthBucket", "scalar", lambda: F.width_bucket(c("dbl"), F.lit(0.0), F.lit(100.0), F.lit(10)).alias("v"), "superset"),
     ("TryElementAt", "scalar", lambda: F.try_element_at(c("arr"), F.lit(99)).alias("v"), "superset"),
     ("Cardinality", "scalar", lambda: F.cardinality(c("arr")).alias("v"), "superset"),
+    # The reference REJECTS collated strings outright (raw-byte
+    # comparison only — serde/QueryPlanSerde.scala:832-833,
+    # CometShuffleExchangeExec.scala:344-346); native here.
+    ("Collate", "scalar", lambda: (F.collate(c("s"), "UTF8_LCASE") == F.collate(F.upper(c("s")), "UTF8_LCASE")).alias("v"), "superset: QueryPlanSerde.scala:832-833 rejects collation"),
+    ("Collation", "scalar", lambda: F.collation(F.collate(c("s"), "UNICODE")).alias("v"), "superset"),
 ]:
     _e(EXPRESSIONS, name, kind, build, ref)
 

@@ -442,3 +442,61 @@ def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count_distinct("user_id").cast("bigint").alias("n_users"))
         .orderBy("cohort_day", "day_offset")
     )
+
+
+@register(
+    "events_anomaly_zscore",
+    oracle="""
+WITH hourly AS (
+  SELECT event_type,
+         date_trunc('hour', ts) AS hour,
+         count(*) AS n
+  FROM events
+  GROUP BY event_type, date_trunc('hour', ts)
+),
+scored AS (
+  SELECT event_type, hour, n,
+         avg(n)    OVER (PARTITION BY event_type) AS mu,
+         stddev_samp(n) OVER (PARTITION BY event_type) AS sigma
+  FROM hourly
+)
+SELECT event_type,
+       CAST(hour AS TIMESTAMP) AS hour,
+       CAST(n AS BIGINT) AS n,
+       round((n - mu) / sigma, 4) AS z
+FROM scored
+WHERE abs((n - mu) / sigma) > 2.0
+ORDER BY event_type, hour
+""",
+    tags=("temporal", "events", "anomaly", "window-over-agg"),
+)
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-anomaly detection: hourly event counts z-scored against
+    the per-type mean/stddev, flag |z| > 2.  The window runs over the
+    hourly AGGREGATE (types × hours rows), so the event log is shuffled
+    once for the groupBy and the anomaly scoring touches only the tiny
+    summary — the shape that keeps a 100 TB log scan out of the window
+    operator."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.date_trunc("hour", "ts").alias("hour")
+    )
+    hourly = ev.groupBy("event_type", "hour").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("event_type")
+    scored = hourly.select(
+        "*",
+        F.avg("n").over(w).alias("mu"),
+        F.stddev_samp("n").over(w).alias("sigma"),
+    )
+    z = (F.col("n") - F.col("mu")) / F.col("sigma")
+    return (
+        scored.filter(F.abs(z) > 2.0)
+        .select(
+            "event_type",
+            "hour",
+            F.col("n").cast("bigint").alias("n"),
+            F.round(z, 4).alias("z"),
+        )
+        .orderBy("event_type", "hour")
+    )
