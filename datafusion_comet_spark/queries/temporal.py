@@ -500,3 +500,61 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "hour")
     )
+
+
+@register(
+    "join_range_bucketed",
+    oracle="""
+SELECT c.event_id AS click_id,
+       p.event_id AS purchase_id,
+       CAST(date_diff('second', c.ts, p.ts) AS BIGINT) AS lag_s
+FROM (SELECT event_id, ts FROM events WHERE event_type = 'click'
+       AND user_id < 40) c
+JOIN (SELECT event_id, ts FROM events WHERE event_type = 'purchase') p
+  ON p.ts >= c.ts AND p.ts < c.ts + INTERVAL 10 MINUTE
+ORDER BY click_id, purchase_id
+""",
+    tags=("temporal", "join", "range", "bucketed"),
+)
+def join_range_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KEYLESS range join via manufactured equi key: pair every click
+    with purchases in the following 10 minutes, with NO shared key —
+    the case where a naive range predicate degenerates to a nested
+    loop over the full cross product.  The scale fix (SCALE.md): bucket
+    the time axis at the window width (600 s), explode the narrow side
+    into its two candidate buckets (b, b+1), hash-join on the bucket,
+    and apply the range as a residual.  Fan-out is 2×, the join is a
+    keyed shuffle, and correctness is exact — the DuckDB oracle runs
+    the plain range join."""
+    ev = load_table(spark, sf_dir, "events")
+    bucket = (F.unix_timestamp("ts") / 600).cast("long")
+    clicks = (
+        ev.filter((F.col("event_type") == "click") & (F.col("user_id") < 40))
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("c_ts"),
+            F.explode(F.array(bucket, bucket + 1)).alias("bucket"),
+        )
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_ts"),
+        bucket.alias("bucket"),
+    )
+    return (
+        clicks.join(purchases, "bucket")
+        .filter(
+            (F.col("p_ts") >= F.col("c_ts"))
+            & (F.col("p_ts") < F.col("c_ts") + F.expr("INTERVAL 10 MINUTE"))
+        )
+        .select(
+            "click_id",
+            "purchase_id",
+            (
+                F.unix_timestamp("p_ts") - F.unix_timestamp("c_ts")
+            ).cast("bigint").alias("lag_s"),
+        )
+        # no distinct needed: a purchase's bucket equals exactly one of
+        # the click's two candidate buckets, so each pair joins once
+        .orderBy("click_id", "purchase_id")
+    )
