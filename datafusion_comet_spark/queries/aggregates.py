@@ -423,3 +423,74 @@ def agg_listagg_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("r_name")
     )
+
+
+@register(
+    "udaf_grouped_ols",
+    oracle="""
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(median(value), 6) AS med_value,
+       round(covar_pop(CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT),
+                       value)
+             / var_pop(CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT)),
+             9) AS slope
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+    tags=("aggregate", "udf", "applyInPandas", "grouped-map"),
+)
+def udaf_grouped_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom UDAF via grouped-map ``applyInPandas`` (SURVEY §2.5: the
+    reference's UDF story is Arrow batch exchange, CometTestBase-style
+    scalar UDFs only — no grouped aggregation path).  Per event_type,
+    fit an OLS slope of value over time plus an exact median — the
+    shape a feature-engineering pass takes when the statistic has no
+    built-in (M-estimators, isotonic fits, per-entity curves).
+
+    Numerics: the slope is computed on CENTERED x (``x - mean``) so the
+    dot products never hit catastrophic cancellation at epoch-seconds
+    magnitude, and both engines round at 1e-9 where fp associativity
+    noise is ~1e-17.  The median is an order statistic — deterministic
+    under any row order the shuffle delivers.
+
+    Scale: grouped-map requires the whole group in one pandas frame;
+    event_type has ~5 unbounded-size groups, so at 100 TB this exact
+    form would OOM a task.  SCALE.md's fix: pre-reduce per (group,
+    salt) with the same sufficient statistics (n, Σxc·y, Σxc², digest)
+    and merge, or switch to the closed-form covar_pop/var_pop SQL the
+    oracle uses.  The query stays in the inventory as the UDF-surface
+    contract: schema'd output, Arrow batches, one shuffle on the group
+    key."""
+    import numpy as np
+    import pandas as pd
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.unix_timestamp("ts").alias("x"),
+        "value",
+    )
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        x = pdf["x"].to_numpy(dtype="float64")
+        y = pdf["value"].to_numpy(dtype="float64")
+        xc = x - x.mean()
+        slope = float(np.dot(xc, y) / np.dot(xc, xc))
+        return pd.DataFrame(
+            {
+                "event_type": [pdf["event_type"].iloc[0]],
+                "n_events": [len(pdf)],
+                "med_value": [round(float(pdf["value"].median()), 6)],
+                "slope": [round(slope, 9)],
+            }
+        )
+
+    return (
+        ev.groupBy("event_type")
+        .applyInPandas(
+            fit,
+            "event_type string, n_events bigint, med_value double, slope double",
+        )
+        .orderBy("event_type")
+    )

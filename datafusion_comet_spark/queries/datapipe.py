@@ -964,3 +964,61 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("rn") <= 3) & (F.col("doc_id") < 50))
         .orderBy("doc_id", "rn")
     )
+
+
+@register(
+    "pipeline_corpus_curation",
+    oracle="""
+WITH survivors AS (
+  SELECT min(doc_id) AS doc_id
+  FROM documents
+  GROUP BY md5(text)
+), kept AS (
+  SELECT d.source, d.lang,
+         len(str_split(lower(d.text), ' ')) AS n_tokens
+  FROM documents d JOIN survivors USING (doc_id)
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+FROM kept
+WHERE n_tokens BETWEEN 20 AND 200
+GROUP BY source
+ORDER BY source
+""",
+    tags=("datapipe", "pipeline", "dedup", "quality-filter"),
+)
+def pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-corpus curation in ONE plan: exact dedup →
+    token-count quality gate → per-source corpus stats.  The composed
+    shape a real ingest pass runs nightly, here as a single Catalyst
+    plan so every stage is pushed/pruned together.
+
+    Plan shape: dedup is a row_number() window over the md5(text)
+    fingerprint (survivor = min doc_id) — ONE hash-partitioned shuffle
+    on the fingerprint, no self-join back (the groupBy-min + rejoin
+    phrasing the oracle uses would shuffle documents twice).  The
+    quality gate then runs partition-local, and the final rollup
+    shuffles only the tiny (source) key.  At 100 TB: fingerprints are
+    uniform 128-bit hashes, so the dedup exchange is skew-free by
+    construction; text never moves twice because the window carries
+    the row."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = W.partitionBy("fp").orderBy("doc_id")
+    kept = (
+        docs.withColumn("fp", F.md5("text"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .withColumn("n_tokens", F.size(F.split(F.lower("text"), " ")))
+        .filter(F.col("n_tokens").between(20, 200))
+    )
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            F.countDistinct("lang").cast("bigint").alias("n_langs"),
+        )
+        .orderBy("source")
+    )
