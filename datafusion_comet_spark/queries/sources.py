@@ -308,3 +308,112 @@ def parquet_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("r_regionkey")
     )
+
+
+@register(
+    "parquet_dynamic_partition_overwrite",
+    oracle="""
+WITH final AS (
+  SELECT o_orderstatus, o_orderkey, o_totalprice
+  FROM orders WHERE o_orderstatus <> 'P'
+  UNION ALL
+  SELECT o_orderstatus, o_orderkey, o_totalprice
+  FROM orders WHERE o_orderstatus = 'P' AND o_orderkey % 2 = 0
+)
+SELECT o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+         AS sum_price
+FROM final
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+""",
+    tags=("sink", "parquet", "dynamic-overwrite"),
+)
+def parquet_dynamic_partition_overwrite(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Dynamic partition overwrite — the incremental-reprocess write
+    path (absent in the reference: its ParquetWriter is a plain
+    one-shot sink, operator.proto:320-338).  Seed a table partitioned
+    by o_orderstatus, then rewrite ONLY the 'P' partition from a patch
+    batch (``partitionOverwriteMode=dynamic`` scoped to this writer,
+    not session-wide); partitions absent from the patch must survive
+    untouched.  This is how a 100 TB corpus re-runs one day/source
+    without rewriting the table — the overwrite unit is the partition
+    directory, so the blast radius is exactly the data that changed."""
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderstatus", "o_orderkey", "o_totalprice"
+    )
+    path = scratch_dir(sf_dir, "orders_dynpo")
+    orders.write.mode("overwrite").partitionBy("o_orderstatus").parquet(path)
+    patch = orders.filter(
+        (F.col("o_orderstatus") == "P") & (F.col("o_orderkey") % 2 == 0)
+    )
+    (
+        patch.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("o_orderstatus")
+        .parquet(path)
+    )
+    back = spark.read.parquet(path)
+    return (
+        back.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("sum_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@register(
+    "compact_small_files",
+    oracle="""
+SELECT CAST(64 AS BIGINT) AS files_before,
+       CAST(4 AS BIGINT)  AS files_after,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(round(sum(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE)
+         AS sum_qty
+FROM lineitem
+""",
+    tags=("sink", "parquet", "compaction"),
+)
+def compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction — the table-maintenance pass every
+    long-running ingest needs (absent in the reference; its writer has
+    no file-size management, operator.proto:320-338).  Seed a
+    64-file fragmented table, compact with ``coalesce(4)`` —
+    shuffle-FREE: coalesce stitches input splits onto fewer tasks
+    instead of re-hashing rows like repartition would — and verify
+    file counts via distinct ``input_file_name()`` plus a content
+    checksum proving no rows were lost.  At 100 TB the same pass runs
+    per-partition-directory with a target file size
+    (maxRecordsPerFile), never a global repartition."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    frag = scratch_dir(sf_dir, "lineitem_frag")
+    li.repartition(64).write.mode("overwrite").parquet(frag)
+    compacted = scratch_dir(sf_dir, "lineitem_compact")
+    spark.read.parquet(frag).coalesce(4).write.mode("overwrite").parquet(
+        compacted
+    )
+    files_before = (
+        spark.read.parquet(frag)
+        .select(F.input_file_name().alias("f"))
+        .distinct()
+        .count()
+    )
+    back = spark.read.parquet(compacted)
+    files_after = (
+        back.select(F.input_file_name().alias("f")).distinct().count()
+    )
+    return back.agg(
+        F.lit(files_before).cast("bigint").alias("files_before"),
+        F.lit(files_after).cast("bigint").alias("files_after"),
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.round(F.sum(F.col("l_quantity").cast("decimal(18,2)")), 2)
+        .cast("double")
+        .alias("sum_qty"),
+    )
