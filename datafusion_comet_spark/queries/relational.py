@@ -815,6 +815,65 @@ def generator_inline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "udtf_lateral_tokenize",
+    oracle="""
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT first_tok) AS BIGINT) AS n_distinct_first,
+       CAST(sum(CASE WHEN first_tok IN
+                ('the','a','of','and','to','in','is','on','for','with')
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_stop_first
+FROM (SELECT lang, str_split(lower(text), ' ')[1] AS first_tok
+      FROM documents WHERE text IS NOT NULL) t
+GROUP BY lang
+ORDER BY lang
+""",
+    tags=("relational", "udtf", "generator", "lateral"),
+)
+def udtf_lateral_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF in a LATERAL join (Spark 4 user-defined table
+    function) — the generator shape for per-row expansion logic too
+    imperative for explode/inline (custom tokenizers, parsers,
+    chunkers).  The reference has no UDTF surface at all; its only
+    generator is Explode (operator.proto:351-358).  The UDTF yields
+    (pos, token) per document; the query keeps pos=0 and rolls up
+    first-token stats per language.
+
+    Scale: a UDTF runs row-at-a-time in a Python worker — strictly the
+    slow path (SURVEY §2.5); it earns its place only when the expansion
+    is genuinely imperative.  The plan is still embarrassingly
+    parallel: Generate runs partition-local before the one rollup
+    shuffle, and the oracle's array-index formulation is what we'd
+    write instead whenever the logic fits an array lambda."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos int, tok string")
+    class Tokenize:
+        def eval(self, text: str):
+            if text is None:
+                return
+            for i, t in enumerate(text.lower().split(" ")):
+                yield i, t
+
+    spark.udtf.register("dcs_tokenize", Tokenize)
+    _t(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    ).createOrReplaceTempView("dcs_udtf_docs")
+    return spark.sql("""
+        SELECT d.lang,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(count(DISTINCT t.tok) AS BIGINT) AS n_distinct_first,
+               CAST(sum(CASE WHEN t.tok IN
+                        ('the','a','of','and','to','in','is','on','for','with')
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_stop_first
+        FROM dcs_udtf_docs d, LATERAL dcs_tokenize(d.text) t
+        WHERE t.pos = 0
+        GROUP BY d.lang
+        ORDER BY d.lang
+    """)
+
+
+@register(
     "join_theta_nested_loop",
     oracle="""
 SELECT n1.n_regionkey AS r_lo, n2.n_regionkey AS r_hi,
