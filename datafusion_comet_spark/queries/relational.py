@@ -874,6 +874,87 @@ def udtf_lateral_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "recursive_cte_month_spine",
+    oracle="""
+WITH RECURSIVE months(m) AS (
+  SELECT DATE '1995-01-01'
+  UNION ALL
+  SELECT CAST(m + INTERVAL 1 MONTH AS DATE) FROM months
+  WHERE m < DATE '1996-12-01'
+)
+SELECT m AS month,
+       CAST(count(o_orderkey) AS BIGINT) AS n_orders
+FROM months LEFT JOIN orders
+  ON date_trunc('month', o_orderdate) = m
+GROUP BY m
+ORDER BY m
+""",
+    tags=("relational", "recursive-cte", "sql"),
+)
+def recursive_cte_month_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITH RECURSIVE (Spark 4.0, SPARK-24497) — the reference has no
+    recursion anywhere in its IR (its only iteration is our
+    connected-components rebuild, which drives the loop from the
+    client).  Here recursion builds a month spine engine-side, then a
+    broadcast-able 24-row dim left-joins order counts per month — the
+    gap-safe calendar rollup every reporting pipeline needs.
+
+    Scale: the recursion materializes only the tiny spine (depth =
+    months, one row each); the fact table is touched once by the join,
+    with the spine broadcast — no per-iteration pass over data."""
+    orders = _t(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("dcs_rec_orders")
+    return spark.sql("""
+        WITH RECURSIVE months(m) AS (
+          SELECT DATE '1995-01-01'
+          UNION ALL
+          SELECT add_months(m, 1) FROM months
+          WHERE m < DATE '1996-12-01'
+        )
+        SELECT m AS month,
+               CAST(count(o_orderkey) AS BIGINT) AS n_orders
+        FROM months LEFT JOIN dcs_rec_orders
+          ON trunc(o_orderdate, 'MM') = m
+        GROUP BY m
+        ORDER BY m
+    """)
+
+
+@register(
+    "sql_pipe_syntax",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(round(sum(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE)
+         AS sum_qty
+FROM lineitem
+WHERE l_shipdate <= DATE '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+""",
+    tags=("relational", "sql", "pipe-syntax"),
+)
+def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL pipe syntax (Spark 4.0 ``|>`` operators) — same logical
+    plan as the equivalent nested SELECT, so Catalyst optimizes both
+    identically; this pins that the modern-SQL entry point users reach
+    for first compiles to the same pushdown + partial-agg plan as the
+    DataFrame phrasing (the oracle is the standard-SQL spelling)."""
+    li = _t(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("dcs_pipe_lineitem")
+    return spark.sql("""
+        FROM dcs_pipe_lineitem
+        |> WHERE l_shipdate <= DATE '1998-09-02'
+        |> AGGREGATE CAST(count(*) AS BIGINT) AS n_rows,
+                     CAST(round(sum(CAST(l_quantity AS DECIMAL(18,2))), 2)
+                          AS DOUBLE) AS sum_qty
+           GROUP BY l_returnflag, l_linestatus
+        |> SELECT l_returnflag, l_linestatus, n_rows, sum_qty
+        |> ORDER BY l_returnflag, l_linestatus
+    """)
+
+
+@register(
     "join_theta_nested_loop",
     oracle="""
 SELECT n1.n_regionkey AS r_lo, n2.n_regionkey AS r_hi,
