@@ -881,12 +881,15 @@ WITH RECURSIVE months(m) AS (
   UNION ALL
   SELECT CAST(m + INTERVAL 1 MONTH AS DATE) FROM months
   WHERE m < DATE '1996-12-01'
+), agg AS (
+  SELECT date_trunc('month', o_orderdate) AS om,
+         count(*) AS c
+  FROM orders
+  GROUP BY om
 )
 SELECT m AS month,
-       CAST(count(o_orderkey) AS BIGINT) AS n_orders
-FROM months LEFT JOIN orders
-  ON date_trunc('month', o_orderdate) = m
-GROUP BY m
+       CAST(coalesce(c, 0) AS BIGINT) AS n_orders
+FROM months LEFT JOIN agg ON om = m
 ORDER BY m
 """,
     tags=("relational", "recursive-cte", "sql"),
@@ -895,13 +898,17 @@ def recursive_cte_month_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WITH RECURSIVE (Spark 4.0, SPARK-24497) — the reference has no
     recursion anywhere in its IR (its only iteration is our
     connected-components rebuild, which drives the loop from the
-    client).  Here recursion builds a month spine engine-side, then a
-    broadcast-able 24-row dim left-joins order counts per month — the
-    gap-safe calendar rollup every reporting pipeline needs.
+    client).  Here recursion builds a month spine engine-side, then
+    joins it against per-month order counts — the gap-safe calendar
+    rollup every reporting pipeline needs.
 
-    Scale: the recursion materializes only the tiny spine (depth =
-    months, one row each); the fact table is touched once by the join,
-    with the spine broadcast — no per-iteration pass over data."""
+    Scale: facts are aggregated to month grain BEFORE the spine join,
+    so the join is tiny×tiny.  The naive phrasing (spine LEFT JOIN raw
+    orders, then GROUP BY) is a trap at scale: the spine is the
+    PRESERVED side of the outer join, so the only side Spark may
+    broadcast-build is the fact table — the first golden for this
+    query pinned exactly that FileScan-under-BroadcastExchange cliff
+    before the rewrite."""
     orders = _t(spark, sf_dir, "orders")
     orders.createOrReplaceTempView("dcs_rec_orders")
     return spark.sql("""
@@ -910,12 +917,15 @@ def recursive_cte_month_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
           UNION ALL
           SELECT add_months(m, 1) FROM months
           WHERE m < DATE '1996-12-01'
+        ), agg AS (
+          SELECT trunc(o_orderdate, 'MM') AS om,
+                 count(*) AS c
+          FROM dcs_rec_orders
+          GROUP BY om
         )
         SELECT m AS month,
-               CAST(count(o_orderkey) AS BIGINT) AS n_orders
-        FROM months LEFT JOIN dcs_rec_orders
-          ON trunc(o_orderdate, 'MM') = m
-        GROUP BY m
+               CAST(coalesce(c, 0) AS BIGINT) AS n_orders
+        FROM months LEFT JOIN agg ON om = m
         ORDER BY m
     """)
 

@@ -43,6 +43,9 @@ PINNED = [
     "tpcds_rank_in_category",   # window over aggregate
     "merge_upsert",             # full-outer merge join
     "join_theta_nested_loop",   # BroadcastNestedLoopJoin
+    "pipeline_corpus_curation", # WindowGroupLimit pre-shuffle dedup
+    "join_range_bucketed",      # manufactured equi key, no NLJ
+    "recursive_cte_month_spine",  # spine broadcast, single fact pass
 ]
 
 REGEN = os.environ.get("SPARK_GRAFT_REGEN_GOLDENS") == "1"
