@@ -38,17 +38,38 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+# (applicationId, sf_dir, name) -> DataFrame.  The star-schema dirs are
+# read-only, so a resolved DataFrame (file listing + footer schema) can be
+# reused across queries within one SparkContext — the single-engine analog
+# of a metastore catalog caching table metadata.  Entries die with their
+# context: a new session gets a new applicationId.
+_TABLE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    cached = _TABLE_CACHE.get(key)
+    if cached is not None:
+        return cached
     if name == "events":
         # The driver may hand us a session without our defaults; the
         # TIMESTAMP(NANOS) column is unreadable without this conf.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(table_path(sf_dir, name))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # events.ts is parquet TIMESTAMP(NANOS) read as a ns long (see
-        # session.DEFAULT_CONF); normalize to a µs TimestampType.  The
-        # DuckDB oracle mirrors this with CAST(ts AS TIMESTAMP).
-        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    if name == "events":
+        # Normalize events.ts to a µs TimestampType regardless of how the
+        # generator wrote it: TIMESTAMP(NANOS) arrives as a ns long (see
+        # session.DEFAULT_CONF), TIMESTAMP(MICROS, isAdjustedToUTC=false)
+        # arrives as TIMESTAMP_NTZ.  With the session timezone pinned to
+        # UTC the NTZ→LTZ cast is value-preserving, and downstream
+        # operators (unix_micros, watermarks) require TimestampType.
+        # The DuckDB oracle mirrors this with CAST(ts AS TIMESTAMP).
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        elif ts_type == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    _TABLE_CACHE[key] = df
     return df
 
 

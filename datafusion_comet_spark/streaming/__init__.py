@@ -31,16 +31,18 @@ from pyspark.sql.types import (
     StringType,
     StructField,
     StructType,
+    TimestampNTZType,
 )
 
 # Explicit schema: streaming file sources never infer (inference is a
-# second listing+scan).  events.ts is parquet TIMESTAMP(NANOS), read
-# as a raw ns long (spark.sql.legacy.parquet.nanosAsLong, see
-# session.DEFAULT_CONF) and normalized to a µs timestamp below.
+# second listing+scan).  events.ts is parquet TIMESTAMP(MICROS,
+# isAdjustedToUTC=false) → TIMESTAMP_NTZ, normalized below to a
+# session-timezone (UTC-pinned) TimestampType because watermarks and
+# unix_micros require TimestampType.
 EVENTS_SCHEMA = StructType(
     [
         StructField("event_id", LongType()),
-        StructField("ts", LongType()),
+        StructField("ts", TimestampNTZType()),
         StructField("user_id", LongType()),
         StructField("event_type", StringType()),
         StructField("value", DoubleType()),
@@ -53,7 +55,6 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-stream over the events table with a normalized timestamp
     column.  In production the same code points at a landing dir that
     continuously receives files."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # The file-stream source lists a DIRECTORY (the landing-dir model);
     # pathGlobFilter narrows it to the events table file(s).
     raw = (
@@ -62,7 +63,7 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .load(sf_dir)
     )
-    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def run_to_memory(
