@@ -1022,3 +1022,235 @@ def pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# Benchmark decontamination — n-gram overlap against an eval set
+# --------------------------------------------------------------------------
+@register(
+    "decontaminate_ngram_overlap",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, source, str_split(lower(text), ' ') AS t
+  FROM documents
+), sh AS (
+  SELECT doc_id, source,
+         list_distinct(list_transform(
+           generate_series(1, len(t) - 4),
+           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' ||
+                t[i+3] || ' ' || t[i+4])) AS sh
+  FROM tok
+  WHERE len(t) >= 5
+), eval_set AS (
+  SELECT DISTINCT unnest(sh) AS s FROM sh WHERE doc_id % 25 = 0
+), train AS (
+  SELECT doc_id, source, unnest(sh) AS s FROM sh WHERE doc_id % 25 <> 0
+), hit AS (
+  SELECT t.doc_id, t.source, count(*) AS n_overlap
+  FROM train t JOIN eval_set e USING (s)
+  GROUP BY t.doc_id, t.source
+)
+SELECT source,
+       count(*) AS docs_flagged,
+       CAST(max(n_overlap) AS BIGINT) AS max_overlap,
+       CAST(sum(n_overlap) AS BIGINT) AS total_overlap
+FROM hit
+WHERE n_overlap >= 3
+GROUP BY source
+ORDER BY source
+""",
+    tags=("datapipe", "decontamination", "ngram"),
+)
+def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-corpus decontamination: flag training documents whose
+    distinct 5-gram shingles overlap an eval/benchmark set.
+
+    The membership test is the scale-critical piece: the eval side
+    (every 25th document here; a benchmark suite in production) is
+    orders of magnitude smaller than the corpus, so its distinct
+    shingle set is BROADCAST and the fact-side explode joins against
+    it with no shuffle of the corpus.  Per-doc overlap counts then
+    aggregate on doc_id (one shuffle of (doc_id, source) pairs, not
+    text).  Docs with >= 3 overlapping shingles are reported per
+    source."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.split(F.lower("text"), " ").alias("toks")
+    ).filter(F.size("toks") >= 5)
+    sh = docs.select(
+        "doc_id",
+        "source",
+        F.explode(F.array_distinct(_shingles(F.col("toks"), 5))).alias("s"),
+    )
+    eval_sh = (
+        sh.filter(F.col("doc_id") % 25 == 0).select("s").distinct()
+    )
+    train_sh = sh.filter(F.col("doc_id") % 25 != 0)
+    hits = (
+        train_sh.join(F.broadcast(eval_sh), "s")
+        .groupBy("doc_id", "source")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+        .filter(F.col("n_overlap") >= 3)
+    )
+    return (
+        hits.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("docs_flagged"),
+            F.max("n_overlap").cast("long").alias("max_overlap"),
+            F.sum("n_overlap").cast("long").alias("total_overlap"),
+        )
+        .orderBy("source")
+    )
+
+
+# --------------------------------------------------------------------------
+# Pattern scrubbing — PII-style regex masking (patterns parameterized)
+# --------------------------------------------------------------------------
+SCRUB_PATTERN = "(customer|order)"  # stand-in for email/phone/SSN patterns:
+# the synthetic corpus has no true PII, so the gate masks vocabulary words
+# to stay non-vacuous; production swaps the pattern constant only.
+
+
+@register(
+    "text_regex_scrub",
+    oracle=f"""
+SELECT source,
+       count(*) AS n_docs,
+       CAST(sum(CASE WHEN hits > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS docs_with_hits,
+       CAST(sum(hits) AS BIGINT) AS total_hits,
+       CAST(sum(len(scrubbed)) AS BIGINT) AS scrubbed_chars
+FROM (
+  SELECT source,
+         len(regexp_extract_all(text, '{SCRUB_PATTERN}')) AS hits,
+         regexp_replace(text, '{SCRUB_PATTERN}', '[MASK]', 'g') AS scrubbed
+  FROM documents
+) t
+GROUP BY source
+ORDER BY source
+""",
+    tags=("datapipe", "scrub", "regex"),
+)
+def text_regex_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII-style pattern scrubbing: count and mask regex matches per
+    document, report per-source hit and size accounting.
+
+    Pure JVM regex kernels (regexp_count / regexp_replace — the
+    reference implements RegExpReplace natively with constant-pattern
+    gating, reference: spark/src/main/scala/org/apache/comet/serde/strings.scala:353);
+    evaluates as a single scan + partial-agg with no Python and no
+    shuffle beyond the final per-source rollup."""
+    docs = _t(spark, sf_dir, "documents")
+    hits = F.regexp_count("text", F.lit(SCRUB_PATTERN))
+    scrubbed = F.regexp_replace("text", SCRUB_PATTERN, "[MASK]")
+    return (
+        docs.select("source", hits.alias("hits"), scrubbed.alias("scrubbed"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("hits") > 0).cast("int")).cast("long")
+              .alias("docs_with_hits"),
+            F.sum("hits").cast("long").alias("total_hits"),
+            F.sum(F.length("scrubbed")).cast("long").alias("scrubbed_chars"),
+        )
+        .orderBy("source")
+    )
+
+
+# --------------------------------------------------------------------------
+# Weighted corpus mixture — deterministic per-stratum downsampling
+# --------------------------------------------------------------------------
+@register(
+    "sample_weighted_mixture",
+    oracle="""
+SELECT CAST(CAST(substr(source, 4) AS INT) % 3 AS INT) AS bucket,
+       count(*) AS n_total,
+       CAST(sum(CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+                     < CASE CAST(substr(source, 4) AS INT) % 3
+                         WHEN 0 THEN '8000'
+                         WHEN 1 THEN '3333'
+                         ELSE '0ccc' END
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+FROM documents
+GROUP BY bucket
+ORDER BY bucket
+""",
+    tags=("datapipe", "sampling", "mixture"),
+)
+def sample_weighted_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted mixture sampling: each source stratum is
+    kept at a target rate (50% / 20% / 5% here) by comparing a hex
+    prefix of md5(doc_id) against the stratum's threshold — the
+    training-data mixture knob (upsample curated sources, downsample
+    crawl) as a pure scan-side predicate.  Membership is a function of
+    the key alone: reproducible across engines, reruns and cluster
+    sizes, no RNG state, no shuffle; the only exchange is the final
+    accounting rollup."""
+    docs = _t(spark, sf_dir, "documents")
+    bucket = (F.substring("source", 4, 10).cast("int") % 3).cast("int")
+    threshold = (
+        F.when(bucket == 0, "8000").when(bucket == 1, "3333").otherwise("0ccc")
+    )
+    kept = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4) < threshold
+    return (
+        docs.select(bucket.alias("bucket"), kept.cast("int").alias("k"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum("k").cast("long").alias("n_kept"),
+        )
+        .orderBy("bucket")
+    )
+
+
+# --------------------------------------------------------------------------
+# Sliding-window chunking — fixed-length overlapping token windows
+# --------------------------------------------------------------------------
+@register(
+    "doc_chunk_sliding",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, str_split(lower(text), ' ') AS t
+  FROM documents WHERE doc_id < 40
+), starts AS (
+  SELECT doc_id, t, unnest(generate_series(1, len(t), 8)) AS s
+  FROM tok
+)
+SELECT doc_id,
+       (s - 1) // 8 AS chunk_idx,
+       CAST(len(t[s:least(s + 15, len(t))]) AS BIGINT) AS n_tok,
+       md5(list_aggregate(t[s:least(s + 15, len(t))], 'string_agg', ' '))
+         AS chunk_hash
+FROM starts
+ORDER BY doc_id, chunk_idx
+""",
+    tags=("datapipe", "chunking"),
+)
+def doc_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking for sequence-model training: 16-token
+    windows at stride 8 (50% overlap) via sequence→posexplode→slice —
+    no Python, no shuffle (chunking is embarrassingly parallel per
+    document; the orderBy here is presentation only).  Each chunk is
+    emitted with its index and an md5 content hash (the join key a
+    downstream tokenizer/packing stage would use)."""
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 40)
+        .select("doc_id", F.split(F.lower("text"), " ").alias("t"))
+    )
+    starts = docs.select(
+        "doc_id",
+        "t",
+        F.posexplode(
+            F.sequence(F.lit(1), F.size("t"), F.lit(8))
+        ).alias("chunk_idx", "s"),
+    )
+    chunk = F.slice("t", F.col("s"), F.lit(16))
+    return (
+        starts.select(
+            "doc_id",
+            F.col("chunk_idx").cast("long").alias("chunk_idx"),
+            F.size(chunk).cast("long").alias("n_tok"),
+            F.md5(F.concat_ws(" ", chunk)).alias("chunk_hash"),
+        )
+        .orderBy("doc_id", "chunk_idx")
+    )

@@ -1157,3 +1157,96 @@ def q20_part_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("n_name", "s_name", "s_acctbal")
         .orderBy("n_name", "s_name")
     )
+
+
+# --------------------------------------------------------------------------
+# Q21 scale rewrite — aggregate formulation of the semi/anti self-joins
+# --------------------------------------------------------------------------
+@register(
+    "q21_scale_rewrite",
+    oracle="""
+SELECT s_name, count(*) AS numwait
+FROM supplier
+JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+JOIN orders    ON o_orderkey = l1.l_orderkey
+WHERE o_orderstatus = 'F'
+  AND EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey
+          AND l2.l_suppkey <> l1.l_suppkey
+      )
+  AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3
+        WHERE l3.l_orderkey = l1.l_orderkey
+          AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_shipdate > l1.l_shipdate
+      )
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 25
+""",
+    tags=("tpch", "aggregate", "rewrite", "topk", "bench"),
+)
+def q21_scale_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21 with the two lineitem self-joins replaced by per-order
+    aggregation — the rewrite a 100 TB plan wants.
+
+    The semi/anti formulation (``q21_waiting_supplier``) shuffles the
+    full fact table three times (l1, l2, l3 sides).  Equivalent
+    per-line predicate: a line qualifies iff its order has >=2 distinct
+    suppliers AND no OTHER supplier in the order shipped strictly
+    later.  Both facts derive from one supplier-level aggregate per
+    order: with per-(order, supplier) max shipdates sorted descending,
+    the "other-supplier max" for a line of supplier s is the top entry
+    if it belongs to a different supplier (or is tied across >=2
+    suppliers), else the second entry.  Supplier count per order is
+    TPC-H-bounded (~7), so the collected list is O(1) per order.
+
+    Shuffle economics vs the self-join plan: one partial-agg shuffle of
+    (orderkey, suppkey, max) pairs + one join keyed on orderkey,
+    instead of three full-width fact shuffles.  Reference context: the
+    reference accelerates the three-join plan as-is
+    (docs/source/contributor-guide/benchmark-results/tpc-h.md); a
+    logical rewrite is out of its scope — here it is ~2x fewer
+    shuffled bytes."""
+    supp = _t(spark, sf_dir, "supplier")
+    orders_f = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey")
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    # Supplier-level max shipdate per order (partial agg shrinks the
+    # shuffle to one row per (order, supplier) pair).
+    persup = li.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("l_shipdate").alias("smax")
+    )
+    # Per-order descending (smax, suppkey) list; suppliers-per-order is
+    # bounded so collect_list is O(1) memory per key.
+    perord = persup.groupBy("l_orderkey").agg(
+        F.reverse(
+            F.array_sort(F.collect_list(F.struct("smax", "l_suppkey")))
+        ).alias("tops"),
+        F.count(F.lit(1)).alias("n_supp"),
+    )
+    top1 = F.col("tops")[0]
+    top2 = F.element_at("tops", 2)
+    # max shipdate among suppliers OTHER than this line's supplier
+    other_max = F.when(
+        top1["l_suppkey"] != F.col("l_suppkey"), top1["smax"]
+    ).otherwise(top2["smax"])
+    qualified = (
+        li.join(orders_f, li.l_orderkey == orders_f.o_orderkey)
+        .join(perord.filter(F.col("n_supp") >= 2), "l_orderkey")
+        .filter(F.col("l_shipdate") >= other_max)
+        .select("l_suppkey")
+    )
+    return (
+        qualified.join(F.broadcast(supp), qualified.l_suppkey == supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(25)
+    )
