@@ -50,9 +50,14 @@ def test_topk_uses_take_ordered(spark, sf_dir):
 
 def test_no_python_udf_in_registered_queries(spark, sf_dir):
     """Hot paths stay JVM-side: no BatchEvalPython / ArrowEvalPython
-    operator may appear in any registered query plan."""
+    operator may appear in any registered query plan.  Queries tagged
+    ``udtf`` are exempt — they exist to exercise the Python UDTF
+    surface itself (the plan legitimately contains
+    BatchEvalPythonUDTF)."""
     offenders = []
     for name, q in REGISTRY.items():
+        if "udtf" in q.tags:
+            continue
         plan = plan_string(q.fn(spark, sf_dir), "simple")
         if "BatchEvalPython" in plan or "ArrowEvalPython" in plan:
             offenders.append(name)
