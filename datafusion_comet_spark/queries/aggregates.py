@@ -494,3 +494,39 @@ def udaf_grouped_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "agg_hll_sketch",
+    oracle=None,  # Datasketches HLL binaries are engine-specific; the
+    # pytest suite bounds the estimate against the exact count.
+    tags=("aggregate", "approx", "sketch"),
+)
+def agg_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apache DataSketches HLL aggregates (Spark 3.5+):
+    ``hll_sketch_agg`` builds a mergeable binary sketch per group,
+    ``hll_union_agg`` merges pre-built sketches, ``hll_sketch_estimate``
+    reads the estimate out.  This is the *mergeable-state* pattern that
+    matters at 100 TB: per-partition/per-day sketches are tiny
+    (≤ lgK=12 → 2.5 KB), persistable, and re-aggregable without
+    touching raw data — unlike approx_count_distinct whose state dies
+    inside one query.  The reference has no sketch surface at all
+    (bloom_filter_agg is its only sketch, and it is internal-only —
+    SURVEY.md §2.3).
+
+    The query builds per-(returnflag, linestatus) sketches, then
+    UNIONs them up to returnflag — exactly how a partitioned corpus
+    would roll daily sketches into monthly cardinalities."""
+    li = _t(spark, sf_dir, "lineitem")
+    per_cell = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.hll_sketch_agg("l_partkey", F.lit(12)).alias("sk"),
+        F.count_distinct("l_partkey").alias("exact_cell_nd"),
+    )
+    return (
+        per_cell.groupBy("l_returnflag")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_nd"),
+            F.sum("exact_cell_nd").alias("sum_cell_exact"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -1254,3 +1254,215 @@ def doc_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id", "chunk_idx")
     )
+
+
+# --------------------------------------------------------------------------
+# Quality signal: within-document repetition (Gopher-style)
+# --------------------------------------------------------------------------
+@register(
+    "doc_repetition_ratio",
+    oracle="""
+WITH per_doc AS (
+  SELECT source,
+         1.0 - len(list_distinct(toks)) * 1.0 / len(toks) AS tok_rep,
+         CASE WHEN len(toks) >= 3 THEN
+           1.0 - len(list_distinct(tri)) * 1.0 / len(tri)
+         ELSE 0.0 END AS tri_rep
+  FROM (
+    SELECT source, toks,
+           list_transform(range(1, len(toks) - 1),
+                          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+             AS tri
+    FROM (SELECT source, str_split(lower(text), ' ') AS toks
+          FROM documents WHERE text IS NOT NULL)
+  )
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       round(avg(tok_rep), 4) AS avg_tok_rep,
+       round(avg(tri_rep), 4) AS avg_tri_rep,
+       CAST(sum(CASE WHEN tok_rep > 0.3 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_flagged
+FROM per_doc
+GROUP BY source
+ORDER BY source
+""",
+    tags=("datapipe", "quality", "repetition"),
+)
+def doc_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition signals (the Gopher repetition
+    filters): duplicate-token fraction and duplicate-3-gram fraction
+    per document, rolled up per source with a flag count for the
+    repetition gate.  High repetition marks boilerplate/spam for
+    removal before training.
+
+    Scale shape: both ratios are per-row array expressions computed in
+    the scan projection — zero shuffles until the final tiny per-source
+    rollup.  The 3-gram array reuses the materialized token array (one
+    split per row); no explode, so the row count never multiplies."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    toks = F.split(F.lower("text"), " ")
+    docs = docs.select("source", toks.alias("toks"))
+    n = F.size("toks")
+    tri = F.transform(
+        F.sequence(F.lit(0), n - 3),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at("toks", i + 1),
+            F.element_at("toks", i + 2),
+            F.element_at("toks", i + 3),
+        ),
+    )
+    per_doc = docs.select(
+        "source",
+        (
+            F.lit(1.0)
+            - F.size(F.array_distinct("toks")) / n.cast("double")
+        ).alias("tok_rep"),
+        F.when(
+            n >= 3,
+            F.lit(1.0) - F.size(F.array_distinct(tri)) / (n - 2).cast("double"),
+        )
+        .otherwise(0.0)
+        .alias("tri_rep"),
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("tok_rep"), 4).alias("avg_tok_rep"),
+            F.round(F.avg("tri_rep"), 4).alias("avg_tri_rep"),
+            F.sum((F.col("tok_rep") > 0.3).cast("bigint")).alias("n_flagged"),
+        )
+        .orderBy("source")
+    )
+
+
+# --------------------------------------------------------------------------
+# Normalization-keyed dedup (near-exact: casing/punctuation/whitespace)
+# --------------------------------------------------------------------------
+@register(
+    "dedup_normalized_text",
+    oracle="""
+WITH normed AS (
+  SELECT doc_id, source,
+         md5(trim(regexp_replace(regexp_replace(lower(text),
+               '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS norm_key
+  FROM documents WHERE text IS NOT NULL
+), survivors AS (
+  SELECT norm_key, min(doc_id) AS keep_id,
+         count(*) AS n_copies
+  FROM normed GROUP BY norm_key
+)
+SELECT n.source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT n.norm_key) AS BIGINT) AS n_unique,
+       CAST(sum(CASE WHEN n.doc_id = s.keep_id THEN 0 ELSE 1 END) AS BIGINT)
+         AS n_dropped
+FROM normed n JOIN survivors s USING (norm_key)
+GROUP BY n.source
+ORDER BY n.source
+""",
+    tags=("datapipe", "dedup", "normalization"),
+)
+def dedup_normalized_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-exact dedup on a *normalized* content key: lowercase, strip
+    non-alphanumerics, collapse whitespace, md5 — catches the
+    casing/punctuation/whitespace variants that byte-exact dedup
+    misses but MinHash is overkill for.  Survivor = min(doc_id) per
+    key (deterministic, engine-independent).
+
+    Scale shape: the normalization chain is scan-side projection; the
+    md5 key is uniform so the groupBy shuffle is unskewed; survivor
+    election and the per-source accounting reuse ONE window over the
+    same key partitioning instead of a groupBy + self-join (the oracle
+    spells the join form; Spark's window form is plan-equivalent with
+    one fewer shuffle)."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    norm_key = F.md5(
+        F.trim(
+            F.regexp_replace(
+                F.regexp_replace(F.lower("text"), "[^a-z0-9 ]", " "),
+                " +",
+                " ",
+            )
+        )
+    )
+    normed = docs.select("doc_id", "source", norm_key.alias("norm_key"))
+    keyed = normed.withColumn(
+        "keep_id", F.min("doc_id").over(W.partitionBy("norm_key"))
+    )
+    return (
+        keyed.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("norm_key").alias("n_unique"),
+            F.sum((F.col("doc_id") != F.col("keep_id")).cast("bigint")).alias(
+                "n_dropped"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+# --------------------------------------------------------------------------
+# Arrow-native table function: mapInArrow token accounting
+# --------------------------------------------------------------------------
+@register(
+    "token_count_arrow",
+    oracle="""
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(len(str_split(text, ' '))) AS BIGINT) AS total_toks,
+       CAST(max(len(str_split(text, ' '))) AS BIGINT) AS max_toks
+FROM documents
+WHERE text IS NOT NULL
+GROUP BY source
+ORDER BY source
+""",
+    tags=("datapipe", "arrow", "udf-surface"),
+)
+def token_count_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace token counting computed inside ``mapInArrow`` — the
+    zero-copy Arrow batch surface (the idiomatic analogue of the
+    reference's Arrow-FFI UDF bridge, reference:
+    common/src/main/scala/org/apache/comet/udf/CometUDF.scala;
+    expr.proto:519-532).  The Python worker receives pyarrow
+    RecordBatches and computes vectorized `pc.count_substring` — no
+    pandas conversion, no per-row Python.
+
+    The oracle recomputes the same counts in SQL: this pins that the
+    Arrow batch boundary neither reorders nor corrupts values.  Scale
+    shape: mapInArrow is partition-local (no shuffle); the rollup after
+    it is the only exchange.  Real pipelines put tokenizers here —
+    count ≈ len(split) is the stand-in kernel."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("source", "text")
+    )
+
+    def count_tokens(batches):
+        for batch in batches:
+            text = batch.column(1)
+            toks = pc.add(
+                pc.count_substring(text, " "), pa.scalar(1, pa.int32())
+            )
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(0), pc.cast(toks, pa.int64())],
+                ["source", "n_toks"],
+            )
+
+    counted = docs.mapInArrow(count_tokens, "source string, n_toks long")
+    return (
+        counted.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_toks").alias("total_toks"),
+            F.max("n_toks").alias("max_toks"),
+        )
+        .orderBy("source")
+    )

@@ -11,7 +11,9 @@ Catalyst to joins/aggregates exactly as the reference receives them
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+import datetime
+
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
@@ -1068,4 +1070,187 @@ def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("price"), 2).alias("sum_price"),
         )
         .orderBy("tag")
+    )
+
+
+# --------------------------------------------------------------------------
+# Modern SQL entry-point surfaces (Spark 3.4/4.x analyzer features).
+# All compile to plans already covered by the operator inventory — these
+# entries pin that the *analyzer* surfaces users actually type resolve
+# identically to the canonical spelling (the oracle).  The reference has
+# no SQL frontend of its own (Catalyst does all parsing/analysis,
+# reference: README.md:38-41), so every analyzer feature Spark ships is
+# automatically part of this engine's surface.
+# --------------------------------------------------------------------------
+@register(
+    "sql_group_order_by_all",
+    oracle="""
+SELECT o_orderpriority, o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+         AS revenue
+FROM orders
+GROUP BY ALL
+ORDER BY ALL
+""",
+    tags=("relational", "sql", "group-by-all"),
+)
+def sql_group_order_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``GROUP BY ALL`` / ``ORDER BY ALL`` (Spark 3.4+/4.x analyzer
+    sugar, same syntax DuckDB pioneered): grouping keys are inferred as
+    every non-aggregate select item; ordering covers the full select
+    list left-to-right.  Resolves to the identical Aggregate + Sort
+    plan as the explicit spelling — pinned by running the explicit
+    form as the oracle."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("dcs_gba_orders")
+    return spark.sql("""
+        SELECT o_orderpriority, o_orderstatus,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2)
+                    AS DOUBLE) AS revenue
+        FROM dcs_gba_orders
+        GROUP BY ALL
+        ORDER BY ALL
+    """)
+
+
+@register(
+    "sql_parameterized",
+    oracle="""
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders
+FROM orders
+WHERE o_orderdate >= DATE '1995-03-01'
+  AND o_totalprice > 50000.0
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+    tags=("relational", "sql", "parameterized"),
+)
+def sql_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named-parameter SQL (``spark.sql(query, args=...)``, Spark
+    3.4+): parameter markers are bound by the analyzer as literals
+    BEFORE optimization, so a bound date/number prunes and pushes down
+    exactly like an inline literal (the oracle inlines them).  This is
+    the injection-safe API surface a query service would expose; the
+    plan must show the same PushedFilters as the literal spelling."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("dcs_param_orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n_orders
+        FROM dcs_param_orders
+        WHERE o_orderdate >= :cutoff AND o_totalprice > :floor
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+        """,
+        args={"cutoff": datetime.date(1995, 3, 1), "floor": 50000.0},
+    )
+
+
+@register(
+    "setop_union_missing_columns",
+    oracle="""
+SELECT * FROM (
+  SELECT n_name AS name, n_regionkey AS regionkey, NULL AS name_len
+  FROM nation WHERE n_regionkey <= 1
+  UNION ALL BY NAME
+  SELECT r_name AS name, CAST(length(r_name) AS BIGINT) AS name_len
+  FROM region
+)
+ORDER BY name NULLS FIRST, regionkey NULLS FIRST
+""",
+    tags=("relational", "setop"),
+)
+def setop_union_missing_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``unionByName(allowMissingColumns=True)``: schema-evolving
+    concatenation — each side's missing columns are NULL-filled, the
+    union resolves by name not position (DuckDB's UNION ALL BY NAME is
+    the same semantics).  The everyday shape for unioning corpus
+    shards whose schemas drifted across generations."""
+    nation = (
+        _t(spark, sf_dir, "nation")
+        .filter(F.col("n_regionkey") <= 1)
+        .select(
+            F.col("n_name").alias("name"),
+            F.col("n_regionkey").alias("regionkey"),
+        )
+    )
+    region = _t(spark, sf_dir, "region").select(
+        F.col("r_name").alias("name"),
+        F.length("r_name").cast("bigint").alias("name_len"),
+    )
+    return nation.unionByName(region, allowMissingColumns=True).orderBy(
+        F.col("name").asc_nulls_first(), F.col("regionkey").asc_nulls_first()
+    )
+
+
+@register(
+    "lateral_column_alias",
+    oracle="""
+SELECT o_orderkey,
+       CAST(round(CAST(o_totalprice AS DECIMAL(18,2)) * 0.9, 2) AS DOUBLE)
+         AS discounted,
+       CAST(round(round(CAST(o_totalprice AS DECIMAL(18,2)) * 0.9, 2) * 0.07,
+                  2) AS DOUBLE) AS tax
+FROM orders
+WHERE o_totalprice > 100000.0
+ORDER BY o_orderkey
+LIMIT 50
+""",
+    tags=("relational", "sql", "lateral-alias"),
+)
+def lateral_column_alias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lateral column alias (Spark 3.4+): a SELECT item referencing an
+    alias defined earlier in the SAME select list.  The analyzer
+    rewrites it into nested projections — no extra operator, no
+    subquery — so derived-metric chains (discounted → tax) stay one
+    Project.  DuckDB resolves the same syntax natively; the oracle
+    spells the expansion explicitly."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("dcs_lca_orders")
+    return spark.sql("""
+        SELECT o_orderkey,
+               CAST(round(CAST(o_totalprice AS DECIMAL(18,2)) * 0.9, 2)
+                    AS DOUBLE) AS discounted,
+               CAST(round(discounted * 0.07, 2) AS DOUBLE) AS tax
+        FROM dcs_lca_orders
+        WHERE o_totalprice > 100000.0
+        ORDER BY o_orderkey
+        LIMIT 50
+    """)
+
+
+@register(
+    "range_generator",
+    oracle="""
+SELECT CAST(range AS BIGINT) AS id,
+       CAST(range * range % 97 AS BIGINT) AS sq_mod,
+       CAST(sum(range) OVER (ORDER BY range ROWS UNBOUNDED PRECEDING)
+            AS BIGINT) AS running
+FROM range(0, 1000)
+ORDER BY id
+""",
+    tags=("relational", "generator", "range"),
+)
+def range_generator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``spark.range`` — the parallel integer generator (Spark's Range
+    leaf, the analogue of the reference's LocalTableScan for synthetic
+    input, reference: spark/sql/comet/CometLocalTableScanExec.scala:107).
+    Range splits its [start, end) interval across partitions without
+    materializing anything, so generated benchmarks/backfills scale to
+    any row count; DuckDB's table function range() is the oracle."""
+    return (
+        spark.range(0, 1000)
+        .select(
+            F.col("id"),
+            (F.col("id") * F.col("id") % 97).alias("sq_mod"),
+            F.sum("id")
+            .over(
+                Window.orderBy("id").rowsBetween(
+                    Window.unboundedPreceding, Window.currentRow
+                )
+            )
+            .alias("running"),
+        )
+        .orderBy("id")
     )

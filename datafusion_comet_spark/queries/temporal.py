@@ -558,3 +558,108 @@ def join_range_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         # the click's two candidate buckets, so each pair joins once
         .orderBy("click_id", "purchase_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Batch time windows — the batch counterparts of the streaming windowed
+# aggregations (stream_window_agg / stream_session_window).  The
+# reference has NO time-window operator at all (its IR stops at equi
+# joins + hash aggregate, reference: native/proto/src/proto/operator.proto:38-56);
+# Spark's F.window / F.session_window are Catalyst-native generators
+# that compile to a Project (tumbling) / Expand (sliding), so they stay
+# inside whole-stage codegen and aggregate with one keyed shuffle.
+# --------------------------------------------------------------------------
+@register(
+    "events_tumbling_window",
+    oracle="""
+SELECT time_bucket(INTERVAL 30 MINUTE, ts) AS win_start,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 4) AS total_value
+FROM events
+GROUP BY 1, 2
+ORDER BY 1, 2
+""",
+    tags=("temporal", "window", "tumbling"),
+)
+def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 30-minute windowed aggregation with ``F.window`` — the
+    batch form of the streaming window rollup.  Epoch-aligned buckets
+    (Spark aligns to 1970-01-01; DuckDB's time_bucket to 2000-01-01 —
+    the offset is a whole number of 30-minute periods, so the bucket
+    edges coincide).
+
+    Scale shape: window assignment is a per-row projection (no
+    Expand for tumbling windows), then a standard two-phase hash
+    aggregate — one shuffle on (window, type), partials map-side."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "30 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("win_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+        .orderBy("win_start", "event_type")
+    )
+
+
+@register(
+    "events_session_window_batch",
+    oracle="""
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+              OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), sess AS (
+  SELECT user_id, ts,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged
+)
+SELECT user_id,
+       min(ts) AS session_start,
+       max(ts) AS session_last,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM sess
+GROUP BY user_id, sid
+ORDER BY user_id, session_start
+""",
+    tags=("temporal", "window", "session"),
+)
+def events_session_window_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization with the native ``F.session_window``
+    generator (30-minute inactivity gap) — the operator form of the
+    lag/cumsum gaps-and-islands rewrite used by `events_sessionize`
+    (both plans are verified against the same islands oracle).
+
+    Scale shape: Spark plans session_window as a partition-local
+    merge of overlapping candidate sessions after ONE shuffle on
+    user_id — same exchange count as the manual rewrite, but the
+    session merge runs inside the aggregate operator instead of two
+    window passes.  `window.end` is (last event + gap) by definition,
+    so the oracle-comparable "last event" is end - 30 min."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.session_window("ts", "30 minutes").alias("w"), "user_id"
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            (F.col("w.end") - F.expr("INTERVAL 30 MINUTE")).alias(
+                "session_last"
+            ),
+            "n_events",
+        )
+        .orderBy("user_id", "session_start")
+    )

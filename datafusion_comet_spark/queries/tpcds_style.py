@@ -199,3 +199,81 @@ def tpcds_rank_in_category(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 3)
         .orderBy("brand", "rk", "container")
     )
+
+
+@register(
+    "tpcds_cumulative_compare",
+    oracle="""
+WITH monthly AS (
+  SELECT date_trunc('month', o_orderdate) AS mon,
+         CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+              THEN 'express' ELSE 'standard' END AS channel,
+         sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+  FROM orders
+  GROUP BY 1, 2
+), cum AS (
+  SELECT mon, channel,
+         sum(rev) OVER (PARTITION BY channel ORDER BY mon
+                        ROWS UNBOUNDED PRECEDING) AS cum_rev
+  FROM monthly
+)
+SELECT CAST(coalesce(a.mon, b.mon) AS DATE) AS mon,
+       CAST(round(a.cum_rev, 2) AS DOUBLE) AS cum_express,
+       CAST(round(b.cum_rev, 2) AS DOUBLE) AS cum_standard,
+       CAST(a.cum_rev > b.cum_rev * 0.67 AS BOOLEAN) AS express_ahead
+FROM (SELECT * FROM cum WHERE channel = 'express') a
+FULL OUTER JOIN (SELECT * FROM cum WHERE channel = 'standard') b
+  ON a.mon = b.mon
+ORDER BY mon
+""",
+    tags=("tpcds", "window", "cumulative", "join"),
+)
+def tpcds_cumulative_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q51 shape: per-channel cumulative revenue curves joined
+    FULL OUTER on the time axis and compared (q51 compares web vs
+    store cumulative sales; here express vs standard order priority).
+
+    Scale shape: aggregate each channel to months FIRST (one fact
+    shuffle with map-side partials), run the cumulative window over the
+    tiny monthly series, and full-outer-join the two curves on month —
+    the fact table is never shuffled twice and the window never sees
+    raw rows.  q51's danger at scale is running the cumulative window
+    directly over the joined detail; pre-aggregation keeps the window
+    input at |months| rows."""
+    orders = _t(spark, sf_dir, "orders")
+    monthly = (
+        orders.groupBy(
+            F.date_trunc("month", "o_orderdate").alias("mon"),
+            F.when(
+                F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"),
+                "express",
+            )
+            .otherwise("standard")
+            .alias("channel"),
+        )
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev"))
+    )
+    w = (
+        Window.partitionBy("channel")
+        .orderBy("mon")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = monthly.select(
+        "mon", "channel", F.sum("rev").over(w).alias("cum_rev")
+    )
+    a = cum.filter(F.col("channel") == "express").select(
+        "mon", F.col("cum_rev").alias("cum_a")
+    )
+    b = cum.filter(F.col("channel") == "standard").select(
+        "mon", F.col("cum_rev").alias("cum_b")
+    )
+    return (
+        a.join(b, "mon", "full_outer")
+        .select(
+            F.col("mon").cast("date").alias("mon"),
+            F.round("cum_a", 2).cast("double").alias("cum_express"),
+            F.round("cum_b", 2).cast("double").alias("cum_standard"),
+            (F.col("cum_a") > F.col("cum_b") * 0.67).alias("express_ahead"),
+        )
+        .orderBy("mon")
+    )

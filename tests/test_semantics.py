@@ -56,6 +56,30 @@ def test_approx_count_distinct_accuracy(spark, sf_dir):
         )
 
 
+def test_hll_sketch_union_accuracy(spark, sf_dir):
+    """Datasketches HLL: the merged (hll_union_agg) estimate per
+    returnflag must track the true distinct count within HLL error at
+    lgK=12 (~2%; generous 10% bound), and the sketch must NOT simply
+    sum the per-cell exacts (union semantics, not addition, whenever
+    cells share part keys)."""
+    df = REGISTRY["agg_hll_sketch"].fn(spark, sf_dir)
+    from pyspark.sql import functions as F
+    from datafusion_comet_spark.catalog import load_table
+
+    exact = {
+        r.l_returnflag: r.nd
+        for r in load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.count_distinct("l_partkey").alias("nd"))
+        .collect()
+    }
+    for r in df.collect():
+        true_nd = exact[r.l_returnflag]
+        assert abs(r.approx_nd - true_nd) / max(true_nd, 1) < 0.10, (
+            f"HLL union error too large: {r.approx_nd} vs {true_nd}"
+        )
+
+
 def test_minhash_estimates_track_exact_jaccard(spark, sf_dir):
     """Candidate pairs from LSH must have estimated Jaccard close to the
     exact shingle-set Jaccard (±0.35 at 16 hashes), and high-similarity
