@@ -844,10 +844,22 @@ def connected_components(
     native/proto/src/proto/operator.proto:31-57)."""
     sym = edges.selectExpr(f"{src} AS n", f"{dst} AS m")
     sym = sym.union(sym.selectExpr("m AS n", "n AS m"))
+    # The edge relation is re-read every round and the label frontier is
+    # rebuilt on top of the previous round's result: without lineage
+    # truncation the plan doubles per iteration and every fixpoint check
+    # re-executes ALL prior rounds from the source (O(rounds²) work,
+    # analyzer blowup after ~10 rounds).  persist() pins the edges;
+    # localCheckpoint() materializes each round's labels and cuts the
+    # plan back to a leaf — on a real cluster use checkpoint() against
+    # reliable storage if executor loss must be survivable mid-loop.
+    sym = sym.persist()
     # initial label: self (isolated endpoints keep themselves); every
     # projection re-aliases so self-join lineage stays unambiguous
-    labels = sym.selectExpr("n AS node").distinct().selectExpr(
-        "node", "node AS comp"
+    labels = (
+        sym.selectExpr("n AS node")
+        .distinct()
+        .selectExpr("node", "node AS comp")
+        .localCheckpoint(eager=True)
     )
     for _ in range(max_iter):
         # candidate label per node: min over neighbours' labels and own
@@ -861,6 +873,7 @@ def connected_components(
             .union(neigh)
             .groupBy("node")
             .agg(F.min("comp").alias("comp"))
+            .localCheckpoint(eager=True)
         )
         changed = (
             new_labels.selectExpr("node", "comp AS comp_new")

@@ -1185,7 +1185,7 @@ GROUP BY s_name
 ORDER BY numwait DESC, s_name
 LIMIT 25
 """,
-    tags=("tpch", "aggregate", "rewrite", "topk", "bench"),
+    tags=("tpch", "aggregate", "rewrite", "topk"),
 )
 def q21_scale_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q21 with the two lineitem self-joins replaced by per-order
