@@ -1479,3 +1479,214 @@ def token_count_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# Incremental corpus operations (the shapes a RUNNING pipeline needs)
+# --------------------------------------------------------------------------
+@register(
+    "dedup_incremental_vs_corpus",
+    oracle="""
+WITH hist AS (
+  SELECT DISTINCT md5(text) AS fp FROM documents
+  WHERE doc_id < 2000 AND text IS NOT NULL
+), new_batch AS (
+  SELECT doc_id, source, md5(text) AS fp FROM documents
+  WHERE doc_id >= 2000 AND text IS NOT NULL
+)
+SELECT n.source,
+       CAST(count(*) AS BIGINT) AS n_new,
+       CAST(sum(CASE WHEN h.fp IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_kept,
+       CAST(sum(CASE WHEN h.fp IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_vs_corpus
+FROM new_batch n LEFT JOIN hist h ON n.fp = h.fp
+GROUP BY n.source
+ORDER BY n.source
+""",
+    tags=("datapipe", "dedup", "incremental"),
+)
+def dedup_incremental_vs_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup: a NEW shard is checked against the fingerprint
+    set of the EXISTING corpus (left-anti in production; here a left
+    join with kept/dup accounting so the gate is observable).  This is
+    the shape a running ingestion pipeline executes daily — the
+    historical side is a pre-computed fingerprint table, never the raw
+    corpus.
+
+    Scale shape: the history is fingerprints only (16 bytes/doc — a
+    100 TB corpus compresses to ~100s of GB of keys, bucketable and
+    incrementally maintained); the join keys on the uniform md5 so the
+    shuffle is unskewed, and when the daily shard is small Spark
+    broadcasts IT against the big fingerprint table after AQE sizes
+    both sides.  doc_id < 2000 stands in for 'yesterday's corpus'."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    hist = (
+        docs.filter(F.col("doc_id") < 2000)
+        .select(F.md5("text").alias("fp"))
+        .distinct()
+        .withColumn("in_hist", F.lit(1))
+    )
+    new_batch = docs.filter(F.col("doc_id") >= 2000).select(
+        "source", F.md5("text").alias("fp")
+    )
+    return (
+        new_batch.join(hist, "fp", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_new"),
+            F.sum(F.col("in_hist").isNull().cast("bigint")).alias("n_kept"),
+            F.sum(F.col("in_hist").isNotNull().cast("bigint")).alias(
+                "n_dup_vs_corpus"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "corpus_deterministic_shuffle",
+    oracle="""
+SELECT doc_id, source,
+       md5(CAST(doc_id AS VARCHAR) || ':42') AS shuffle_key
+FROM documents
+ORDER BY shuffle_key, doc_id
+LIMIT 100
+""",
+    tags=("datapipe", "shuffle", "training"),
+)
+def corpus_deterministic_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corpus shuffling for training: global order by a
+    salted content-independent hash.  Reproducible across engines,
+    cluster sizes and retries (unlike rand()-based orderings, which are
+    partition-seeded), and re-saltable per epoch by changing one
+    literal.
+
+    Scale shape: ORDER BY a uniform hash is a range-partitioned sort —
+    Spark samples the key distribution and every partition gets an
+    even slice; writing the result partitioned by bucket ranges yields
+    the shard files a training loader streams.  The LIMIT here keeps
+    the oracle small; production writes the full permutation."""
+    docs = _t(spark, sf_dir, "documents")
+    key = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":42")))
+    return (
+        docs.select("doc_id", "source", key.alias("shuffle_key"))
+        .orderBy("shuffle_key", "doc_id")
+        .limit(100)
+    )
+
+
+@register(
+    "doc_pack_greedy",
+    oracle="""
+WITH sized AS (
+  SELECT doc_id, source, len(str_split(text, ' ')) AS n_toks
+  FROM documents WHERE text IS NOT NULL
+), packed AS (
+  SELECT doc_id, source, n_toks,
+         CAST(floor((sum(n_toks) OVER (PARTITION BY source ORDER BY doc_id
+                     ROWS UNBOUNDED PRECEDING) - n_toks) / 4096.0)
+              AS BIGINT) AS bin_id
+  FROM sized
+)
+SELECT source, bin_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_toks) AS BIGINT) AS bin_toks
+FROM packed
+GROUP BY source, bin_id
+ORDER BY source, bin_id
+""",
+    tags=("datapipe", "packing", "training"),
+)
+def doc_pack_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: assign documents to fixed-token-budget bins
+    (4096 tokens) in deterministic doc_id order within each source —
+    bin = floor(exclusive-running-token-total / budget), the
+    streaming-greedy packing a training dataloader applies, expressed
+    as ONE window cumsum (no iterative bin state).
+
+    Scale shape: the window partitions by source (parallel across
+    sources) and the cumsum is a partition-local scan after one
+    shuffle; the rollup reuses the same partitioning.  A 100 TB corpus
+    packs with exactly two exchanges end-to-end."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    sized = docs.select(
+        "doc_id", "source", F.size(F.split("text", " ")).alias("n_toks")
+    )
+    w = (
+        W.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    packed = sized.select(
+        "source",
+        "n_toks",
+        F.floor((F.sum("n_toks").over(w) - F.col("n_toks")) / 4096.0).alias(
+            "bin_id"
+        ),
+    )
+    return (
+        packed.groupBy("source", "bin_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_toks").cast("bigint").alias("bin_toks"),
+        )
+        .orderBy("source", "bin_id")
+    )
+
+
+@register(
+    "doc_length_ntile",
+    oracle="""
+WITH sized AS (
+  SELECT doc_id, source, len(str_split(text, ' ')) AS n_toks
+  FROM documents WHERE text IS NOT NULL
+), tiled AS (
+  SELECT source, n_toks,
+         CAST(ntile(10) OVER (PARTITION BY source
+                              ORDER BY n_toks, doc_id) AS INT) AS decile
+  FROM sized
+)
+SELECT source, decile,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(min(n_toks) AS BIGINT) AS min_toks,
+       CAST(max(n_toks) AS BIGINT) AS max_toks
+FROM tiled
+GROUP BY source, decile
+ORDER BY source, decile
+""",
+    tags=("datapipe", "curriculum", "window"),
+)
+def doc_length_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum length-bucketing: per-source deciles of document
+    token length via ntile(10) (deterministic tie-break on doc_id), 
+    rolled up to bucket boundaries — the equal-frequency binning used
+    to schedule short→long training curricula and to size packing
+    budgets per bucket.
+
+    Scale shape: ntile needs a per-source total ordering — one range
+    exchange within each source partition; the rollup then reuses the
+    window partitioning.  For corpus-scale data where a global ntile
+    is too hot, the production variant computes approx percentile cuts
+    first and joins them in (approx_percentile is a single aggregate);
+    this query pins the exact form."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    sized = docs.select(
+        "doc_id", "source", F.size(F.split("text", " ")).alias("n_toks")
+    )
+    tiled = sized.select(
+        "source",
+        "n_toks",
+        F.ntile(10)
+        .over(W.partitionBy("source").orderBy("n_toks", "doc_id"))
+        .alias("decile"),
+    )
+    return (
+        tiled.groupBy("source", "decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_toks").cast("bigint").alias("min_toks"),
+            F.max("n_toks").cast("bigint").alias("max_toks"),
+        )
+        .orderBy("source", "decile")
+    )
