@@ -241,3 +241,59 @@ def test_retention_reuses_user_exchange(spark, sf_dir):
     plan = plan_string(df, "simple")
     # events is scanned once per side but never more
     assert plan.count("Scan parquet") <= 2
+
+
+def test_analyze_table_records_cbo_statistics(spark, sf_dir):
+    """ANALYZE TABLE ... COMPUTE STATISTICS (table + column level): the
+    cost-based-optimizer inputs Spark uses for join reordering and
+    build-side choice when file-size estimates lie (post-filter
+    cardinalities, wide rows).  The reference relies entirely on
+    Spark/Catalyst for these decisions (SURVEY.md §4.1) — so keeping
+    the stats pipeline working IS the engine's optimizer story.  At
+    100 TB, ANALYZE after ingest is what keeps a selective dimension
+    broadcastable instead of shuffled on stale size guesses."""
+    from datafusion_comet_spark.queries import load_all as _  # session warm
+    from datafusion_comet_spark.sources import scratch_dir
+
+    name = "dcs_cbo_nation"
+    df = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    (
+        df.write.mode("overwrite")
+        .option("path", scratch_dir(sf_dir, name))
+        .format("parquet")
+        .saveAsTable(name)
+    )
+    spark.sql(f"ANALYZE TABLE {name} COMPUTE STATISTICS FOR ALL COLUMNS")
+    desc = spark.sql(f"DESCRIBE TABLE EXTENDED {name}").collect()
+    stats_rows = [r for r in desc if r.col_name == "Statistics"]
+    assert stats_rows, "no Statistics row after ANALYZE TABLE"
+    assert "rows" in stats_rows[0].data_type, stats_rows[0]
+    col_desc = spark.sql(
+        f"DESCRIBE EXTENDED {name} n_nationkey"
+    ).collect()
+    info = {r.info_name: r.info_value for r in col_desc}
+    assert info.get("distinct_count") not in (None, "NULL"), info
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_observation_metrics_piggyback_on_action(spark, sf_dir):
+    """df.observe(): pipeline health metrics (row counts, null rates,
+    domain violations) collected DURING the main action — no second
+    pass over the data.  At 100 TB a separate .count() for monitoring
+    doubles the job; observe attaches the aggregates to the running
+    query for free.  (The streaming counterpart feeds
+    StreamingQueryProgress.observedMetrics.)"""
+    from pyspark.sql import Observation
+
+    obs = Observation("quality")
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    observed = df.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("text").isNull().cast("long")).alias("n_null_text"),
+        F.max(F.length("text")).alias("max_len"),
+    )
+    kept = observed.filter(F.col("text").isNotNull()).count()
+    m = obs.get
+    assert m["n_rows"] == kept + m["n_null_text"]
+    assert m["max_len"] > 0
