@@ -222,8 +222,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # self-join recomputes the whole signature pipeline per side), and
     # the join's required partitioning is already satisfied — no
     # further shuffle.
-    n_parts = spark.sparkContext.defaultParallelism
-    bands = bands.repartition(n_parts, "band", "bucket")
+    # No explicit partition count: a user-fixed N disables AQE's
+    # post-shuffle coalescing, and this exchange carries only
+    # (doc_id, sig, band, bucket) rows — tiny relative to the corpus —
+    # so AQE right-sizes it (32 reducers of nothing cost 3 extra
+    # stage-schedules at small SF; at 100 TB AQE keeps them wide).
+    bands = bands.repartition("band", "bucket")
     left = bands.select(
         F.col("doc_id").alias("a"), F.col("sig").alias("sig_a"), "band", "bucket"
     )
