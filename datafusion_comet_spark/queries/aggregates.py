@@ -370,10 +370,12 @@ def agg_first_last_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     first/last a defined order without a global sort, mirroring
     DuckDB's ordered-aggregate `first(x ORDER BY y)`."""
     orders = _t(spark, sf_dir, "orders")
-    n_parts = spark.sparkContext.defaultParallelism
     sorted_in = (
         orders.select("o_orderstatus", "o_orderkey", "o_totalprice")
-        .repartition(n_parts, "o_orderstatus")
+        # key-only repartition: co-location per status is the semantic
+        # requirement; leaving the count to AQE keeps coalescing alive
+        # (hash buckets merge whole, so per-key colocation survives)
+        .repartition("o_orderstatus")
         .sortWithinPartitions("o_orderkey")
     )
     return (

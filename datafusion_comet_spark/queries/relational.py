@@ -1254,3 +1254,49 @@ def range_generator(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("id")
     )
+
+
+@register(
+    "join_shuffle_hash_hint",
+    oracle="""
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       round(sum(l_extendedprice), 2) AS volume
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE o_orderdate >= DATE '1996-01-01'
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+    tags=("relational", "join", "hint", "shuffle-hash"),
+)
+def join_shuffle_hash_hint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHUFFLE_HASH-hinted fact-fact join: both sides shuffle on the
+    key but the build side hashes in memory instead of sorting — no
+    sort on EITHER side.  This is the strategy behind the reference's
+    single biggest tuned win (replaceSortMergeJoin=true: TPC-H 637.6 →
+    521.7 s, docs/source/contributor-guide/benchmark-results/
+    tpc-h.md:72-75, BASELINE.md); Spark exposes it per-join via hint
+    and globally via spark.sql.join.preferSortMergeJoin=false.
+
+    Scale note: prefer it when the build side's per-partition slice
+    fits executor memory (here orders filtered by date); keep
+    sort-merge for balanced giant-giant joins where neither side
+    should be hash-built.  The plan test asserts ShuffledHashJoin
+    actually planned — a silently-ignored hint would fall back to
+    sort-merge and the regression would be invisible in results."""
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= datetime.date(1996, 1, 1))
+        .select("o_orderkey", "o_orderpriority")
+        .hint("shuffle_hash")
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(F.sum("l_extendedprice"), 2).alias("volume"),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -300,3 +300,45 @@ def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 3)
         .orderBy("n_name", "rnk", "s_name")
     )
+
+
+@register(
+    "window_interval_range_frame",
+    oracle="""
+SELECT user_id, ts, value,
+       CAST(count(*) OVER w AS BIGINT) AS n_last_hour,
+       round(sum(value) OVER w, 4) AS sum_last_hour
+FROM events
+WHERE user_id < 40
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+ORDER BY user_id, ts, value
+""",
+    tags=("window", "frame", "interval", "temporal"),
+)
+def window_interval_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-interval RANGE frame: per-user trailing-hour rollup — the
+    sliding lookback every rate-limit / rolling-feature computation
+    needs.  The reference's Window supports RANGE only with
+    UNBOUNDED/CURRENT bounds (reference: CometWindowExec.scala:178-240);
+    Spark evaluates calendar-interval bounds natively via the ordering
+    column's time type.
+
+    Scale shape: one hash exchange on user_id + a partition-local sort
+    on ts; the variable-width frame is a two-pointer scan within the
+    sorted run — no self-join, no explode, no per-row search.
+    (Calendar-interval frame bounds are SQL-only — the classic
+    DataFrame Window.rangeBetween accepts integer offsets, which
+    require a numeric ordering column.)"""
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 40)
+    ev.createOrReplaceTempView("dcs_wirf_events")
+    return spark.sql("""
+        SELECT user_id, ts, value,
+               CAST(count(*) OVER w AS BIGINT) AS n_last_hour,
+               round(sum(value) OVER w, 4) AS sum_last_hour
+        FROM dcs_wirf_events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                     RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+                               AND CURRENT ROW)
+        ORDER BY user_id, ts, value
+    """)

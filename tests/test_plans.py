@@ -297,3 +297,13 @@ def test_observation_metrics_piggyback_on_action(spark, sf_dir):
     m = obs.get
     assert m["n_rows"] == kept + m["n_null_text"]
     assert m["max_len"] > 0
+
+
+def test_shuffle_hash_hint_plans_shuffled_hash_join(spark, sf_dir):
+    """The SHUFFLE_HASH hint must actually plan a ShuffledHashJoin
+    (hash build, no per-side sort) — the join-strategy lever behind
+    the reference's replaceSortMergeJoin tuning (BASELINE.md)."""
+    df = REGISTRY["join_shuffle_hash_hint"].fn(spark, sf_dir)
+    plan = plan_string(df, "simple")
+    assert "ShuffledHashJoin" in plan, plan[:2000]
+    assert "SortMergeJoin" not in plan, plan[:2000]
