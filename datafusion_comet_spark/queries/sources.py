@@ -417,3 +417,114 @@ def compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("sum_qty"),
     )
+
+
+@register(
+    "python_datasource_stream",
+    oracle="""
+WITH gen AS (
+  SELECT i AS id,
+         (i * 2654435761) % 4294967296 % 97 AS user_id,
+         ['view', 'click', 'purchase'][CAST((i * 2654435761) % 4294967296 % 3 AS INT) + 1] AS kind,
+         (i * 2654435761) % 4294967296 % 1000 AS points
+  FROM (SELECT unnest(generate_series(0, 1199)) AS i)
+)
+SELECT kind,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(points) AS BIGINT) AS sum_points,
+       min(id) AS min_id,
+       max(id) AS max_id
+FROM gen
+GROUP BY kind
+ORDER BY kind
+""",
+    tags=("source", "python-datasource", "streaming"),
+)
+def python_datasource_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom STREAMING connector through the Python DataSource stream
+    reader protocol (initialOffset/latestOffset/partitions/read/commit
+    — offsets are row positions, so replay re-reads exactly the
+    committed slice).  The reference rejects every streaming plan
+    (CometExecRule.scala:548-550); here a replayable custom stream
+    source is ~40 lines of Python and the downstream aggregation is
+    the ordinary codegen'd rollup.  The oracle regenerates the same
+    rows with generate_series — pinning that offset-sliced microbatch
+    delivery loses/duplicates nothing."""
+    from ..sources.python_datasource import register_synthetic_stream_source
+    from ..streaming import run_to_memory
+
+    register_synthetic_stream_source(spark)
+    stream = (
+        spark.readStream.format("synthetic_events_stream")
+        .option("n_rows", "1200")
+        .option("n_partitions", "4")
+        .load()
+    )
+    agg = stream.groupBy("kind").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("points").cast("bigint").alias("sum_points"),
+        F.min("id").alias("min_id"),
+        F.max("id").alias("max_id"),
+    )
+    out = run_to_memory(agg, "python_ds_stream_sink", "complete")
+    return out.orderBy("kind")
+
+
+@register(
+    "python_datasource_write",
+    oracle="""
+SELECT n_regionkey,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(length(n_name)) AS BIGINT) AS name_chars
+FROM nation
+GROUP BY n_regionkey
+ORDER BY n_regionkey
+""",
+    tags=("source", "python-datasource", "write"),
+)
+def python_datasource_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom WRITE path through the Python DataSource two-phase commit
+    protocol: per-task part files named invisibly (uuid), a
+    WriterCommitMessage per task, and a driver-side manifest commit —
+    the same contract the reference's native ParquetWriter honors via
+    FileCommitProtocol (reference: operator.proto:320-338).  Task
+    retries/speculation never double-count because uncommitted parts
+    are not in the manifest.
+
+    The query writes nation through the jsonl_dir sink, reads the
+    manifest-listed files back, and aggregates — matching the direct
+    SQL oracle proves the write→commit→read cycle is lossless."""
+    import json as _json
+    import os as _os
+
+    from ..sources import scratch_dir
+    from ..sources.python_datasource import register_jsonl_sink
+
+    register_jsonl_sink(spark)
+    path = scratch_dir(sf_dir, "jsonl_sink_nation")
+    if _os.path.isdir(path):
+        for f in _os.listdir(path):
+            _os.remove(_os.path.join(path, f))
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    (
+        nation.write.format("jsonl_dir")
+        .option("path", path)
+        .mode("append")
+        .save()
+    )
+    with open(_os.path.join(path, "_MANIFEST.json")) as f:
+        manifest = _json.load(f)
+    files = [m["path"] for m in manifest["files"]]
+    back = spark.read.schema(
+        "n_nationkey BIGINT, n_name STRING, n_regionkey BIGINT"
+    ).json(files)
+    return (
+        back.groupBy("n_regionkey")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.length("n_name")).cast("bigint").alias("name_chars"),
+        )
+        .orderBy("n_regionkey")
+    )

@@ -78,3 +78,142 @@ SELECT i AS id,
        (i * 2654435761) % 4294967296 % 1000 AS points
 FROM (SELECT unnest(generate_series(0, {max_id})) AS i)
 """
+
+
+# --------------------------------------------------------------------------
+# Streaming variant: the same deterministic generator exposed through the
+# Python DataSource STREAM reader protocol (initialOffset → latestOffset →
+# partitions(start, end) → read → commit).  The reference has no streaming
+# surface at all (CometExecRule.scala:548-550 rejects streaming plans);
+# in this engine a custom streaming connector is ~40 lines of Python.
+# Offsets are row counts: each microbatch covers an id slice, so replay
+# after failure re-reads exactly the committed range — the offset log,
+# not the source, is the source of truth (100 TB posture: sources must
+# be replayable; Kafka offsets / file lists play this role in
+# production).
+# --------------------------------------------------------------------------
+from pyspark.sql.datasource import DataSourceStreamReader  # noqa: E402
+
+
+class SyntheticEventsStreamReader(DataSourceStreamReader):
+    def __init__(self, options):
+        self.n_rows = int(options.get("n_rows", 1000))
+        self.batch_rows = int(options.get("batch_rows", 400))
+        self.n_parts = int(options.get("n_partitions", 4))
+
+    def initialOffset(self):
+        return {"row": 0}
+
+    def latestOffset(self):
+        # Advance at most batch_rows per microbatch, capped at n_rows —
+        # the rate-limit knob (maxOffsetsPerTrigger analogue).
+        return {"row": self.n_rows}
+
+    def partitions(self, start: dict, end: dict):
+        lo, hi = start["row"], end["row"]
+        step = max(1, (hi - lo) // self.n_parts)
+        bounds = list(range(lo, hi, step)) + [hi]
+        return [_Slice(a, b) for a, b in zip(bounds, bounds[1:])]
+
+    def read(self, partition: _Slice):
+        for i in range(partition.start, partition.end):
+            h = (i * _MIX) % (1 << 32)
+            yield (i, h % 97, KINDS[h % 3], h % 1000)
+
+    def commit(self, end: dict) -> None:
+        # Offsets below `end` are durably processed; a real source
+        # would trim its upstream retention here.
+        pass
+
+
+class SyntheticEventsStreamDataSource(DataSource):
+    """``spark.readStream.format("synthetic_events_stream")``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "synthetic_events_stream"
+
+    def schema(self) -> str:
+        return SCHEMA_DDL
+
+    def streamReader(self, schema: StructType) -> DataSourceStreamReader:
+        return SyntheticEventsStreamReader(self.options)
+
+
+def register_synthetic_stream_source(spark) -> None:
+    spark.dataSource.register(SyntheticEventsStreamDataSource)
+
+
+# --------------------------------------------------------------------------
+# Writer: the Python DataSource WRITE path with the two-phase commit
+# protocol (per-task write → WriterCommitMessage → driver-side commit).
+# The reference's writer is its native ParquetWriter wired into Spark's
+# FileCommitProtocol (reference: operator.proto:320-338,
+# native/core/src/execution/operators/parquet_writer.rs); the protocol
+# obligations are identical here: task output is invisible until the
+# driver commit publishes the manifest, so stragglers/retries never
+# double-count (speculative duplicates die at commit).
+# --------------------------------------------------------------------------
+import json as _json  # noqa: E402
+import os as _os  # noqa: E402
+import uuid as _uuid  # noqa: E402
+
+from pyspark.sql.datasource import DataSourceWriter, WriterCommitMessage  # noqa: E402
+
+
+class _PartFile(WriterCommitMessage):
+    def __init__(self, path: str, n_rows: int):
+        self.path = path
+        self.n_rows = n_rows
+
+
+class JsonlDirWriter(DataSourceWriter):
+    """Append-only JSONL part files + manifest commit."""
+
+    def __init__(self, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("jsonl_dir writer requires option 'path'")
+
+    def write(self, iterator):
+        _os.makedirs(self.path, exist_ok=True)
+        # task-unique temp name: invisible to readers until the
+        # manifest lists it (readers must consult the manifest)
+        part = _os.path.join(self.path, f"part-{_uuid.uuid4().hex}.jsonl")
+        n = 0
+        with open(part, "w") as f:
+            for row in iterator:
+                f.write(_json.dumps(row.asDict()) + "\n")
+                n += 1
+        return _PartFile(part, n)
+
+    def commit(self, messages) -> None:
+        manifest = {
+            "files": [
+                {"path": m.path, "n_rows": m.n_rows}
+                for m in sorted(messages, key=lambda m: m.path)
+            ],
+            "total_rows": sum(m.n_rows for m in messages),
+        }
+        with open(_os.path.join(self.path, "_MANIFEST.json"), "w") as f:
+            _json.dump(manifest, f)
+
+    def abort(self, messages) -> None:
+        for m in messages:
+            if m is not None and _os.path.exists(m.path):
+                _os.remove(m.path)
+
+
+class JsonlDirDataSource(DataSource):
+    """``df.write.format("jsonl_dir").option("path", ...).save()``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "jsonl_dir"
+
+    def writer(self, schema: StructType, overwrite: bool) -> DataSourceWriter:
+        return JsonlDirWriter(self.options)
+
+
+def register_jsonl_sink(spark) -> None:
+    spark.dataSource.register(JsonlDirDataSource)
