@@ -144,3 +144,86 @@ def window_query(draw) -> str:
 def test_random_window_matches_duckdb(views, sf_dir, sql):
     df = views.sql(sql)
     compare_to_oracle(df, sql, sf_dir)
+
+
+@st.composite
+def rollup_query(draw) -> str:
+    """Random Expand-backed aggregate: ROLLUP/CUBE over two keys with
+    grouping() disambiguation — the operator family (reference
+    operator.proto:346-349) whose NULL-marker semantics are easiest to
+    get subtly wrong across engines.
+
+    Known (documented) divergence this generator works around: on
+    EMPTY input the SQL standard (and DuckDB/Postgres) still emits one
+    row for the () grouping set — count(*)=0 grand total — while Spark
+    emits nothing (its Expand produces zero rows, so the aggregate has
+    no groups).  HAVING count(*) > 0 removes that row from both
+    engines, keeping the differential sound when a random predicate
+    matches no rows."""
+    op = draw(st.sampled_from(["ROLLUP", "CUBE"]))
+    pred = draw(predicate())
+    k1, k2 = "l_returnflag", "l_linestatus"
+    val = draw(st.sampled_from(["l_quantity", "l_extendedprice"]))
+    return (
+        f"SELECT {k1} AS a, {k2} AS b, "
+        f"CAST(grouping({k1}) * 2 + grouping({k2}) AS BIGINT) AS gid, "
+        f"count(*) AS n, "
+        f"round(sum(CAST({val} AS DECIMAL(18,2))), 2) AS s "
+        f"FROM lineitem WHERE {pred} "
+        f"GROUP BY {op} ({k1}, {k2}) "
+        f"HAVING count(*) > 0 "
+        f"ORDER BY gid, a NULLS FIRST, b NULLS FIRST"
+    )
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(sql=rollup_query())
+def test_random_rollup_matches_duckdb(views, sf_dir, sql):
+    df = views.sql(sql)
+    compare_to_oracle(df, sql, sf_dir)
+
+
+@st.composite
+def setop_query(draw) -> str:
+    """Random set operation between two filtered projections of the
+    same relation — INTERSECT/EXCEPT in DISTINCT and ALL multiset
+    forms (Catalyst lowers these to joins/aggregates; DuckDB executes
+    them directly — any multiplicity bug diverges immediately)."""
+    op = draw(
+        st.sampled_from(
+            ["INTERSECT", "EXCEPT", "INTERSECT ALL", "EXCEPT ALL"]
+        )
+    )
+    p1, p2 = draw(predicate()), draw(predicate())
+    cols = draw(
+        st.sampled_from(
+            ["l_returnflag, l_linestatus", "l_suppkey % 50", "l_linenumber"]
+        )
+    )
+    first = cols.split(",")[0].strip().split(" ")[0]
+    alias_cols = cols if "," in cols else f"{cols} AS k"
+    order = "1, 2" if "," in cols else "1"
+    return (
+        f"SELECT * FROM ("
+        f"SELECT {alias_cols} FROM lineitem WHERE {p1} "
+        f"{op} "
+        f"SELECT {alias_cols} FROM lineitem WHERE {p2}"
+        f") t ORDER BY {order}"
+    )
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(sql=setop_query())
+def test_random_setop_matches_duckdb(views, sf_dir, sql):
+    df = views.sql(sql)
+    compare_to_oracle(df, sql, sf_dir)
