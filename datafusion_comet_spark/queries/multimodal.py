@@ -181,3 +181,101 @@ def multimodal_resize_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("format")
     )
+
+
+@register(
+    "multimodal_embed_ann",
+    oracle="""
+WITH emb AS (
+  SELECT doc_id,
+         list_transform(range(0, 8),
+           j -> CAST((octet_length(encode(text)) * (j + 1)
+                      + ascii(substr(text, CAST(j + 1 AS INT), 1))) % 97
+                AS DOUBLE)) AS emb
+  FROM documents WHERE text IS NOT NULL
+)
+SELECT qid, doc_id, sim, rn
+FROM (
+  SELECT q.doc_id AS qid, c.doc_id AS doc_id,
+         round(list_cosine_similarity(q.emb, c.emb), 6) AS sim,
+         CAST(row_number() OVER (
+           PARTITION BY q.doc_id
+           ORDER BY round(list_cosine_similarity(q.emb, c.emb), 6) DESC,
+                    c.doc_id
+         ) AS INT) AS rn
+  FROM (SELECT * FROM emb WHERE doc_id < 3) q
+  CROSS JOIN emb c
+  WHERE q.doc_id <> c.doc_id
+) t
+WHERE rn <= 5
+ORDER BY qid, rn
+""",
+    tags=("multimodal", "similarity", "ann", "pipeline"),
+)
+def multimodal_embed_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end multimodal similarity: payload bytes → featurizer →
+    cosine top-k — the compose-everything pipeline (ingest schema from
+    operators/multimodal.py, Arrow-batched Python featurizer, JVM-side
+    broadcast cosine join from the ANN family).
+
+    The featurizer runs in ``mapInPandas`` exactly where a real image
+    embedding model would (Arrow batches in, one row per payload out);
+    the STAND-IN embedding is a deterministic byte formula so the
+    DuckDB oracle can recompute it — pinning that the Python batch
+    boundary, the broadcast join, and the per-query ranking lose
+    nothing.  Dot products are exact integer sums at this formula's
+    scale, so cross-engine cosine agrees bit-for-bit before rounding.
+
+    Scale shape: embed is partition-local (no shuffle); candidates
+    never shuffle (broadcast queries); the only exchange is the final
+    per-query top-k, which is |queries|×k rows."""
+    import pandas as pd
+
+    from .similarity import dot, l2_norm
+
+    frames = _frames(spark, sf_dir).filter(F.col("payload").isNotNull())
+
+    def embed(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                n = len(b)
+                rows.append(
+                    (
+                        doc_id,
+                        [float((n * (j + 1) + b[j]) % 97) for j in range(8)],
+                    )
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "emb"])
+
+    emb = frames.select("doc_id", "payload").mapInPandas(
+        embed, "doc_id long, emb array<double>"
+    )
+    emb = emb.select("doc_id", "emb", l2_norm(F.col("emb")).alias("nrm"))
+    queries = emb.filter(F.col("doc_id") < 3).select(
+        F.col("doc_id").alias("qid"),
+        F.col("emb").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    scored = emb.join(
+        F.broadcast(queries), F.col("doc_id") != F.col("qid")
+    ).select(
+        "qid",
+        "doc_id",
+        F.round(
+            dot(F.col("q_emb"), F.col("emb"))
+            / (F.col("nrm") * F.col("q_nrm")),
+            6,
+        ).alias("sim"),
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("doc_id"))
+    return (
+        scored.select(
+            "qid", "doc_id", "sim", F.row_number().over(w).alias("rn")
+        )
+        .filter(F.col("rn") <= 5)
+        .orderBy("qid", "rn")
+    )
