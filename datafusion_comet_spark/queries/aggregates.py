@@ -532,3 +532,44 @@ def agg_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@register(
+    "stat_crosstab",
+    oracle="""
+SELECT o_orderstatus AS o_orderstatus_o_orderpriority,
+       CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)
+            AS BIGINT) AS "1-URGENT",
+       CAST(sum(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END)
+            AS BIGINT) AS "2-HIGH",
+       CAST(sum(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END)
+            AS BIGINT) AS "3-MEDIUM",
+       CAST(sum(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0
+            END) AS BIGINT) AS "4-NOT SPECIFIED",
+       CAST(sum(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END)
+            AS BIGINT) AS "5-LOW"
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+""",
+    tags=("aggregate", "stat", "crosstab"),
+)
+def stat_crosstab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``df.stat.crosstab`` — contingency table of two categorical
+    columns (the DataFrame-native spelling of a count pivot; Catalyst
+    plans the same two-phase aggregate the explicit
+    ``groupBy().pivot()`` gets).  The oracle spells the pivot as
+    conditional sums, which is also what either engine executes.
+
+    Scale note: crosstab materializes |distinct(col2)| columns — use
+    only when the second column's cardinality is a known small set (as
+    with any pivot); the row axis streams through an ordinary hash
+    aggregate."""
+    orders = _t(spark, sf_dir, "orders")
+    ct = orders.stat.crosstab("o_orderstatus", "o_orderpriority")
+    # stable column order + a sortable row key
+    value_cols = sorted(c for c in ct.columns if c != "o_orderstatus_o_orderpriority")
+    return ct.select(
+        "o_orderstatus_o_orderpriority",
+        *[F.col(f"`{c}`").alias(c) for c in value_cols],
+    ).orderBy("o_orderstatus_o_orderpriority")

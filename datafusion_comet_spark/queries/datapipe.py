@@ -882,6 +882,74 @@ def connected_components(
     return labels
 
 
+def connected_components_doubling(
+    edges: DataFrame, src: str = "a", dst: str = "b", max_iter: int = 12
+) -> DataFrame:
+    """Connected components with pointer doubling (path halving):
+    the O(log diameter) variant of `connected_components` for graphs
+    whose components are NOT shallow (long chains from transitive
+    near-dup candidates, co-citation graphs).
+
+    Each round does the min-label propagation through EDGES, then
+    shortcuts labels through the LABEL TABLE itself —
+    comp(u) <- comp(comp(u)) — so label paths halve every round:
+    a 64-node chain converges in ~6 rounds where pure propagation
+    needs 63.  Cost per round is two keyed shuffles (one join on the
+    edge relation, one self-join of the label table) against the
+    naive version's one — the trade only wins when diameter >> 2×
+    rounds, exactly the regime it exists for.  Same fixpoint, same
+    output contract: (node, comp=min reachable node id)."""
+    sym = edges.selectExpr(f"{src} AS n", f"{dst} AS m")
+    sym = sym.union(sym.selectExpr("m AS n", "n AS m")).persist()
+    labels = (
+        sym.selectExpr("n AS node")
+        .distinct()
+        .selectExpr("node", "node AS comp")
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        neigh = (
+            sym.selectExpr("n AS dst_node", "m AS nbr")
+            .join(labels.selectExpr("node AS nbr", "comp"), "nbr")
+            .selectExpr("dst_node AS node", "comp")
+        )
+        propagated = (
+            labels.select("node", "comp")
+            .union(neigh)
+            .groupBy("node")
+            .agg(F.min("comp").alias("comp"))
+        )
+        # pointer doubling: follow the label's label.  comp ids are
+        # themselves node ids, so one self-join shortcuts every path
+        # of length 2 — applied once per round, path length halves.
+        shortcut = (
+            propagated.alias("l1")
+            .join(
+                propagated.selectExpr(
+                    "node AS comp", "comp AS comp2"
+                ).alias("l2"),
+                "comp",
+                "left",
+            )
+            .select(
+                F.col("node"),
+                F.coalesce("comp2", "comp").alias("comp"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            shortcut.selectExpr("node", "comp AS comp_new")
+            .join(labels, "node")
+            .filter(F.col("comp_new") != F.col("comp"))
+            .limit(1)
+            .count()
+        )
+        labels = shortcut
+        if changed == 0:
+            break
+    return labels
+
+
 @register(
     "dedup_cluster_components",
     oracle=None,  # iterative fixpoint — not single-statement SQL;

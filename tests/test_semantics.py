@@ -221,3 +221,35 @@ def test_connected_components_known_graph(spark):
         (20, 20), (21, 20), (22, 20),
     }
     assert got == want
+
+
+def test_pointer_doubling_components_match_min_label(spark, sf_dir):
+    """connected_components_doubling must reach the same fixpoint as
+    min-label propagation on the real candidate-pair graph, AND
+    converge on a 64-node chain within ~log2 rounds (naive propagation
+    would need 63 rounds — the budget of 12 proves the shortcutting
+    works, not just the fixpoint)."""
+    from datafusion_comet_spark.queries.datapipe import (
+        connected_components,
+        connected_components_doubling,
+        dedup_levenshtein,
+    )
+
+    pairs = dedup_levenshtein(spark, sf_dir).select("a", "b")
+    naive = {
+        (r.node, r.comp) for r in connected_components(pairs).collect()
+    }
+    fast = {
+        (r.node, r.comp)
+        for r in connected_components_doubling(pairs).collect()
+    }
+    assert naive == fast
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(63)], "a long, b long"
+    )
+    got = connected_components_doubling(chain, max_iter=12).collect()
+    assert len(got) == 64
+    assert all(r.comp == 0 for r in got), sorted(
+        (r.node, r.comp) for r in got
+    )[:10]
