@@ -1300,3 +1300,116 @@ def join_shuffle_hash_hint(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@register(
+    "scd2_dimension_update",
+    oracle="""
+WITH updates AS (
+  SELECT c_custkey, 'PREMIUM' AS new_segment
+  FROM customer WHERE c_acctbal > 9500
+), versioned AS (
+  -- closed-out prior version for every updated key
+  SELECT c.c_custkey, c.c_mktsegment AS segment,
+         DATE '1990-01-01' AS valid_from,
+         DATE '1998-06-01' AS valid_to,
+         FALSE AS is_current
+  FROM customer c JOIN updates u ON c.c_custkey = u.c_custkey
+  UNION ALL
+  -- new open version for updated keys
+  SELECT u.c_custkey, u.new_segment AS segment,
+         DATE '1998-06-01' AS valid_from,
+         NULL AS valid_to,
+         TRUE AS is_current
+  FROM updates u
+  UNION ALL
+  -- untouched keys keep their open version
+  SELECT c.c_custkey, c.c_mktsegment AS segment,
+         DATE '1990-01-01' AS valid_from,
+         NULL AS valid_to,
+         TRUE AS is_current
+  FROM customer c LEFT JOIN updates u ON c.c_custkey = u.c_custkey
+  WHERE u.c_custkey IS NULL
+)
+SELECT * FROM versioned
+ORDER BY c_custkey, valid_from, is_current
+""",
+    tags=("relational", "scd2", "merge"),
+)
+def scd2_dimension_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type 2: an update batch closes the
+    current version (valid_to stamped, is_current=false) and opens a
+    new one — the versioned-dimension pattern every warehouse load
+    runs, spelled as joins + unionByName (the same lowering MERGE INTO
+    compiles to; cf. `merge_upsert` for the overwrite flavor).
+
+    Scale shape: one shuffle of the dimension on the key for the
+    update join (or zero if the dimension is bucketed on the key —
+    `join_bucketed_colocated`); the update batch is typically small →
+    AQE broadcasts it; output appends only changed keys' rows plus a
+    pass-through of untouched ones, so the write amplification is
+    O(|updates|), not O(|dimension|) when paired with
+    `parquet_dynamic_partition_overwrite`."""
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    updates = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 9500)
+        .select("c_custkey", F.lit("PREMIUM").alias("new_segment"))
+    )
+    d0 = F.lit(datetime.date(1990, 1, 1))
+    d1 = F.lit(datetime.date(1998, 6, 1))
+    closed = cust.join(updates, "c_custkey").select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("segment"),
+        d0.alias("valid_from"),
+        d1.alias("valid_to"),
+        F.lit(False).alias("is_current"),
+    )
+    opened = updates.select(
+        "c_custkey",
+        F.col("new_segment").alias("segment"),
+        d1.alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    untouched = cust.join(updates, "c_custkey", "left_anti").select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("segment"),
+        d0.alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    return (
+        closed.unionByName(opened)
+        .unionByName(untouched)
+        .orderBy("c_custkey", "valid_from", "is_current")
+    )
+
+
+@register(
+    "sample_bernoulli_seeded",
+    oracle=None,  # Bernoulli sampling uses Spark's XORShiftRandom stream —
+    # engine-specific; reproducibility + statistical bounds are pytest-pinned.
+    tags=("relational", "sample", "nondeterministic"),
+)
+def sample_bernoulli_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded Bernoulli TABLESAMPLE (``df.sample(fraction, seed)``):
+    per-row coin flips from a partition-seeded XORShift stream — the
+    built-in sampling surface (the reference has no sampling operator;
+    Spark's is partition-deterministic).  Same seed + same partitioning
+    → identical sample; across engines the stream differs, which is
+    WHY `sample_hash_deterministic` (md5-threshold sampling) exists as
+    the engine-portable alternative.  The pytest pin asserts both
+    properties: run-to-run identity and binomial-bound sample size."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.sample(fraction=0.1, seed=42)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("sampled_revenue"),
+        )
+        .orderBy("o_orderstatus")
+    )

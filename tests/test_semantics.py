@@ -253,3 +253,18 @@ def test_pointer_doubling_components_match_min_label(spark, sf_dir):
     assert all(r.comp == 0 for r in got), sorted(
         (r.node, r.comp) for r in got
     )[:10]
+
+
+def test_seeded_sample_reproducible_and_unbiased(spark, sf_dir):
+    """df.sample(fraction, seed): identical results across invocations
+    (partition-deterministic stream), and the sampled row count within
+    generous binomial bounds of fraction * N."""
+    q = REGISTRY["sample_bernoulli_seeded"]
+    a = q.fn(spark, sf_dir).collect()
+    b = q.fn(spark, sf_dir).collect()
+    assert a == b
+    total_sampled = sum(r.n_sampled for r in a)
+    n = spark.read.parquet(f"{sf_dir}/orders.parquet").count()
+    expect = 0.1 * n
+    sd = (n * 0.1 * 0.9) ** 0.5
+    assert abs(total_sampled - expect) < 6 * sd, (total_sampled, expect)
