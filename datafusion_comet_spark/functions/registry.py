@@ -373,6 +373,35 @@ for name, kind, build, ref in [
 ]:
     _e(EXPRESSIONS, name, kind, build, ref)
 
+# --- Spark 4.0-new scalar surface (no reference counterpart possible —
+# the reference's snapshot predates these; declared so the engine's
+# frontier tracks Spark's) --------------------------------------------
+for name, kind, build, ref in [
+    ("RandStr", "scalar", lambda: F.length(F.randstr(F.lit(8), F.lit(7))).alias("v"), "superset: Spark 4.0"),
+    ("Uniform", "scalar", lambda: (F.uniform(F.lit(0), F.lit(10), F.lit(7)) >= 0).alias("v"), "superset: Spark 4.0"),
+    ("ZeroIfNull", "scalar", lambda: F.zeroifnull(F.try_divide(c("i"), F.lit(0))).alias("v"), "superset: Spark 4.0"),
+    ("NullIfZero", "scalar", lambda: F.nullifzero(c("i") - c("i")).alias("v"), "superset: Spark 4.0"),
+    ("MonthName", "scalar", lambda: F.monthname(c("d")).alias("v"), "superset: Spark 4.0"),
+    ("DayName", "scalar", lambda: F.dayname(c("d")).alias("v"), "superset: Spark 4.0"),
+    ("Quote", "scalar", lambda: F.quote(c("s")).alias("v"), "superset: Spark 4.0"),
+    ("TypeOf", "scalar", lambda: F.typeof(c("dec")).alias("v"), "superset"),
+    ("TryUrlDecode", "scalar", lambda: F.try_url_decode(F.url_encode(c("s"))).alias("v"), "superset: Spark 4.0"),
+    ("TryMod", "scalar", lambda: F.try_mod(c("i"), c("j")).alias("v"), "superset: Spark 4.0"),
+    ("TryMakeTimestamp", "scalar", lambda: F.try_make_timestamp(F.lit(2024), F.lit(2), F.lit(30), F.lit(0), F.lit(0), F.lit(0)).alias("v"), "superset: Spark 4.0 (invalid date -> NULL, no error)"),
+    ("SessionUser", "scalar", lambda: F.length(F.session_user()).alias("v"), "superset: Spark 4.0"),
+]:
+    _e(EXPRESSIONS, name, kind, build, ref)
+
+# --- Spark 4.0-new aggregate surface ----------------------------------
+for name, build in [
+    ("ListAgg", lambda: F.listagg(c("s"), ",")),
+    ("StringAgg", lambda: F.string_agg(c("s"), ";")),
+    ("TrySum", lambda: F.try_sum(c("i"))),
+    ("TryAvg", lambda: F.try_avg(c("i"))),
+    ("HllSketchAgg", lambda: F.hll_sketch_estimate(F.hll_sketch_agg(c("i")))),
+]:
+    _e(EXPRESSIONS, name, "agg", (lambda bb=build: bb().alias("v")), "superset: Spark 4.0 / 3.5")
+
 # --- aggregates (serde/aggregates.scala:35-770; agg_funcs/) -----------
 _AGG = {
     "Count": lambda: F.count(c("i")),
