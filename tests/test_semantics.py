@@ -268,3 +268,42 @@ def test_seeded_sample_reproducible_and_unbiased(spark, sf_dir):
     expect = 0.1 * n
     sd = (n * 0.1 * 0.9) ** 0.5
     assert abs(total_sampled - expect) < 6 * sd, (total_sampled, expect)
+
+
+def test_streaming_checkpoint_resume_is_exactly_once(spark, sf_dir):
+    """Checkpointed file-sink streaming: run an availableNow query to a
+    parquet sink, then START IT AGAIN with the same checkpoint — the
+    second run must recognize every source file as committed and add
+    ZERO rows (exactly-once resume).  This is the recovery contract a
+    100 TB ingestion pipeline leans on after every restart/deploy; the
+    offset log + file-sink manifest, not the source listing, decide
+    what is new."""
+    import shutil
+    import tempfile
+    import os
+
+    from datafusion_comet_spark.streaming import read_events_stream
+
+    base = os.path.join(tempfile.gettempdir(), "dcs_io", "stream_resume")
+    shutil.rmtree(base, ignore_errors=True)
+    out, ckpt = os.path.join(base, "out"), os.path.join(base, "ckpt")
+
+    def run_once():
+        q = (
+            read_events_stream(spark, sf_dir)
+            .select("event_id", "event_type", "value")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    n1 = spark.read.parquet(out).count()
+    run_once()
+    n2 = spark.read.parquet(out).count()
+    src_n = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    assert n1 == src_n, (n1, src_n)
+    assert n2 == n1, f"resume duplicated rows: {n1} -> {n2}"
