@@ -1413,3 +1413,115 @@ def sample_bernoulli_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+# --------------------------------------------------------------------------
+# Spark 4.0 DataFrame API additions (no SQL-string equivalent needed):
+# transpose, scalar-subquery Column, lateralJoin with tvf generators.
+# --------------------------------------------------------------------------
+@register(
+    "df_transpose",
+    oracle="""
+SELECT 'n_orders' AS key,
+       CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS DOUBLE) AS "F",
+       CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS DOUBLE) AS "O",
+       CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS DOUBLE) AS "P"
+FROM orders
+UNION ALL
+SELECT 'revenue_m' AS key,
+       round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0 END) / 1e6, 3),
+       round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice ELSE 0 END) / 1e6, 3),
+       round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice ELSE 0 END) / 1e6, 3)
+FROM orders
+ORDER BY key
+""",
+    tags=("relational", "spark4", "transpose"),
+)
+def df_transpose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``DataFrame.transpose`` (Spark 4.0): flip a narrow aggregate so
+    metrics become rows and group values become columns — the
+    report-shaping step that previously needed a manual
+    unpivot+pivot round trip.  Values coerce to the least common type
+    (double here).  Scale note: transpose materializes |rows| columns,
+    so it belongs strictly ABOVE a small aggregate, never on a fact
+    table — same discipline as pivot/crosstab."""
+    orders = _t(spark, sf_dir, "orders")
+    agg = (
+        orders.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n_orders"),
+            F.round(
+                F.sum(F.col("o_totalprice")) / F.lit(1e6), 3
+            ).alias("revenue_m"),
+        )
+        .orderBy("o_orderstatus")
+    )
+    return agg.transpose().orderBy("key")
+
+
+@register(
+    "scalar_subquery_api",
+    oracle="""
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_above_avg
+FROM orders
+WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+    tags=("relational", "spark4", "subquery"),
+)
+def scalar_subquery_api(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``DataFrame.scalar()`` (Spark 4.0): a 1×1 DataFrame used
+    directly as a scalar-subquery Column — the DataFrame spelling of
+    the reference's ScalarSubquery surface (reference:
+    serde/CometScalarSubquery.scala:28, expr.proto:451-454, where the
+    JVM evaluates the subquery and injects the literal).  Catalyst
+    plans the same Subquery + ReusedSubquery shape as the SQL form;
+    the fact table is scanned once for the average and once for the
+    filter, never joined."""
+    orders = _t(spark, sf_dir, "orders")
+    avg_price = orders.select(F.avg("o_totalprice")).scalar()
+    return (
+        orders.filter(F.col("o_totalprice") > avg_price)
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_above_avg"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "df_lateral_join_tvf",
+    oracle="""
+SELECT doc_id, tok,
+       CAST(count(*) AS BIGINT) AS n
+FROM (
+  SELECT doc_id, unnest(str_split(lower(text), ' ')) AS tok
+  FROM documents WHERE doc_id < 5
+)
+GROUP BY doc_id, tok
+HAVING count(*) >= 2
+ORDER BY doc_id, tok
+""",
+    tags=("relational", "spark4", "lateral", "generator"),
+)
+def df_lateral_join_tvf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``DataFrame.lateralJoin`` + ``spark.tvf`` (Spark 4.0): the
+    DataFrame spelling of LATERAL table-function application — the
+    generator receives OUTER references (`F.col(...).outer()`) from
+    the left row, so per-row expansion composes without SQL strings or
+    UDTF registration.  Plans the same Generate the explode queries
+    pin; repeated-token rollup keeps the output non-trivial."""
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 5)
+        .select("doc_id", "text")
+    )
+    toks = spark.tvf.explode(F.split(F.lower(F.col("text").outer()), " "))
+    return (
+        docs.lateralJoin(toks)
+        .groupBy("doc_id", F.col("col").alias("tok"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 2)
+        .orderBy("doc_id", "tok")
+    )
