@@ -37,7 +37,7 @@ PINNED = [
     "q9_product_profit",        # deep join tree
     "q21_waiting_supplier",     # semi + anti self-joins
     "dedup_minhash_lsh",        # reused exchange self-join
-    "text_stats",               # explode + two-level aggregate
+    "text_stats",               # map-only array expressions, zero shuffles
     "vocab_top_tokens",         # two-level agg + TakeOrderedAndProject
     "window_topk_per_group",    # WindowGroupLimit
     "tpcds_rank_in_category",   # window over aggregate
@@ -46,6 +46,13 @@ PINNED = [
     "pipeline_corpus_curation", # WindowGroupLimit pre-shuffle dedup
     "join_range_bucketed",      # manufactured equi key, no NLJ
     "recursive_cte_month_spine",  # spine broadcast, single fact pass
+    # round 2 additions
+    "join_shuffle_hash_hint",   # ShuffledHashJoin, no sort on either side
+    "doc_pack_greedy",          # one window cumsum + rollup, two exchanges
+    "dedup_incremental_vs_corpus",  # fingerprint-table join, no raw rejoin
+    "events_session_window_batch",  # native session-window aggregate
+    "multimodal_embed_ann",     # MapInPandas embed below broadcast cosine join
+    "scalar_subquery_api",      # Subquery + ReusedSubquery, no join
 ]
 
 REGEN = os.environ.get("SPARK_GRAFT_REGEN_GOLDENS") == "1"
