@@ -573,3 +573,70 @@ def stat_crosstab(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderstatus_o_orderpriority",
         *[F.col(f"`{c}`").alias(c) for c in value_cols],
     ).orderBy("o_orderstatus_o_orderpriority")
+
+
+@register(
+    "udaf_grouped_arrow",
+    oracle="""
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(length(text)) AS BIGINT) AS total_chars,
+       CAST(min_by(doc_id, length(text) * 1000000 + doc_id) AS BIGINT)
+         AS shortest_doc
+FROM documents
+WHERE text IS NOT NULL
+GROUP BY source
+ORDER BY source
+""",
+    tags=("aggregate", "udaf", "arrow", "udf-surface"),
+)
+def udaf_grouped_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map ``applyInArrow`` (Spark 4.0): the zero-copy sibling
+    of ``applyInPandas`` — each group arrives as a pyarrow.Table, the
+    custom aggregate runs in Arrow compute (no pandas conversion), one
+    result row leaves per group.  Completes the custom-UDAF matrix:
+    `udaf_grouped_ols` (pandas), `token_count_arrow` (mapInArrow
+    row-level), this (Arrow grouped).  The deterministic min_by
+    tie-break (length, then doc_id) makes the oracle exact.
+
+    Scale shape: one shuffle on the group key; each group must fit a
+    worker's Arrow buffer — the same bound applyInPandas has, which is
+    why groups here are sources (bounded set), not documents."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", "source", F.length("text").alias("n_chars"))
+    )
+
+    def summarize(table: pa.Table) -> pa.Table:
+        n_chars = table.column("n_chars")
+        doc_id = table.column("doc_id")
+        # deterministic shortest doc: min (n_chars, doc_id) lexicographic
+        key = pc.add(
+            pc.multiply(
+                pc.cast(n_chars, pa.int64()), pa.scalar(1_000_000, pa.int64())
+            ),
+            doc_id,
+        )
+        shortest = doc_id[pc.index(key, pc.min(key)).as_py()].as_py()
+        return pa.table(
+            {
+                "source": [table.column("source")[0].as_py()],
+                "n_docs": [table.num_rows],
+                "total_chars": [pc.sum(n_chars).as_py()],
+                "shortest_doc": [shortest],
+            }
+        )
+
+    return (
+        docs.groupBy("source")
+        .applyInArrow(
+            summarize,
+            "source string, n_docs bigint, total_chars bigint, "
+            "shortest_doc bigint",
+        )
+        .orderBy("source")
+    )

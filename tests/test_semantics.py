@@ -307,3 +307,40 @@ def test_streaming_checkpoint_resume_is_exactly_once(spark, sf_dir):
     src_n = spark.read.parquet(f"{sf_dir}/events.parquet").count()
     assert n1 == src_n, (n1, src_n)
     assert n2 == n1, f"resume duplicated rows: {n1} -> {n2}"
+
+
+def test_asof_rewrite_matches_duckdb_native_asof_join(spark, sf_dir):
+    """Independent oracle for the as-of join: the union-marker +
+    running-last window REWRITE (join_asof) must produce exactly what
+    DuckDB's native ASOF LEFT JOIN produces on the same data.  The
+    registered oracle spells the same window rewrite in SQL; this test
+    uses the *other* formulation, so a bug in the rewrite itself (not
+    just its translation) would surface here."""
+    import duckdb
+
+    rows = {
+        (r.purchase_id, r.user_id, r.click_id)
+        for r in REGISTRY["join_asof"].fn(spark, sf_dir).collect()
+    }
+    con = duckdb.connect()
+    try:
+        con.execute(
+            f"CREATE VIEW events AS SELECT * FROM '{sf_dir}/events.parquet'"
+        )
+        native = {
+            tuple(r)
+            for r in con.execute("""
+                SELECT p.event_id AS purchase_id, p.user_id,
+                       c.event_id AS click_id
+                FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+                ASOF LEFT JOIN
+                     (SELECT * FROM events WHERE event_type = 'click') c
+                  ON p.user_id = c.user_id AND p.ts >= c.ts
+            """).fetchall()
+        }
+    finally:
+        con.close()
+    assert rows == native, (
+        f"only-in-rewrite: {sorted(rows - native)[:5]} "
+        f"only-in-native: {sorted(native - rows)[:5]}"
+    )
