@@ -1752,3 +1752,151 @@ def doc_length_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "decile")
     )
+
+
+@register(
+    "pipeline_corpus_curation_v2",
+    oracle="""
+WITH base AS (
+  SELECT doc_id, source,
+         str_split(lower(text), ' ') AS t,
+         md5(trim(regexp_replace(regexp_replace(lower(text),
+               '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS nk
+  FROM documents WHERE text IS NOT NULL
+), surv AS (
+  SELECT nk, min(doc_id) AS keep_id FROM base GROUP BY nk
+), kept AS (
+  SELECT b.doc_id, b.source, b.t, len(b.t) AS n
+  FROM base b JOIN surv s ON b.doc_id = s.keep_id AND b.nk = s.nk
+  WHERE b.doc_id % 25 <> 0                             -- eval docs excluded
+    AND len(b.t) BETWEEN 20 AND 200                    -- length gate
+    AND 1.0 - len(list_distinct(b.t)) * 1.0 / len(b.t) <= 0.3  -- repetition
+), eval_set AS (
+  SELECT DISTINCT unnest(list_distinct(list_transform(
+           generate_series(1, len(t) - 4),
+           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' ||
+                t[i+3] || ' ' || t[i+4]))) AS s
+  FROM base WHERE doc_id % 25 = 0 AND len(t) >= 5
+), hits AS (
+  SELECT k.doc_id, count(*) AS n_overlap
+  FROM (SELECT doc_id, unnest(list_distinct(list_transform(
+            generate_series(1, len(t) - 4),
+            i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' ||
+                 t[i+3] || ' ' || t[i+4]))) AS s
+        FROM kept WHERE n >= 5) k
+  JOIN eval_set e USING (s)
+  GROUP BY k.doc_id
+  HAVING count(*) >= 3
+), clean AS (
+  SELECT k.* FROM kept k LEFT JOIN hits h ON k.doc_id = h.doc_id
+  WHERE h.doc_id IS NULL
+), packed AS (
+  SELECT source, n,
+         CAST(floor((sum(n) OVER (PARTITION BY source ORDER BY doc_id
+                     ROWS UNBOUNDED PRECEDING) - n) / 4096.0) AS BIGINT)
+           AS bin_id
+  FROM clean
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n) AS BIGINT) AS total_tokens,
+       CAST(max(bin_id) + 1 AS BIGINT) AS n_bins
+FROM packed
+GROUP BY source
+ORDER BY source
+""",
+    tags=("datapipe", "pipeline", "dedup", "quality-filter",
+          "decontamination", "packing"),
+)
+def pipeline_corpus_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full curation pipeline in ONE composed plan: normalization-
+    keyed dedup → eval-set exclusion → length + repetition quality
+    gates → 5-gram benchmark decontamination → greedy token packing →
+    per-source accounting.  Every stage is the registered operator it
+    names (`dedup_normalized_text`, `doc_repetition_ratio`,
+    `decontaminate_ngram_overlap`, `doc_pack_greedy`) — this entry
+    pins that they COMPOSE: one Catalyst plan, no materialization
+    between stages.
+
+    Scale shape: the token array is computed once in the scan
+    projection and every gate reads it; dedup election is one window
+    over the normalization key; the decontamination explode happens
+    only for docs that survive the cheap gates (filter ordering is the
+    optimization); the eval-shingle side is DISTINCT'd then broadcast;
+    packing reuses the per-source window partitioning.  Total: three
+    exchanges of the (shrinking) corpus + one broadcast, regardless of
+    corpus size."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    toks = F.split(F.lower("text"), " ")
+    nk = F.md5(
+        F.trim(
+            F.regexp_replace(
+                F.regexp_replace(F.lower("text"), "[^a-z0-9 ]", " "), " +", " "
+            )
+        )
+    )
+    base = docs.select(
+        "doc_id", "source", toks.alias("t"), nk.alias("nk")
+    ).withColumn("n", F.size("t"))
+    base = base.withColumn(
+        "keep_id", F.min("doc_id").over(W.partitionBy("nk"))
+    )
+    kept = base.filter(
+        (F.col("doc_id") == F.col("keep_id"))
+        & (F.col("doc_id") % 25 != 0)
+        & F.col("n").between(20, 200)
+        & (
+            F.lit(1.0)
+            - F.size(F.array_distinct("t")) / F.col("n").cast("double")
+            <= 0.3
+        )
+    ).select("doc_id", "source", "t", "n")
+
+    def five_grams(col):
+        return F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.col("n") - 5),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at(col, i + 1),
+                    F.element_at(col, i + 2),
+                    F.element_at(col, i + 3),
+                    F.element_at(col, i + 4),
+                    F.element_at(col, i + 5),
+                ),
+            )
+        )
+
+    eval_sh = (
+        base.filter((F.col("doc_id") % 25 == 0) & (F.col("n") >= 5))
+        .select(F.explode(five_grams(F.col("t"))).alias("s"))
+        .distinct()
+    )
+    hits = (
+        kept.filter(F.col("n") >= 5)
+        .select("doc_id", F.explode(five_grams(F.col("t"))).alias("s"))
+        .join(F.broadcast(eval_sh), "s")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+        .filter(F.col("n_overlap") >= 3)
+    )
+    clean = kept.join(hits, "doc_id", "left_anti")
+    w = (
+        W.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    packed = clean.select(
+        "source",
+        "n",
+        F.floor((F.sum("n").over(w) - F.col("n")) / 4096.0).alias("bin_id"),
+    )
+    return (
+        packed.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n").cast("bigint").alias("total_tokens"),
+            (F.max("bin_id") + 1).cast("bigint").alias("n_bins"),
+        )
+        .orderBy("source")
+    )
