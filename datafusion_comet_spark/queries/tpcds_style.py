@@ -277,3 +277,124 @@ def tpcds_cumulative_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("mon")
     )
+
+
+@register(
+    "tpcds_rollup_rank_hierarchy",
+    oracle="""
+WITH agg AS (
+  SELECT l_returnflag, l_linestatus,
+         CAST(grouping(l_returnflag) + grouping(l_linestatus) AS BIGINT)
+           AS lochierarchy,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+  FROM lineitem
+  GROUP BY ROLLUP (l_returnflag, l_linestatus)
+)
+SELECT l_returnflag, l_linestatus, lochierarchy,
+       CAST(rank() OVER (
+         PARTITION BY lochierarchy,
+                      CASE WHEN lochierarchy = 0 THEN l_returnflag END
+         ORDER BY revenue DESC
+       ) AS INT) AS rank_within_parent
+FROM agg
+ORDER BY lochierarchy DESC, l_returnflag NULLS FIRST,
+         l_linestatus NULLS FIRST, rank_within_parent
+""",
+    tags=("tpcds", "expand", "window", "rollup"),
+)
+def tpcds_rollup_rank_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q36 shape: rank items WITHIN each rollup level —
+    grouping() columns drive both the hierarchy level and the window
+    partition, so the rollup's Expand output feeds a window whose
+    partition key is computed FROM the grouping flags.  The
+    reference's Expand operator (operator.proto:346-349) composes with
+    its Window operator here; Spark plans Expand → HashAggregate →
+    Window with one exchange between them."""
+    li = _t(spark, sf_dir, "lineitem")
+    agg = li.rollup("l_returnflag", "l_linestatus").agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue"),
+        (
+            F.grouping("l_returnflag") + F.grouping("l_linestatus")
+        ).cast("bigint").alias("lochierarchy"),
+    )
+    w = Window.partitionBy(
+        "lochierarchy",
+        F.when(F.col("lochierarchy") == 0, F.col("l_returnflag")),
+    ).orderBy(F.col("revenue").desc())
+    return (
+        agg.select(
+            "l_returnflag",
+            "l_linestatus",
+            "lochierarchy",
+            F.rank().over(w).cast("int").alias("rank_within_parent"),
+        )
+        .orderBy(
+            F.col("lochierarchy").desc(),
+            F.col("l_returnflag").asc_nulls_first(),
+            F.col("l_linestatus").asc_nulls_first(),
+            "rank_within_parent",
+        )
+    )
+
+
+@register(
+    "tpcds_time_band_counts",
+    oracle="""
+SELECT * FROM
+  (SELECT CAST(count(*) AS BIGINT) AS band1 FROM lineitem
+   WHERE l_quantity BETWEEN 1 AND 5 AND l_discount < 0.03) b1,
+  (SELECT CAST(count(*) AS BIGINT) AS band2 FROM lineitem
+   WHERE l_quantity BETWEEN 6 AND 10 AND l_discount < 0.05) b2,
+  (SELECT CAST(count(*) AS BIGINT) AS band3 FROM lineitem
+   WHERE l_quantity BETWEEN 11 AND 20 AND l_tax < 0.04) b3,
+  (SELECT CAST(count(*) AS BIGINT) AS band4 FROM lineitem
+   WHERE l_quantity BETWEEN 21 AND 30 AND l_returnflag = 'R') b4,
+  (SELECT CAST(count(*) AS BIGINT) AS band5 FROM lineitem
+   WHERE l_quantity > 30 AND l_linestatus = 'F') b5
+""",
+    tags=("tpcds", "subquery", "cross-join"),
+)
+def tpcds_time_band_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q88 shape: N independent single-row aggregate subqueries
+    cross-joined into one wide result row (the store-hours dashboard
+    query).  Each band is its own scan+filter+count; the cross joins
+    are 1×1 so the 'cartesian' is free.
+
+    Scale note: as written the fact table is scanned N times — q88's
+    actual plan in every engine.  The single-scan rewrite is
+    conditional aggregation (`sum(CASE WHEN band THEN 1 END)` — the
+    `expand_grouping_flags` / `events_funnel` pattern); both shapes
+    are in the inventory deliberately so the trade is explicit: N
+    pruned scans with tight pushed filters vs one full scan with N
+    counters."""
+    li = _t(spark, sf_dir, "lineitem")
+    bands = [
+        (
+            "band1",
+            (F.col("l_quantity").between(1, 5)) & (F.col("l_discount") < 0.03),
+        ),
+        (
+            "band2",
+            (F.col("l_quantity").between(6, 10)) & (F.col("l_discount") < 0.05),
+        ),
+        (
+            "band3",
+            (F.col("l_quantity").between(11, 20)) & (F.col("l_tax") < 0.04),
+        ),
+        (
+            "band4",
+            (F.col("l_quantity").between(21, 30))
+            & (F.col("l_returnflag") == "R"),
+        ),
+        (
+            "band5",
+            (F.col("l_quantity") > 30) & (F.col("l_linestatus") == "F"),
+        ),
+    ]
+    out = None
+    for name, cond in bands:
+        one = li.filter(cond).agg(F.count(F.lit(1)).alias(name))
+        out = one if out is None else out.crossJoin(one)
+    return out
