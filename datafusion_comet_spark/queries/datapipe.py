@@ -1900,3 +1900,34 @@ def pipeline_corpus_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "doc_length_approx_cuts",
+    oracle=None,  # approx_percentile sketch values are engine-specific;
+    # pytest bounds them against exact percentiles.
+    tags=("datapipe", "curriculum", "approx"),
+)
+def doc_length_approx_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production variant of `doc_length_ntile` (SCALE.md): decile
+    CUTS from one `percentile_approx` aggregate — no per-source total
+    ordering, no range exchange, just a single two-phase aggregate
+    whose state is a bounded KLL-style sketch.  For a source that is
+    itself 10s of TB, this is the difference between a full sort and
+    one pass; the cut table then joins back (broadcast) to assign
+    buckets.  Deterministic for fixed input (the sketch algorithm is
+    deterministic), but sketch-specific — hence pytest-bounded, not
+    hash-matched."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    sized = docs.select("source", F.size(F.split("text", " ")).alias("n_toks"))
+    pcts = [i / 10.0 for i in range(1, 10)]
+    return (
+        sized.groupBy("source")
+        .agg(
+            F.percentile_approx(
+                "n_toks", pcts, 10000
+            ).alias("decile_cuts"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+        .orderBy("source")
+    )

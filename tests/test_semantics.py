@@ -344,3 +344,54 @@ def test_asof_rewrite_matches_duckdb_native_asof_join(spark, sf_dir):
         f"only-in-rewrite: {sorted(rows - native)[:5]} "
         f"only-in-native: {sorted(native - rows)[:5]}"
     )
+
+
+def test_approx_length_cuts_track_exact_percentiles(spark, sf_dir):
+    """percentile_approx decile cuts must each land within 5% relative
+    error of the exact percentile per source (accuracy=10000 on a
+    bounded-range metric is effectively exact at test scale)."""
+    from pyspark.sql import functions as F
+    from datafusion_comet_spark.catalog import load_table
+
+    approx = {
+        r.source: r.decile_cuts
+        for r in REGISTRY["doc_length_approx_cuts"].fn(spark, sf_dir).collect()
+    }
+    # percentile_approx returns actual data values (nearest-rank), the
+    # exact `percentile` interpolates — so bound each approx cut by the
+    # exact percentiles one decile-step either side, not by closeness
+    # to the interpolated point.
+    pcts = [i / 10.0 for i in range(1, 10)]
+    lo_hi = [max(p - 0.05, 0.0) for p in pcts] + [
+        min(p + 0.05, 1.0) for p in pcts
+    ]
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    arr = ",".join(map(str, lo_hi))
+    exact = {
+        r.source: r.cuts
+        for r in docs.select(
+            "source", F.size(F.split("text", " ")).alias("n_toks")
+        )
+        .groupBy("source")
+        .agg(F.expr(f"percentile(n_toks, array({arr}))").alias("cuts"))
+        .collect()
+    }
+    n = len(pcts)
+    for src, cuts in approx.items():
+        los, his = exact[src][:n], exact[src][n:]
+        for a, lo, hi in zip(cuts, los, his):
+            assert lo - 1 <= a <= hi + 1, (src, a, lo, hi)
+
+
+def test_rebalance_hint_plans_rebalance_partitions(spark, sf_dir):
+    """The REBALANCE hint (AQE-driven output-size balancing — the
+    write-path knob that fixes both tiny-file and straggler-partition
+    writes) must inject RebalancePartitions into the optimized plan."""
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(f"{sf_dir}/orders.parquet").hint("rebalance")
+    optimized = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "RebalancePartitions" in optimized, optimized[:1000]
+    assert df.count() == spark.read.parquet(f"{sf_dir}/orders.parquet").count()
