@@ -1931,3 +1931,77 @@ def doc_length_approx_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "dedup_paragraph_boilerplate",
+    oracle="""
+WITH paras AS (
+  SELECT doc_id, source, trim(p) AS p
+  FROM (SELECT doc_id, source, unnest(str_split(text, '. ')) AS p
+        FROM documents WHERE text IS NOT NULL)
+  WHERE trim(p) <> '' AND len(str_split(trim(p), ' ')) >= 4
+), freq AS (
+  SELECT md5(lower(p)) AS ph, count(*) AS n_occur,
+         count(DISTINCT doc_id) AS n_docs
+  FROM paras GROUP BY md5(lower(p))
+)
+SELECT p.source,
+       CAST(count(*) AS BIGINT) AS n_paras,
+       CAST(sum(CASE WHEN f.n_docs >= 3 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_boilerplate,
+       round(sum(CASE WHEN f.n_docs >= 3 THEN 1 ELSE 0 END) * 1.0
+             / count(*), 5) AS boilerplate_ratio
+FROM paras p JOIN freq f ON md5(lower(p.p)) = f.ph
+GROUP BY p.source
+ORDER BY p.source
+""",
+    tags=("datapipe", "dedup", "paragraph", "boilerplate"),
+)
+def dedup_paragraph_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph-level boilerplate detection — the sub-document dedup
+    pass doc-level fingerprints cannot do: split documents into
+    sentence/paragraph units, fingerprint each, and flag units that
+    recur across >=3 distinct documents (headers, footers, cookie
+    banners, license blocks).  Production removes the flagged units
+    and reassembles the documents; this query surfaces the per-source
+    boilerplate ratio that drives that decision.
+
+    Scale shape: the explode multiplies rows by paragraphs/doc, but
+    rows are short and the fingerprint groupBy keys on a uniform md5;
+    the per-unit frequency table is the only state, and it shrinks
+    with dedup upstream.  The rejoin is fingerprint→fingerprint (no
+    text movement) and AQE broadcasts the frequency side when a
+    per-source shard is processed alone."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    paras = (
+        docs.select(
+            "doc_id",
+            "source",
+            F.explode(F.split("text", r"\. ")).alias("p0"),
+        )
+        .select("doc_id", "source", F.trim("p0").alias("p"))
+        .filter(
+            (F.col("p") != "") & (F.size(F.split("p", " ")) >= 4)
+        )
+        .select("doc_id", "source", F.md5(F.lower("p")).alias("ph"))
+    )
+    freq = paras.groupBy("ph").agg(
+        F.countDistinct("doc_id").alias("n_docs")
+    )
+    return (
+        paras.join(freq, "ph")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_paras"),
+            F.sum((F.col("n_docs") >= 3).cast("bigint")).alias(
+                "n_boilerplate"
+            ),
+            F.round(
+                F.sum((F.col("n_docs") >= 3).cast("int"))
+                / F.count(F.lit(1)),
+                5,
+            ).alias("boilerplate_ratio"),
+        )
+        .orderBy("source")
+    )

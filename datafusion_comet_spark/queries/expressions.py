@@ -1048,3 +1048,50 @@ def expr_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "sql_registered_pandas_udf",
+    oracle="""
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(length(text) % 1000) AS BIGINT) AS folded
+FROM documents
+WHERE text IS NOT NULL
+GROUP BY lang
+ORDER BY lang
+""",
+    tags=("expression", "udf", "pandas-udf", "udtf"),
+)
+def sql_registered_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """An Arrow-vectorized pandas UDF registered INTO the SQL function
+    namespace (``spark.udf.register`` of a ``@pandas_udf``) and called
+    from a SQL string — the full loop of the reference's JVM-UDF
+    bridge (reference: common/.../CometUDF.scala, expr.proto:519-532:
+    register once, call from any query).  The kernel (length % 1000)
+    is SQL-expressible so the oracle pins that registration + Arrow
+    transfer + SQL dispatch is value-faithful.  Tagged ``udtf`` for
+    the plan gate: a Python UDF in the projection is the POINT here,
+    not a hot-path accident."""
+    from pyspark.sql.functions import pandas_udf
+
+    # no type annotations: the module's `from __future__ import
+    # annotations` stringifies hints, which the pandas_udf typehint
+    # resolver cannot evaluate against a function-local pandas import —
+    # the explicit returnType carries the contract instead.
+    @pandas_udf("long")
+    def dcs_fold_len(s):
+        return s.str.len().astype("int64") % 1000
+
+    spark.udf.register("dcs_fold_len", dcs_fold_len)
+    _t(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    ).createOrReplaceTempView("dcs_pudf_docs")
+    return spark.sql("""
+        SELECT lang,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(dcs_fold_len(text)) AS BIGINT) AS folded
+        FROM dcs_pudf_docs
+        GROUP BY lang
+        ORDER BY lang
+    """)
