@@ -1525,3 +1525,58 @@ def df_lateral_join_tvf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n") >= 2)
         .orderBy("doc_id", "tok")
     )
+
+
+# --------------------------------------------------------------------------
+# Z-order clustering — multi-dimensional sort-key interleaving
+# --------------------------------------------------------------------------
+_Z_BITS = 10
+_Z_FRAG = "(((a >> 0) & 1) << 0) | (((b >> 0) & 1) << 1) | (((a >> 1) & 1) << 2) | (((b >> 1) & 1) << 3) | (((a >> 2) & 1) << 4) | (((b >> 2) & 1) << 5) | (((a >> 3) & 1) << 6) | (((b >> 3) & 1) << 7) | (((a >> 4) & 1) << 8) | (((b >> 4) & 1) << 9) | (((a >> 5) & 1) << 10) | (((b >> 5) & 1) << 11) | (((a >> 6) & 1) << 12) | (((b >> 6) & 1) << 13) | (((a >> 7) & 1) << 14) | (((b >> 7) & 1) << 15) | (((a >> 8) & 1) << 16) | (((b >> 8) & 1) << 17) | (((a >> 9) & 1) << 18) | (((b >> 9) & 1) << 19)"
+
+
+@register(
+    "zorder_cluster_sort",
+    oracle="""
+WITH keyed AS (
+  SELECT l_orderkey, l_partkey,
+         l_orderkey % 1024 AS a, l_partkey % 1024 AS b
+  FROM lineitem
+), z AS (
+  SELECT l_orderkey, l_partkey,
+         CAST((((a >> 0) & 1) << 0) | (((b >> 0) & 1) << 1) | (((a >> 1) & 1) << 2) | (((b >> 1) & 1) << 3) | (((a >> 2) & 1) << 4) | (((b >> 2) & 1) << 5) | (((a >> 3) & 1) << 6) | (((b >> 3) & 1) << 7) | (((a >> 4) & 1) << 8) | (((b >> 4) & 1) << 9) | (((a >> 5) & 1) << 10) | (((b >> 5) & 1) << 11) | (((a >> 6) & 1) << 12) | (((b >> 6) & 1) << 13) | (((a >> 7) & 1) << 14) | (((b >> 7) & 1) << 15) | (((a >> 8) & 1) << 16) | (((b >> 8) & 1) << 17) | (((a >> 9) & 1) << 18) | (((b >> 9) & 1) << 19) AS BIGINT) AS zval
+  FROM keyed
+)
+SELECT zval, l_orderkey, l_partkey
+FROM z
+ORDER BY zval, l_orderkey, l_partkey
+LIMIT 100
+""",
+    tags=("relational", "sort", "zorder", "layout"),
+)
+def zorder_cluster_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering key: interleave the bits of two
+    dimension keys and sort by the result — the multi-dimensional
+    data-layout technique lakehouse formats expose as OPTIMIZE ZORDER
+    BY, built from plain bitwise expressions (the reference's bitwise
+    serde surface, serde/bitwise.scala:27-143, composed 20
+    shift/and/or terms deep — all inside whole-stage codegen).
+
+    Why it matters at 100 TB: a range-partitioned write ordered by
+    zval gives row groups that are simultaneously selective on BOTH
+    key dimensions — min/max stats prune scans filtered on either
+    column, where a lexicographic sort prunes only the leading one.
+    The query pins the key computation + ordering; production pipes it
+    into repartitionByRange(zval).write."""
+    li = _t(spark, sf_dir, "lineitem")
+    keyed = li.select(
+        "l_orderkey",
+        "l_partkey",
+        (F.col("l_orderkey") % 1024).alias("a"),
+        (F.col("l_partkey") % 1024).alias("b"),
+    )
+    z = keyed.select(
+        "l_orderkey",
+        "l_partkey",
+        F.expr(_Z_FRAG).cast("bigint").alias("zval"),
+    )
+    return z.orderBy("zval", "l_orderkey", "l_partkey").limit(100)
