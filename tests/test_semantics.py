@@ -395,3 +395,63 @@ def test_rebalance_hint_plans_rebalance_partitions(spark, sf_dir):
     optimized = df._jdf.queryExecution().optimizedPlan().toString()
     assert "RebalancePartitions" in optimized, optimized[:1000]
     assert df.count() == spark.read.parquet(f"{sf_dir}/orders.parquet").count()
+
+
+def test_parquet_write_emits_bloom_filters_and_sorted_stats(spark, sf_dir):
+    """Scan-pruning write path: writing parquet with column bloom
+    filters AND sorted-within-partition layout must (a) actually store
+    bloom filters (verified by size delta against a bloom-less write
+    of identical data — neither pyarrow 's metadata API nor DuckDB
+    1.0 expose bloom offsets directly), and (b) produce monotonic
+    row-group min/max on the sort column so range filters prune row
+    groups (verified from the footers)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from datafusion_comet_spark.sources import scratch_dir
+
+    src = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    sized = {}
+    for leaf, bloom in (("orders_bloom", True), ("orders_nobloom", False)):
+        path = scratch_dir(sf_dir, leaf)
+        w = (
+            src.repartition(1)
+            .sortWithinPartitions("o_orderkey")
+            .write.mode("overwrite")
+            # plain encoding for the bloom column in BOTH writes, so the
+            # size delta isolates the bloom filter bytes alone
+            .option("parquet.enable.dictionary#o_custkey", "false")
+        )
+        if bloom:
+            # NB: parquet-mr silently drops the bloom filter when every
+            # page of the column is dictionary-encoded (the dictionary
+            # already gives exact membership) — hence the plain encoding
+            # above; at real scale a 1.5M-row row group overflows the
+            # dictionary anyway.
+            w = w.option(
+                "parquet.bloom.filter.enabled#o_custkey", "true"
+            ).option("parquet.bloom.filter.expected.ndv#o_custkey", "20000")
+        w.parquet(path)
+        parts = [
+            os.path.join(path, f)
+            for f in os.listdir(path)
+            if f.endswith(".parquet")
+        ]
+        assert parts
+        sized[leaf] = sum(os.path.getsize(f) for f in parts)
+        # (b) sorted layout => monotonic row-group min/max on the sort col
+        for part in parts:
+            pf = pq.ParquetFile(part)
+            idx = pf.schema_arrow.names.index("o_orderkey")
+            prev_max = None
+            for rg in range(pf.metadata.num_row_groups):
+                stats = pf.metadata.row_group(rg).column(idx).statistics
+                assert stats is not None and stats.has_min_max
+                if prev_max is not None:
+                    assert stats.min >= prev_max
+                prev_max = stats.max
+    delta = sized["orders_bloom"] - sized["orders_nobloom"]
+    assert delta > 4096, (
+        f"bloom-enabled file not larger ({delta} bytes) — filter not written"
+    )
