@@ -455,3 +455,40 @@ def test_parquet_write_emits_bloom_filters_and_sorted_stats(spark, sf_dir):
     assert delta > 4096, (
         f"bloom-enabled file not larger ({delta} bytes) — filter not written"
     )
+
+
+def test_streaming_observed_metrics_report_per_batch(spark, sf_dir):
+    """Streaming observability: metrics attached with df.observe()
+    surface in StreamingQueryProgress.observedMetrics per microbatch —
+    the zero-cost stream-health channel (row counts, null rates)
+    production monitors alert on.  Totals across batches must equal
+    the source exactly: observation is on the stream itself, not a
+    sampled side channel."""
+    from pyspark.sql import functions as F
+
+    from datafusion_comet_spark.streaming import read_events_stream
+
+    ev = read_events_stream(spark, sf_dir).observe(
+        "health",
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("value").isNull().cast("long")).alias("n_null_value"),
+    )
+    q = (
+        ev.groupBy("event_type")
+        .count()
+        .writeStream.format("memory")
+        .queryName("obs_sink")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    observed = [
+        p.observedMetrics["health"]
+        for p in q.recentProgress
+        if p.observedMetrics and "health" in p.observedMetrics
+    ]
+    assert observed, "no observedMetrics in any batch progress"
+    total = sum(m["n_rows"] for m in observed)
+    src_n = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    assert total == src_n, (total, src_n)
