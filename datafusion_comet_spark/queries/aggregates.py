@@ -640,3 +640,61 @@ def udaf_grouped_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "udaf_pandas_grouped_agg",
+    oracle="""
+SELECT l_returnflag,
+       round(sum(l_quantity * l_quantity), 2) AS sum_sq,
+       round(sum(l_quantity * l_quantity)
+             / count(*), 6) AS mean_sq
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+    tags=("aggregate", "udaf", "pandas-udf", "udtf"),
+)
+def udaf_pandas_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPED_AGG pandas UDF: a custom aggregate that drops into
+    ``groupBy().agg()`` beside built-ins — the third custom-aggregate
+    surface after grouped-map applyInPandas/applyInArrow (whole-group
+    in, whole-row out) — this one is a true AGGREGATE (series in,
+    scalar out), so Catalyst plans it inside the normal aggregate
+    operator and it composes with built-in aggs in the same agg()
+    call.  Kernel (sum of squares) is SQL-expressible, so the Arrow
+    transfer is value-pinned.  Tagged udtf for the plan gate: the
+    Python aggregate in-plan is the surface under test.
+
+    Scale note: GROUPED_AGG buffers each group's column in one worker
+    — same bound as applyInPandas; fine for bounded groups (flags,
+    sources), wrong for unbounded keys (use a two-level rollup)."""
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # explicit functionType: without (evaluable) type annotations the
+    # decorator defaults to SCALAR; GROUPED_AGG is what makes this an
+    # aggregate expression.  Spark disallows mixing GROUPED_AGG with
+    # JVM aggregates in one agg() — so the row count is a second
+    # pandas aggregate, and the ratio is computed above the aggregate.
+    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
+    def dcs_sum_sq(v):
+        return float((v * v).sum())
+
+    @pandas_udf("long", PandasUDFType.GROUPED_AGG)
+    def dcs_n(v):
+        return len(v)
+
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            dcs_sum_sq("l_quantity").alias("ss"),
+            dcs_n("l_quantity").alias("n"),
+        )
+        .select(
+            "l_returnflag",
+            F.round("ss", 2).alias("sum_sq"),
+            F.round(F.col("ss") / F.col("n"), 6).alias("mean_sq"),
+        )
+        .orderBy("l_returnflag")
+    )

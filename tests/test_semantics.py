@@ -492,3 +492,116 @@ def test_streaming_observed_metrics_report_per_batch(spark, sf_dir):
     total = sum(m["n_rows"] for m in observed)
     src_n = spark.read.parquet(f"{sf_dir}/events.parquet").count()
     assert total == src_n, (total, src_n)
+
+
+def test_json_corrupt_record_modes(spark, sf_dir):
+    """Ingestion robustness: PERMISSIVE mode quarantines malformed
+    JSON lines into the corrupt-record column (count preserved, good
+    rows parsed), DROPMALFORMED removes them, FAILFAST raises.  At
+    100 TB malformed input is a certainty, and silent row loss is the
+    failure mode these modes exist to make explicit."""
+    import os
+
+    from pyspark.sql import functions as F
+    from datafusion_comet_spark.sources import scratch_dir
+
+    path = scratch_dir(sf_dir, "corrupt_jsonl")
+    os.makedirs(path, exist_ok=True)
+    good = [f'{{"id": {i}, "v": {i * 10}}}' for i in range(20)]
+    bad = ['{"id": 20, "v": ', "not json at all", '{"id": }']
+    with open(os.path.join(path, "part-0.jsonl"), "w") as f:
+        f.write("\n".join(good + bad) + "\n")
+
+    schema = "id BIGINT, v BIGINT, _corrupt_record STRING"
+    permissive = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+        .cache()  # Spark disallows filtering on ONLY the corrupt column
+                  # over the raw source; cache materializes the parse
+    )
+    try:
+        n_bad = permissive.filter(
+            F.col("_corrupt_record").isNotNull()
+        ).count()
+        n_good = permissive.filter(F.col("_corrupt_record").isNull()).count()
+        assert (n_good, n_bad) == (20, 3), (n_good, n_bad)
+    finally:
+        permissive.unpersist()
+
+    dropped = (
+        spark.read.schema("id BIGINT, v BIGINT")
+        .option("mode", "DROPMALFORMED")
+        .json(path)
+    )
+    assert dropped.count() == 20
+
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="(?i)malformed|failfast"):
+        (
+            spark.read.schema("id BIGINT, v BIGINT")
+            .option("mode", "FAILFAST")
+            .json(path)
+            .count()
+        )
+
+
+def test_dynamic_partition_pruning_on_partitioned_write(spark, sf_dir):
+    """DPP: a scan of a partition-laid-out table joined to a filtered
+    dimension on the partition column must plan a dynamicpruning
+    subquery on the fact scan — partitions for non-selected keys are
+    never read.  This is THE partition-elimination mechanism for
+    star-schema joins at 100 TB (the reference repairs DPP subqueries
+    it breaks, rules/CometScanRule.scala; here Catalyst owns it
+    end-to-end)."""
+    import os
+
+    from pyspark.sql import functions as F
+    from datafusion_comet_spark.sources import scratch_dir
+
+    path = scratch_dir(sf_dir, "orders_by_status")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        (
+            spark.read.parquet(f"{sf_dir}/orders.parquet")
+            .write.mode("overwrite")
+            .partitionBy("o_orderstatus")
+            .parquet(path)
+        )
+    fact = spark.read.parquet(path)
+    # DPP needs a FILTER on the dimension side (a bare local relation
+    # doesn't qualify) — write the dim to parquet and filter the scan.
+    dim_path = scratch_dir(sf_dir, "status_dim")
+    spark.createDataFrame(
+        [("F", "finished"), ("O", "open"), ("P", "pending")],
+        "o_orderstatus string, label string",
+    ).write.mode("overwrite").parquet(dim_path)
+    dim = spark.read.parquet(dim_path).filter(F.col("label") == "finished")
+    saved = spark.conf.get("spark.sql.optimizer.dynamicPartitionPruning.fallbackFilterRatio", None)
+    spark.conf.set(
+        "spark.sql.optimizer.dynamicPartitionPruning.fallbackFilterRatio", "10000"
+    )
+    try:
+        joined = fact.join(F.broadcast(dim), "o_orderstatus").groupBy(
+            "label"
+        ).count()
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "dynamicpruning" in plan.lower(), plan[:3000]
+        rows = {r.label: r["count"] for r in joined.collect()}
+        expected = (
+            spark.read.parquet(f"{sf_dir}/orders.parquet")
+            .filter(F.col("o_orderstatus") == "F")
+            .count()
+        )
+        assert rows == {"finished": expected}
+    finally:
+        if saved is None:
+            spark.conf.unset(
+                "spark.sql.optimizer.dynamicPartitionPruning.fallbackFilterRatio"
+            )
+        else:
+            spark.conf.set(
+                "spark.sql.optimizer.dynamicPartitionPruning.fallbackFilterRatio",
+                saved,
+            )
