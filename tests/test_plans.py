@@ -307,3 +307,47 @@ def test_shuffle_hash_hint_plans_shuffled_hash_join(spark, sf_dir):
     plan = plan_string(df, "simple")
     assert "ShuffledHashJoin" in plan, plan[:2000]
     assert "SortMergeJoin" not in plan, plan[:2000]
+
+
+def test_cache_table_plans_in_memory_scan(spark, sf_dir):
+    """spark.catalog.cacheTable: subsequent scans must read the
+    columnar cache (InMemoryTableScan), and uncache must restore the
+    parquet scan.  Caching is the pipeline-owner knob SCALE.md
+    reserves (operators never persist internally) — this pins that
+    the knob works when the owner reaches for it."""
+    spark.read.parquet(f"{sf_dir}/nation.parquet").createOrReplaceTempView(
+        "dcs_cache_nation"
+    )
+    spark.catalog.cacheTable("dcs_cache_nation")
+    try:
+        plan = plan_string(
+            spark.table("dcs_cache_nation").groupBy("n_regionkey").count(),
+            "simple",
+        )
+        assert "In-memory table" in plan or "InMemoryTableScan" in plan, (
+            plan[:1500]
+        )
+    finally:
+        spark.catalog.uncacheTable("dcs_cache_nation")
+    plan = plan_string(
+        spark.table("dcs_cache_nation").groupBy("n_regionkey").count(),
+        "simple",
+    )
+    assert "In-memory table" not in plan and "InMemoryTableScan" not in plan
+
+
+def test_many_shard_union_flattens_to_single_union(spark, sf_dir):
+    """Unioning N shard frames must flatten to ONE Union operator with
+    N children, not an N-deep binary tree — the plan shape that keeps
+    analyzer/codegen time linear when a loader unions hundreds of
+    daily shards.  (CombineUnions guarantees this; the pin protects
+    the shard-ingestion pattern from regressing into stack-depth
+    pathology.)"""
+    base = spark.read.parquet(f"{sf_dir}/region.parquet")
+    out = base
+    for _ in range(63):
+        out = out.union(base)
+    optimized = out._jdf.queryExecution().optimizedPlan()
+    assert optimized.nodeName() == "Union"
+    assert optimized.children().size() == 64
+    assert out.count() == base.count() * 64
