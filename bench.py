@@ -72,9 +72,10 @@ def main() -> None:
     # benchmarks/tpc/tpcbench.py; results format
     # benchmarks/results/0.16.0/*.json), which measures steady-state
     # execution rather than first-run codegen/JIT compile.
-    # 3 iterations: this box shows heavy co-tenant noise (same query
-    # 0.8s..8.8s across runs); min-of-3 recovers steady-state timing.
-    iterations = int(os.environ.get("SPARK_GRAFT_BENCH_ITERATIONS", "3"))
+    # 4 iterations: this box shows heavy co-tenant noise (same query
+    # 0.4s..5s across runs, spikes clustered in time); min-of-4
+    # recovers steady-state timing at ~30s extra wall clock.
+    iterations = int(os.environ.get("SPARK_GRAFT_BENCH_ITERATIONS", "4"))
     per_query: dict[str, float] = {}
     for name in names:
         best = None
