@@ -271,3 +271,79 @@ def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 5)
         .orderBy("qid", "rn")
     )
+
+
+@register(
+    "ann_ivf_multiprobe",
+    oracle=None,  # k-means cells are engine-specific; pytest pins recall
+    # >= the single-probe variant and against brute force.
+    tags=("similarity", "ann", "ivf", "multiprobe"),
+)
+def ann_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with multi-probe (nProbe=2): each query searches its TWO
+    nearest coarse cells instead of one — the standard recall knob for
+    inverted-file ANN (recall loss at cell boundaries is the
+    single-probe failure mode; probing neighbors recovers most of it
+    for 2× the candidate work, still O(n·nProbe/k) not O(n)).
+
+    Index metadata (8 centroids) is driver-side by construction —
+    centroids ARE the index, tiny and broadcast; the corpus never
+    leaves executors.  Probe selection is a rank-2 window over the
+    query×centroid cross (|queries|×k rows); candidate search is the
+    same cell equi-join as single-probe, deduplicated by (qid,
+    vec_id) before ranking."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double("embedding").alias("emb")
+    )
+    feats = emb.select(
+        "vec_id", "emb", array_to_vector("emb").alias("features")
+    )
+    model = KMeans(k=8, seed=42, maxIter=10).fit(feats.select("features"))
+    assigned = model.transform(feats).select(
+        "vec_id", "emb", F.col("prediction").alias("cell")
+    )
+    centroids = spark.createDataFrame(
+        [(i, [float(x) for x in ctr]) for i, ctr in enumerate(model.clusterCenters())],
+        "cell int, ctr array<double>",
+    )
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), F.col("emb").alias("q_emb")
+    )
+    # nProbe=2 nearest centroids per query (squared L2 via fold)
+    dist2 = F.aggregate(
+        F.zip_with("q_emb", "ctr", lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    wp = W.partitionBy("qid").orderBy(F.col("d2").asc(), F.col("cell"))
+    probes = (
+        queries.crossJoin(F.broadcast(centroids))
+        .select("qid", "q_emb", "cell", dist2.alias("d2"))
+        .select("qid", "q_emb", "cell", F.row_number().over(wp).alias("pr"))
+        .filter(F.col("pr") <= 2)
+        .select("qid", "q_emb", "cell")
+    )
+    scored = (
+        assigned.join(F.broadcast(probes), "cell")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            cosine(F.col("q_emb"), F.col("emb")).alias("sim_raw"),
+        )
+        .dropDuplicates(["qid", "vec_id"])
+    )
+    w = W.partitionBy("qid").orderBy(F.col("sim_raw").desc(), F.col("vec_id"))
+    return (
+        scored.select(
+            "qid",
+            "vec_id",
+            F.round("sim_raw", 6).alias("sim"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= 5)
+        .orderBy("qid", "rn")
+    )

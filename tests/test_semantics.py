@@ -605,3 +605,26 @@ def test_dynamic_partition_pruning_on_partitioned_write(spark, sf_dir):
                 "spark.sql.optimizer.dynamicPartitionPruning.fallbackFilterRatio",
                 saved,
             )
+
+
+def test_ivf_multiprobe_recall_dominates_single_probe(spark, sf_dir):
+    """nProbe=2 must recall at least as many of the exact brute-force
+    top-5 as single-probe IVF for every query — the monotone
+    probe-count/recall trade the variant exists to demonstrate."""
+    exact = {}
+    for r in REGISTRY["ann_bruteforce_topk"].fn(spark, sf_dir).collect():
+        exact.setdefault(r.qid, set()).add(r.vec_id)
+
+    def recall(name):
+        got = {}
+        for r in REGISTRY[name].fn(spark, sf_dir).collect():
+            got.setdefault(r.qid, set()).add(r.vec_id)
+        return {
+            q: len(got.get(q, set()) & exact[q]) / len(exact[q])
+            for q in exact
+        }
+
+    single = recall("ann_ivf_kmeans")
+    multi = recall("ann_ivf_multiprobe")
+    for q in exact:
+        assert multi[q] >= single[q], (q, single[q], multi[q])
