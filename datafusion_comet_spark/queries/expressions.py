@@ -1095,3 +1095,87 @@ def sql_registered_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY lang
         ORDER BY lang
     """)
+
+
+@register(
+    "events_props_json_extract",
+    oracle="""
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+         AS sum_k,
+       CAST(max(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+         AS max_k
+FROM events
+WHERE props IS NOT NULL
+GROUP BY event_type
+ORDER BY event_type
+""",
+    tags=("expression", "json", "semi-structured"),
+)
+def events_props_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured payload extraction over the REAL testdata
+    payload column: events.props is a JSON string; pull `$.k` with
+    get_json_object (the reference's only JSON surface —
+    native/spark-expr/src/json_funcs/, GetJsonObject in
+    serde/QueryPlanSerde.scala:150-157) and aggregate.  At scale this
+    is the log-enrichment hot path: extraction stays codegen-resident,
+    no UDF, no schema inference pass — for repeated multi-key access
+    the upgrade is one from_json/VariantType parse per row
+    (expr_variant) instead of N get_json_object calls."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("props").isNotNull())
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(k).alias("sum_k"),
+            F.max(k).alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "correlated_scalar_subquery",
+    oracle="""
+SELECT c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       round(avg(top_order), 2) AS avg_top_order
+FROM (
+  SELECT c.c_custkey, c.c_mktsegment,
+         (SELECT max(o.o_totalprice) FROM orders o
+          WHERE o.o_custkey = c.c_custkey) AS top_order
+  FROM customer c
+) t
+WHERE top_order IS NOT NULL
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+""",
+    tags=("expression", "subquery", "decorrelation"),
+)
+def correlated_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (per-customer max order value):
+    Catalyst DECORRELATES it into an aggregate + left outer join — one
+    pass over orders, not one subquery per customer row.  The
+    reference receives the already-decorrelated plan (its
+    ScalarSubquery handles only uncorrelated scalars,
+    serde/CometScalarSubquery.scala:28); the rebuild pins the rewrite
+    end-to-end through SQL.  At 100 TB the decorrelation IS the
+    difference between a join and a per-row table scan."""
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("dcs_css_customer")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("dcs_css_orders")
+    return spark.sql("""
+        SELECT c_mktsegment,
+               CAST(count(*) AS BIGINT) AS n_customers,
+               round(avg(top_order), 2) AS avg_top_order
+        FROM (
+          SELECT c.c_custkey, c.c_mktsegment,
+                 (SELECT max(o.o_totalprice) FROM dcs_css_orders o
+                  WHERE o.o_custkey = c.c_custkey) AS top_order
+          FROM dcs_css_customer c
+        ) t
+        WHERE top_order IS NOT NULL
+        GROUP BY c_mktsegment
+        ORDER BY c_mktsegment
+    """)
