@@ -698,3 +698,70 @@ def udaf_pandas_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@register(
+    "udaf_cogroup_pandas",
+    oracle="""
+SELECT n_regionkey,
+       CAST(count(DISTINCT c_custkey) AS BIGINT) AS n_customers,
+       CAST(count(DISTINCT s_suppkey) AS BIGINT) AS n_suppliers
+FROM (
+  SELECT c.c_custkey, NULL AS s_suppkey, c.c_nationkey AS nk
+  FROM customer c
+  UNION ALL
+  SELECT NULL, s.s_suppkey, s.s_nationkey FROM supplier s
+) u JOIN nation ON nk = n_nationkey
+GROUP BY n_regionkey
+ORDER BY n_regionkey
+""",
+    tags=("aggregate", "udaf", "cogroup", "pandas-udf", "udtf"),
+)
+def udaf_cogroup_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sided grouped map: ``groupBy(...).cogroup(other.groupBy(...))
+    .applyInPandas`` — both frames' rows for a key arrive together in
+    one Python call (the custom-join escape hatch when per-key logic
+    can't be said as a join condition: interleaving, per-key
+    reconciliation, custom matchers).  Kernel counts distinct members
+    per side per nation, rolled up to regions against the
+    UNION-spelled oracle.  Scale: one co-partitioned shuffle of both
+    sides on the key — same exchange bill as a join; per-key data must
+    fit a worker (nations are bounded)."""
+    import pandas as pd
+
+    cust = _t(spark, sf_dir, "customer").select("c_nationkey", "c_custkey")
+    supp = _t(spark, sf_dir, "supplier").select("s_nationkey", "s_suppkey")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+
+    def reconcile(left: "pd.DataFrame", right: "pd.DataFrame") -> "pd.DataFrame":
+        key = (
+            left["c_nationkey"].iloc[0]
+            if len(left)
+            else right["s_nationkey"].iloc[0]
+        )
+        return pd.DataFrame(
+            {
+                "nk": [int(key)],
+                "n_customers": [int(left["c_custkey"].nunique())],
+                "n_suppliers": [int(right["s_suppkey"].nunique())],
+            }
+        )
+
+    per_nation = (
+        cust.groupBy("c_nationkey")
+        .cogroup(supp.groupBy("s_nationkey"))
+        .applyInPandas(
+            reconcile, "nk long, n_customers long, n_suppliers long"
+        )
+    )
+    return (
+        per_nation.join(
+            F.broadcast(nation), per_nation.nk == nation.n_nationkey
+        )
+        .groupBy("n_regionkey")
+        .agg(
+            F.sum("n_customers").alias("n_customers"),
+            F.sum("n_suppliers").alias("n_suppliers"),
+        )
+        .orderBy("n_regionkey")
+    )

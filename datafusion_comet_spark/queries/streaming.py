@@ -374,3 +374,36 @@ def stream_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "stream_dedup_within_watermark",
+    oracle="""
+SELECT event_type, count(DISTINCT event_id) AS n_unique
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+    tags=("streaming", "dedup", "watermark"),
+)
+def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``dropDuplicatesWithinWatermark`` (Spark 3.5+): dedup state is
+    EVICTED once the watermark passes a key — the bounded-state form
+    of streaming dedup for sources whose duplicates arrive close
+    together (retries, at-least-once producers).  Plain dropDuplicates
+    (stream_dedup) keeps every key forever; within-watermark keeps
+    state linear in the watermark window.  Our synthetic events carry
+    unique event_ids, so survivors equal global distinct and the same
+    oracle pins both variants — the difference under test is the
+    state-eviction operator actually planning (and at 100 TB, the
+    state store staying bounded)."""
+    ev = read_events_stream(spark, sf_dir)
+    deduped = ev.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    out = run_to_memory(deduped, "stream_dedup_ww_sink", "append")
+    return (
+        out.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_unique"))
+        .orderBy("event_type")
+    )

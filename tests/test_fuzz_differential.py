@@ -227,3 +227,41 @@ def setop_query(draw) -> str:
 def test_random_setop_matches_duckdb(views, sf_dir, sql):
     df = views.sql(sql)
     compare_to_oracle(df, sql, sf_dir)
+
+
+@st.composite
+def sliding_frame_query(draw) -> str:
+    """Random bounded ROWS frame over a UNIQUE total order — sliding
+    sums/min/max with literal offsets, the frame family the reference
+    supports natively only for literal ROWS bounds
+    (CometWindowExec.scala:178-240).  The (l_orderkey, l_linenumber)
+    ordering is a key, so frames are deterministic."""
+    pred = draw(predicate())
+    lo = draw(st.integers(0, 4))
+    hi = draw(st.integers(0, 4))
+    fn = draw(st.sampled_from(["sum", "min", "max", "count"]))
+    val = draw(st.sampled_from(["l_quantity", "l_extendedprice"]))
+    expr = (
+        f"round({fn}(CAST({val} AS DECIMAL(18,2))) OVER w, 2)"
+        if fn != "count"
+        else "count(*) OVER w"
+    )
+    return (
+        f"SELECT l_orderkey, l_linenumber, {expr} AS wv "
+        f"FROM lineitem WHERE {pred} "
+        f"WINDOW w AS (ORDER BY l_orderkey, l_linenumber "
+        f"ROWS BETWEEN {lo} PRECEDING AND {hi} FOLLOWING) "
+        f"ORDER BY l_orderkey, l_linenumber"
+    )
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(sql=sliding_frame_query())
+def test_random_sliding_frame_matches_duckdb(views, sf_dir, sql):
+    df = views.sql(sql)
+    compare_to_oracle(df, sql, sf_dir)
