@@ -1580,3 +1580,78 @@ def zorder_cluster_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(_Z_FRAG).cast("bigint").alias("zval"),
     )
     return z.orderBy("zval", "l_orderkey", "l_partkey").limit(100)
+
+
+@register(
+    "setop_union_distinct",
+    oracle="""
+SELECT c_custkey FROM customer WHERE c_acctbal > 9000
+UNION
+SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 400000
+ORDER BY c_custkey
+""",
+    tags=("relational", "setop"),
+)
+def setop_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION DISTINCT — Catalyst lowers to Union + Deduplicate (hash
+    aggregate on all columns), exactly how the reference receives it
+    (only UNION ALL exists as an operator; SURVEY §2.1 'Set
+    operations').  `union().distinct()` is the DataFrame spelling."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    a = cust.filter(F.col("c_acctbal") > 9000).select("c_custkey")
+    b = orders.filter(F.col("o_totalprice") > 400000).select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return a.union(b).distinct().orderBy("c_custkey")
+
+
+@register(
+    "join_null_safe_eq",
+    oracle="""
+WITH a AS (
+  SELECT c_custkey, nullif(c_nationkey % 7, 3) AS grp FROM customer
+), b AS (
+  SELECT nullif(n % 7, 3) AS grp, CAST(n AS BIGINT) AS tag
+  FROM (SELECT unnest(generate_series(0, 6)) AS n)
+)
+SELECT coalesce(CAST(a.grp AS VARCHAR), 'NULL') AS grp,
+       CAST(count(*) AS BIGINT) AS n_matched,
+       CAST(count(DISTINCT b.tag) AS BIGINT) AS n_tags
+FROM a JOIN b ON a.grp IS NOT DISTINCT FROM b.grp
+GROUP BY 1
+ORDER BY 1
+""",
+    tags=("relational", "join", "null-safe"),
+)
+def join_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (``<=>`` / IS NOT DISTINCT FROM):
+    NULL keys MATCH each other instead of vanishing — the semantics
+    the reference implements as EqualNullSafe
+    (serde/predicates.scala; expr.proto) and Spark plans as an
+    ordinary hash join on the null-safe key.  The NULL bucket is by
+    construction a hot key at scale: every null-keyed row lands in
+    one reducer, so treat NULL-matching joins like skewed joins
+    (AQE skew split or pre-filter the null bucket and union it
+    back)."""
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.nullif(F.col("c_nationkey") % 7, F.lit(3)).alias("grp"),
+    )
+    tags = spark.range(0, 7).select(
+        F.nullif(F.col("id") % 7, F.lit(3)).alias("grp"),
+        F.col("id").alias("tag"),
+    )
+    return (
+        cust.join(F.broadcast(tags), cust.grp.eqNullSafe(tags.grp))
+        .select(
+            F.coalesce(cust.grp.cast("string"), F.lit("NULL")).alias("grp"),
+            "tag",
+        )
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).alias("n_matched"),
+            F.countDistinct("tag").alias("n_tags"),
+        )
+        .orderBy("grp")
+    )
