@@ -2005,3 +2005,72 @@ def dedup_paragraph_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "fingerprint_table_maintain",
+    oracle="""
+WITH all_fps AS (
+  SELECT DISTINCT md5(text) AS fp FROM documents WHERE text IS NOT NULL
+)
+SELECT substr(fp, 1, 1) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_fps
+FROM all_fps
+GROUP BY substr(fp, 1, 1)
+ORDER BY bucket
+""",
+    tags=("datapipe", "dedup", "incremental", "write"),
+)
+def fingerprint_table_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WRITE side of incremental dedup: maintain the corpus
+    fingerprint table that `dedup_incremental_vs_corpus` reads.
+    Bootstrap writes the historical fingerprints partitioned by hash
+    prefix (dynamic partition overwrite — only touched buckets
+    rewrite); the daily delta appends its NEW fingerprints into the
+    same layout; the read-back must equal the distinct fingerprints
+    of the whole corpus (idempotence: re-running the append adds
+    nothing, because the delta anti-joins the existing table first).
+
+    Scale shape: the fingerprint table is 16 B/doc partitioned by
+    prefix into bounded buckets; each daily append shuffles only the
+    delta; the anti-join prunes to the buckets the delta touches."""
+    import os
+
+    from ..sources import scratch_dir
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    fps = docs.select(F.md5("text").alias("fp")).distinct().select(
+        "fp", F.substring("fp", 1, 1).alias("bucket")
+    )
+    hist = fps.filter(
+        F.crc32(F.col("fp")) % 4 != 0
+    )  # "yesterday's corpus" slice
+    delta = fps.filter(F.crc32(F.col("fp")) % 4 == 0)
+
+    path = scratch_dir(sf_dir, "fingerprint_table")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    (
+        hist.write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(path)
+    )
+    existing = spark.read.parquet(path)
+    new_fps = delta.join(
+        existing.select("fp"), "fp", "left_anti"
+    )
+    (
+        new_fps.write.mode("append")
+        .partitionBy("bucket")
+        .parquet(path)
+    )
+    # idempotence probe: a second append of the same delta must add 0
+    again = delta.join(
+        spark.read.parquet(path).select("fp"), "fp", "left_anti"
+    )
+    assert again.count() == 0, "fingerprint append not idempotent"
+    back = spark.read.parquet(path)
+    return (
+        back.groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_fps"))
+        .orderBy("bucket")
+    )
