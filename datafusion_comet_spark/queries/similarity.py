@@ -347,3 +347,47 @@ def ann_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 5)
         .orderBy("qid", "rn")
     )
+
+
+@register(
+    "embedding_centroid_per_label",
+    oracle="""
+SELECT label, CAST(i AS INT) AS dim,
+       round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS centroid_val,
+       CAST(count(*) AS BIGINT) AS n_vecs
+FROM embeddings CROSS JOIN range(1, 9) r(i)
+WHERE embedding IS NOT NULL
+GROUP BY label, i
+ORDER BY label, dim
+""",
+    tags=("similarity", "embedding", "centroid"),
+)
+def embedding_centroid_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids (first 8 dims in long form): the
+    distributed vector-mean every clustering / class-prototype /
+    IVF-retrain step needs.  posexplode turns (vec, label) into
+    (label, dim, value) rows and ONE hash aggregate averages per
+    (label, dim) — map-side partials do the heavy summation, the
+    shuffle carries |labels|×|dims| partial sums, never vectors.
+
+    The alternative people write first — zip_with/aggregate lambdas
+    folding whole arrays per group — runs interpreted and single-
+    reducer per label; the explode form is how vector means scale.
+    (Spark sums left-to-right per partition, DuckDB per its own scan
+    order: float-sum association differs in the last ulps, which the
+    6-decimal round absorbs — same convention as every float oracle
+    here.)"""
+    emb = _t(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+    exploded = emb.select(
+        "label", F.posexplode("embedding").alias("pos", "v")
+    ).filter(F.col("pos") < 8)
+    return (
+        exploded.groupBy("label", (F.col("pos") + 1).cast("int").alias("dim"))
+        .agg(
+            F.round(F.avg(F.col("v").cast("double")), 6).alias("centroid_val"),
+            F.count(F.lit(1)).alias("n_vecs"),
+        )
+        .orderBy("label", "dim")
+    )
