@@ -765,3 +765,51 @@ def udaf_cogroup_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_regionkey")
     )
+
+
+@register(
+    "agg_count_min_sketch",
+    oracle=None,  # CMS binaries are engine/seed-specific; pytest bounds
+    # the estimates against exact frequencies (one-sided error).
+    tags=("aggregate", "approx", "sketch"),
+)
+def agg_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch (``count_min_sketch`` aggregate): mergeable
+    heavy-hitter frequency estimation — the third sketch in the
+    mergeable-state family (bloom: membership, HLL: cardinality, CMS:
+    frequency).  The token-frequency question every corpus pipeline
+    asks ("which n-grams dominate?") at 100 TB is a CMS per shard
+    merged at the top, never a full groupBy over raw tokens.
+
+    The query sketches the l_suppkey stream per returnflag and probes
+    five keys' estimated frequencies.  CMS error is ONE-SIDED
+    (estimate >= true count, overshoot <= eps·N with prob 1-delta);
+    the pytest pin asserts exactly that envelope against the exact
+    frequencies."""
+    li = _t(spark, sf_dir, "lineitem")
+    sketched = li.groupBy("l_returnflag").agg(
+        F.count_min_sketch(
+            "l_suppkey", F.lit(0.001), F.lit(0.99), F.lit(42)
+        ).alias("cms"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    probes = [1, 2, 3, 5, 8]
+    # Spark ships no count_min_sketch_estimate SQL builtin — probing
+    # goes through the JVM sketch class on the DRIVER, which is the
+    # correct place: the aggregate has already reduced the stream to
+    # |groups| tiny binaries (the whole point of the sketch); only
+    # those cross to the driver, never rows.
+    sketched.cache()
+    rows = sketched.collect()
+    out = []
+    jvm = spark.sparkContext._jvm
+    for r in rows:
+        cms = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
+            bytearray(r.cms)
+        )
+        for k in probes:
+            out.append((r.l_returnflag, k, int(cms.estimateCount(k)), r.n_rows))
+    sketched.unpersist()
+    return spark.createDataFrame(
+        out, "l_returnflag string, probe_key int, est_freq long, n_rows long"
+    ).orderBy("l_returnflag", "probe_key")

@@ -628,3 +628,29 @@ def test_ivf_multiprobe_recall_dominates_single_probe(spark, sf_dir):
     multi = recall("ann_ivf_multiprobe")
     for q in exact:
         assert multi[q] >= single[q], (q, single[q], multi[q])
+
+
+def test_count_min_sketch_one_sided_error(spark, sf_dir):
+    """CMS envelope: estimate >= exact always (one-sided), and
+    overshoot bounded by eps·N (eps=0.001 at 99% confidence — allow
+    3x slack for the probabilistic bound at small N)."""
+    from pyspark.sql import functions as F
+    from datafusion_comet_spark.catalog import load_table
+
+    est = {
+        (r.l_returnflag, r.probe_key): (r.est_freq, r.n_rows)
+        for r in REGISTRY["agg_count_min_sketch"].fn(spark, sf_dir).collect()
+    }
+    li = load_table(spark, sf_dir, "lineitem")
+    exact = {
+        (r.l_returnflag, r.l_suppkey): r.n
+        for r in li.filter(F.col("l_suppkey").isin(1, 2, 3, 5, 8))
+        .groupBy("l_returnflag", "l_suppkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert est, "no probes returned"
+    for (flag, key), (e, n_rows) in est.items():
+        true = exact.get((flag, key), 0)
+        assert e >= true, (flag, key, e, true)
+        assert e - true <= max(3 * 0.001 * n_rows, 3), (flag, key, e, true)
