@@ -1575,9 +1575,9 @@ def zorder_cluster_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_partkey") % 1024).alias("b"),
     )
     z = keyed.select(
+        F.expr(_Z_FRAG).cast("bigint").alias("zval"),
         "l_orderkey",
         "l_partkey",
-        F.expr(_Z_FRAG).cast("bigint").alias("zval"),
     )
     return z.orderBy("zval", "l_orderkey", "l_partkey").limit(100)
 
