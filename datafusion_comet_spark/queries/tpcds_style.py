@@ -398,3 +398,131 @@ def tpcds_time_band_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         one = li.filter(cond).agg(F.count(F.lit(1)).alias(name))
         out = one if out is None else out.crossJoin(one)
     return out
+
+
+@register(
+    "tpcds_yoy_channel_ratio",
+    oracle="""
+WITH yearly AS (
+  SELECT CAST(year(o_orderdate) AS INT) AS yr,
+         CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+              THEN 'express' ELSE 'standard' END AS channel,
+         sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+  FROM orders GROUP BY 1, 2
+)
+SELECT a.yr AS this_year,
+       a.channel,
+       CAST(round(a.rev, 2) AS DOUBLE) AS rev,
+       CAST(round(b.rev, 2) AS DOUBLE) AS prev_rev,
+       CAST(round(a.rev / b.rev, 4) AS DOUBLE) AS yoy_ratio
+FROM yearly a JOIN yearly b
+  ON a.channel = b.channel AND a.yr = b.yr + 1
+ORDER BY a.channel, a.yr
+""",
+    tags=("tpcds", "join", "yoy"),
+)
+def tpcds_yoy_channel_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q78 shape: year-over-year ratio per channel — one
+    yearly aggregate self-joined on (channel, yr = yr+1).  The scale
+    point is that the SELF-join happens on the aggregate (|years| ×
+    |channels| rows), never on facts, and ReuseExchange evaluates the
+    yearly rollup once for both sides."""
+    orders = _t(spark, sf_dir, "orders")
+    yearly = (
+        orders.groupBy(
+            F.year("o_orderdate").cast("int").alias("yr"),
+            F.when(
+                F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"),
+                "express",
+            )
+            .otherwise("standard")
+            .alias("channel"),
+        )
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev"))
+    )
+    a = yearly.alias("a")
+    b = yearly.select(
+        F.col("yr").alias("b_yr"),
+        F.col("channel").alias("b_channel"),
+        F.col("rev").alias("b_rev"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.channel") == F.col("b_channel"))
+            & (F.col("a.yr") == F.col("b_yr") + 1),
+        )
+        .select(
+            F.col("a.yr").alias("this_year"),
+            F.col("a.channel").alias("channel"),
+            F.round("a.rev", 2).cast("double").alias("rev"),
+            F.round("b_rev", 2).cast("double").alias("prev_rev"),
+            F.round(F.col("a.rev") / F.col("b_rev"), 4)
+            .cast("double")
+            .alias("yoy_ratio"),
+        )
+        .orderBy("channel", "this_year")
+    )
+
+
+@register(
+    "tpcds_purchase_overlap",
+    oracle="""
+WITH ec AS (
+  SELECT DISTINCT o_custkey FROM orders
+  WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+), sc AS (
+  SELECT DISTINCT o_custkey FROM orders
+  WHERE o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+)
+SELECT CAST(sum(CASE WHEN ec.o_custkey IS NOT NULL
+                      AND sc.o_custkey IS NOT NULL
+                     THEN 1 ELSE 0 END) AS BIGINT) AS both_channels,
+       CAST(sum(CASE WHEN ec.o_custkey IS NOT NULL
+                      AND sc.o_custkey IS NULL
+                     THEN 1 ELSE 0 END) AS BIGINT) AS express_only,
+       CAST(sum(CASE WHEN ec.o_custkey IS NULL
+                      AND sc.o_custkey IS NOT NULL
+                     THEN 1 ELSE 0 END) AS BIGINT) AS standard_only
+FROM ec FULL OUTER JOIN sc ON ec.o_custkey = sc.o_custkey
+""",
+    tags=("tpcds", "join", "full-outer", "setop"),
+)
+def tpcds_purchase_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q97 shape: channel-purchase overlap — two DISTINCT key
+    sets FULL OUTER joined and bucketed into both/left-only/right-only
+    counts.  Catalyst plans distinct-aggregate → full-outer SMJ →
+    single-row conditional rollup; at scale both inputs are key-only
+    projections (narrowest possible shuffle) and the join never sees
+    payload columns."""
+    orders = _t(spark, sf_dir, "orders")
+    express = (
+        orders.filter(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+        .select(F.col("o_custkey").alias("e_key"))
+        .distinct()
+    )
+    standard = (
+        orders.filter(~F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+        .select(F.col("o_custkey").alias("s_key"))
+        .distinct()
+    )
+    joined = express.join(
+        standard, express.e_key == standard.s_key, "full_outer"
+    )
+    return joined.agg(
+        F.sum(
+            (F.col("e_key").isNotNull() & F.col("s_key").isNotNull()).cast(
+                "bigint"
+            )
+        ).alias("both_channels"),
+        F.sum(
+            (F.col("e_key").isNotNull() & F.col("s_key").isNull()).cast(
+                "bigint"
+            )
+        ).alias("express_only"),
+        F.sum(
+            (F.col("e_key").isNull() & F.col("s_key").isNotNull()).cast(
+                "bigint"
+            )
+        ).alias("standard_only"),
+    )

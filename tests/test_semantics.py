@@ -654,3 +654,130 @@ def test_count_min_sketch_one_sided_error(spark, sf_dir):
         true = exact.get((flag, key), 0)
         assert e >= true, (flag, key, e, true)
         assert e - true <= max(3 * 0.001 * n_rows, 3), (flag, key, e, true)
+
+
+def test_csv_corrupt_record_modes(spark, sf_dir):
+    """CSV malformed-row handling mirrors the JSON contract:
+    PERMISSIVE quarantines (wrong column count → corrupt column),
+    DROPMALFORMED removes, FAILFAST raises."""
+    import os
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+    from datafusion_comet_spark.sources import scratch_dir
+
+    path = scratch_dir(sf_dir, "corrupt_csv")
+    os.makedirs(path, exist_ok=True)
+    good = [f"{i},{i * 10}" for i in range(20)]
+    bad = ["7,not_a_number", "x,y"]
+    with open(os.path.join(path, "part-0.csv"), "w") as f:
+        f.write("\n".join(good + bad) + "\n")
+
+    schema = "id BIGINT, v BIGINT, _corrupt_record STRING"
+    permissive = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(path)
+        .cache()
+    )
+    try:
+        n_bad = permissive.filter(
+            F.col("_corrupt_record").isNotNull()
+        ).count()
+        n_good = permissive.filter(F.col("_corrupt_record").isNull()).count()
+        assert (n_good, n_bad) == (20, 2), (n_good, n_bad)
+    finally:
+        permissive.unpersist()
+
+    dropped = (
+        spark.read.schema("id BIGINT, v BIGINT")
+        .option("mode", "DROPMALFORMED")
+        .csv(path)
+    )
+    # NB: count() prunes every column, so the CSV parser never attempts
+    # the failing conversions and malformed rows are NOT dropped — a
+    # real pruning/malformed interaction worth pinning.  Materializing
+    # the columns applies the mode.
+    assert len(dropped.collect()) == 20
+    assert dropped.count() == 22  # pruned scan: mode never engages
+    with _pytest.raises(Exception, match="(?i)malformed|failfast"):
+        (
+            spark.read.schema("id BIGINT, v BIGINT")
+            .option("mode", "FAILFAST")
+            .csv(path)
+            .collect()
+        )
+
+
+def test_asof_rewrite_matches_duckdb_asof_across_type_pairs(spark, sf_dir):
+    """As-of sweep: the union-marker rewrite must equal DuckDB's
+    native ASOF LEFT JOIN for several (left, right) event-type pairs —
+    not just the registered click→purchase instance.  Catches
+    direction/tie bugs that one fixed pair can mask."""
+    import duckdb
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+    from datafusion_comet_spark.catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    con = duckdb.connect()
+    try:
+        con.execute(
+            f"CREATE VIEW events AS SELECT * FROM '{sf_dir}/events.parquet'"
+        )
+        for left_t, right_t in (
+            ("purchase", "click"),
+            ("click", "view"),
+            ("error", "view"),
+        ):
+            l = ev.filter(F.col("event_type") == left_t).select(
+                "user_id",
+                F.col("ts").alias("t"),
+                F.lit(1).alias("marker"),
+                F.col("event_id").alias("left_id"),
+                F.lit(None).cast("long").alias("right_id"),
+            )
+            r = ev.filter(F.col("event_type") == right_t).select(
+                "user_id",
+                F.col("ts").alias("t"),
+                F.lit(0).alias("marker"),
+                F.lit(None).cast("long").alias("left_id"),
+                F.col("event_id").alias("right_id"),
+            )
+            w = (
+                Window.partitionBy("user_id")
+                .orderBy("t", "marker", "right_id")
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            )
+            carried = (
+                l.unionByName(r)
+                .withColumn(
+                    "matched", F.last("right_id", ignorenulls=True).over(w)
+                )
+                .filter(F.col("marker") == 1)
+            )
+            got = {
+                (row.left_id, row.matched) for row in carried.collect()
+            }
+            native = {
+                tuple(row)
+                for row in con.execute(f"""
+                    SELECT p.event_id, c.event_id
+                    FROM (SELECT * FROM events
+                          WHERE event_type = '{left_t}') p
+                    ASOF LEFT JOIN
+                         (SELECT * FROM events
+                          WHERE event_type = '{right_t}') c
+                      ON p.user_id = c.user_id AND p.ts >= c.ts
+                """).fetchall()
+            }
+            assert got == native, (
+                left_t,
+                right_t,
+                sorted(got - native)[:3],
+                sorted(native - got)[:3],
+            )
+    finally:
+        con.close()
