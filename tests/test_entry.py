@@ -86,3 +86,25 @@ def test_coverage_doc_names_match_registry():
     }
     stale = lookalikes - allowed
     assert not stale, f"COVERAGE.md cites unknown query names: {sorted(stale)}"
+
+
+def test_engine_facade_end_to_end(spark, sf_dir):
+    """The public Engine facade: construct over an existing session,
+    SQL against registered views, run inventory queries by name,
+    explain plans — the reference user's switch path (install plugin →
+    keep writing SQL becomes: construct Engine → keep writing SQL)."""
+    from datafusion_comet_spark.api import Engine
+
+    eng = Engine(sf_dir=sf_dir, spark=spark)
+    df = eng.sql(
+        "SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n "
+        "FROM lineitem GROUP BY 1 ORDER BY 1"
+    )
+    rows = df.collect()
+    assert rows and rows[0].n > 0
+    assert eng.table("lineitem").count() == sum(r.n for r in rows)
+    assert "q1_pricing_summary" in eng.queries()
+    assert len(eng.run("q1_pricing_summary").collect()) == 6
+    assert "HashAggregate" in eng.explain(df, "simple")
+    assert eng.oracle("q1_pricing_summary") is not None
+    assert eng.oracle("dedup_minhash_lsh") is None
