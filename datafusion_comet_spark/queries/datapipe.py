@@ -2074,3 +2074,45 @@ def fingerprint_table_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_fps"))
         .orderBy("bucket")
     )
+
+
+@register(
+    "sample_stratified_exact_k",
+    oracle="""
+SELECT source, doc_id,
+       CAST(rk AS INT) AS rk
+FROM (
+  SELECT source, doc_id,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY md5(CAST(doc_id AS VARCHAR) || ':held-out'), doc_id
+         ) AS rk
+  FROM documents
+) t
+WHERE rk <= 50
+ORDER BY source, rk
+""",
+    tags=("datapipe", "sample", "stratified"),
+)
+def sample_stratified_exact_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-k-per-stratum sampling: exactly 50 documents per source,
+    selected by salted-hash order — the eval-set carve-out pattern
+    (rate-based sampling gives binomial-variable counts; eval sets
+    need EXACT sizes).  Deterministic across engines, cluster sizes
+    and reruns; changing the salt rotates the held-out set without
+    touching the pipeline.
+
+    Scale shape: one hash exchange on the stratum + a WindowGroupLimit
+    (rank <= k prunes per-partition before the full sort — the window
+    analog of TakeOrderedAndProject), so each stratum pays a top-k,
+    never a total order."""
+    docs = _t(spark, sf_dir, "documents")
+    key = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":held-out")))
+    w = W.partitionBy("source").orderBy(key, "doc_id")
+    return (
+        docs.select(
+            "source", "doc_id", F.row_number().over(w).alias("rk")
+        )
+        .filter(F.col("rk") <= 50)
+        .orderBy("source", "rk")
+    )
