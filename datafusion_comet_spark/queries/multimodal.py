@@ -279,3 +279,71 @@ def multimodal_embed_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 5)
         .orderBy("qid", "rn")
     )
+
+
+@register(
+    "multimodal_audio_framing",
+    oracle="""
+SELECT doc_id, n_samples, sample_rate,
+       CAST(CASE WHEN n_samples >= 400
+                 THEN (n_samples - 400) // 160 + 1 ELSE 0 END AS BIGINT)
+         AS n_frames,
+       CAST(CASE WHEN n_samples >= 400
+                 THEN ((n_samples - 400) // 160) * 160 ELSE NULL END
+            AS BIGINT) AS last_frame_start,
+       CAST((n_samples * 1000000) // sample_rate AS BIGINT) AS duration_us
+FROM (
+  SELECT doc_id,
+         CAST(length(text) AS BIGINT) AS n_samples,
+         CASE WHEN doc_id % 2 = 0 THEN 16000 ELSE 8000 END AS sample_rate
+  FROM documents WHERE text IS NOT NULL AND doc_id < 200
+)
+ORDER BY doc_id
+""",
+    tags=("multimodal", "audio", "frames"),
+)
+def multimodal_audio_framing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-column framing plan: overlapped analysis windows (frame
+    400 samples, hop 160 — the speech-feature convention) computed
+    from metadata ONLY: n_frames = (n - frame)//hop + 1, duration_us =
+    n·1e6 div rate (integer domain — float division of 348/16000 lands
+    on a .5 rounding boundary where Spark's decimal-string HALF_UP and
+    DuckDB's binary value disagree; exact integer microseconds dodge
+    the class).  Distinct from `multimodal_frame_sample` (non-overlapping
+    video stride): overlapped framing multiplies rows ×(frame/hop)
+    ≈2.5 if exploded, so at scale the DECISION to explode happens
+    after this metadata pass budgets it — exactly how an audio
+    pipeline plans STFT/feature extraction before touching payload
+    bytes.  The payload decode itself remains the documented stub
+    (operators/multimodal.py: no audio libs in this container); byte
+    length stands in for sample count so the oracle is pure
+    arithmetic."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & (F.col("doc_id") < 200)
+    )
+    n = F.length("text").cast("bigint")
+    rate = F.when(F.col("doc_id") % 2 == 0, 16000).otherwise(8000)
+    meta = docs.select(
+        "doc_id", n.alias("n_samples"), rate.alias("sample_rate")
+    )
+    n_frames = F.when(
+        F.col("n_samples") >= 400,
+        F.floor((F.col("n_samples") - 400) / 160) + 1,
+    ).otherwise(0)
+    last_start = F.when(
+        F.col("n_samples") >= 400,
+        F.floor((F.col("n_samples") - 400) / 160) * 160,
+    ).cast("bigint")
+    return (
+        meta.select(
+            "doc_id",
+            "n_samples",
+            "sample_rate",
+            n_frames.cast("bigint").alias("n_frames"),
+            last_start.alias("last_frame_start"),
+            F.expr("(n_samples * 1000000) div sample_rate")
+            .cast("bigint")
+            .alias("duration_us"),
+        )
+        .orderBy("doc_id")
+    )
