@@ -781,3 +781,44 @@ def test_asof_rewrite_matches_duckdb_asof_across_type_pairs(spark, sf_dir):
             )
     finally:
         con.close()
+
+
+def test_csv_scan_option_surface_parses_tricky_content(spark, sf_dir):
+    """The reference CsvScan's full option surface (header, delimiter,
+    quote, escape, comment — operator.proto:143-151) against
+    hand-adversarial content: comment lines, quoted fields containing
+    the delimiter and newlines, escaped quotes inside quoted fields."""
+    import os
+
+    from datafusion_comet_spark.sources import scratch_dir
+
+    path = scratch_dir(sf_dir, "tricky_csv")
+    os.makedirs(path, exist_ok=True)
+    content = (
+        "# comment line skipped entirely\n"
+        "id|name|note\n"
+        '1|alpha|"pipe | inside quotes"\n'
+        '2|beta|"escaped \\" quote"\n'
+        '3|gamma|"multi\nline value"\n'
+        "# trailing comment\n"
+        "4|delta|plain\n"
+    )
+    with open(os.path.join(path, "data.csv"), "w") as f:
+        f.write(content)
+    df = (
+        spark.read.schema("id INT, name STRING, note STRING")
+        .option("header", "true")
+        .option("delimiter", "|")
+        .option("quote", '"')
+        .option("escape", "\\")
+        .option("comment", "#")
+        .option("multiLine", "true")
+        .csv(path)
+    )
+    rows = {r.id: (r.name, r.note) for r in df.collect()}
+    assert rows == {
+        1: ("alpha", "pipe | inside quotes"),
+        2: ("beta", 'escaped " quote'),
+        3: ("gamma", "multi\nline value"),
+        4: ("delta", "plain"),
+    }, rows
