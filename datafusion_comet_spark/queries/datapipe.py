@@ -1822,10 +1822,15 @@ def pipeline_corpus_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     projection and every gate reads it; dedup election is one window
     over the normalization key; the decontamination explode happens
     only for docs that survive the cheap gates (filter ordering is the
-    optimization); the eval-shingle side is DISTINCT'd then broadcast;
-    packing reuses the per-source window partitioning.  Total: three
-    exchanges of the (shrinking) corpus + one broadcast, regardless of
-    corpus size."""
+    optimization) and the per-doc regroup that counts overlaps ALSO
+    restores doc granularity for packing — one linear pass, no
+    anti-join back-edge (which would re-evaluate the dedup subtree:
+    column pruning differs per branch, defeating ReuseExchange); the
+    eval-shingle side is DISTINCT'd then broadcast; packing reuses the
+    per-source window partitioning.  Corpus exchanges end-to-end:
+    dedup window, overlap regroup, packing window (+ tiny eval
+    distinct and the output sort) — enforced by the exchange-budget
+    plan test."""
     docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     toks = F.split(F.lower("text"), " ")
     nk = F.md5(
@@ -1871,16 +1876,28 @@ def pipeline_corpus_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         base.filter((F.col("doc_id") % 25 == 0) & (F.col("n") >= 5))
         .select(F.explode(five_grams(F.col("t"))).alias("s"))
         .distinct()
+        .withColumn("hit", F.lit(1))
     )
-    hits = (
-        kept.filter(F.col("n") >= 5)
-        .select("doc_id", F.explode(five_grams(F.col("t"))).alias("s"))
-        .join(F.broadcast(eval_sh), "s")
+    # Single linear pass: explode_outer keeps short docs (no shingles)
+    # alive through the broadcast probe, and the per-doc regroup both
+    # counts overlaps AND restores one-row-per-doc for packing.  The
+    # anti-join formulation this replaces re-evaluated the whole
+    # dedup-window subtree for the second branch (different column
+    # pruning defeats ReuseExchange) — one full extra corpus pass.
+    sh = F.when(F.col("n") >= 5, five_grams(F.col("t"))).otherwise(
+        F.array().cast("array<string>")
+    )
+    clean = (
+        kept.select("doc_id", "source", "n", F.explode_outer(sh).alias("s"))
+        .join(F.broadcast(eval_sh), "s", "left")
         .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_overlap"))
-        .filter(F.col("n_overlap") >= 3)
+        .agg(
+            F.first("source").alias("source"),
+            F.first("n").alias("n"),
+            F.sum(F.coalesce("hit", F.lit(0))).alias("n_overlap"),
+        )
+        .filter(F.col("n_overlap") < 3)
     )
-    clean = kept.join(hits, "doc_id", "left_anti")
     w = (
         W.partitionBy("source")
         .orderBy("doc_id")

@@ -351,3 +351,38 @@ def test_many_shard_union_flattens_to_single_union(spark, sf_dir):
     assert optimized.nodeName() == "Union"
     assert optimized.children().size() == 64
     assert out.count() == base.count() * 64
+
+
+def test_curation_pipeline_v2_exchange_budget(spark, sf_dir):
+    """The capstone pipeline's docstring claims a shuffle budget —
+    this test makes the claim load-bearing: at most 4 hash/range
+    Exchange operators over corpus data plus broadcast exchanges
+    (dedup window, decontamination rollup, packing window, final
+    rollup; the eval-shingle side must be a BroadcastExchange, never a
+    shuffled join input)."""
+    df = REGISTRY["pipeline_corpus_curation_v2"].fn(spark, sf_dir)
+    plan = plan_string(df, "simple")
+    n_exchange = sum(
+        1
+        for ln in plan.splitlines()
+        if "Exchange" in ln and "BroadcastExchange" not in ln
+        and "Reused" not in ln
+    )
+    assert n_exchange <= 5, f"{n_exchange} exchanges:\n{plan[:3000]}"
+    assert "BroadcastExchange" in plan, plan[:2000]
+
+
+def test_doc_pack_greedy_two_exchanges(spark, sf_dir):
+    """doc_pack_greedy promises 'two exchanges end-to-end' (window
+    partition + reused rollup partitioning, plus the output sort) —
+    pin it: at most 3 non-broadcast exchanges including the final
+    orderBy's range partition."""
+    df = REGISTRY["doc_pack_greedy"].fn(spark, sf_dir)
+    plan = plan_string(df, "simple")
+    n_exchange = sum(
+        1
+        for ln in plan.splitlines()
+        if "Exchange" in ln and "BroadcastExchange" not in ln
+        and "Reused" not in ln
+    )
+    assert n_exchange <= 3, f"{n_exchange} exchanges:\n{plan[:3000]}"
