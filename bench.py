@@ -77,33 +77,39 @@ def main() -> None:
     # recovers steady-state timing at ~30s extra wall clock.
     iterations = int(os.environ.get("SPARK_GRAFT_BENCH_ITERATIONS", "4"))
     per_query: dict[str, float] = {}
+    failed: list[str] = []
     for name in names:
         best = None
         n = 0
-        for _ in range(iterations):
-            t0 = time.perf_counter()
-            df = registry[name].fn(spark, sf_dir)
-            # collect() forces full evaluation incl. the final projection
-            # (count() would let Catalyst prune result expressions); all
-            # bench queries return small (aggregated / limited) results.
-            n = len(df.collect())
-            elapsed = time.perf_counter() - t0
-            best = elapsed if best is None else min(best, elapsed)
+        try:
+            for _ in range(iterations):
+                t0 = time.perf_counter()
+                df = registry[name].fn(spark, sf_dir)
+                # collect() forces full evaluation incl. the final
+                # projection (count() would let Catalyst prune result
+                # expressions); all bench queries return small
+                # (aggregated / limited) results.
+                n = len(df.collect())
+                elapsed = time.perf_counter() - t0
+                best = elapsed if best is None else min(best, elapsed)
+        except Exception as exc:  # one broken query must not lose the run
+            failed.append(name)
+            print(f"# {name}: FAILED {exc!r}", file=sys.stderr)
+            continue
         per_query[name] = round(best, 3)
         print(f"# {name}: {per_query[name]:.3f}s ({n} rows)", file=sys.stderr)
     total = round(sum(per_query.values()), 3)
 
-    print(
-        json.dumps(
-            {
-                "metric": "bench_total",
-                "value": total,
-                "unit": "sec",
-                "queries": per_query,
-                "sf": sf,
-            }
-        )
-    )
+    out = {
+        "metric": "bench_total",
+        "value": total,
+        "unit": "sec",
+        "queries": per_query,
+        "sf": sf,
+    }
+    if failed:
+        out["failed"] = failed
+    print(json.dumps(out))
     spark.stop()
 
 
