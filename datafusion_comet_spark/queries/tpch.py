@@ -657,7 +657,16 @@ ORDER BY s_suppkey
 def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q15: revenue view + scalar max subquery (reference handles
     ScalarSubquery JVM-side, serde/CometScalarSubquery.scala:28);
-    equality on exact decimal-derived revenue is hash-stable."""
+    equality on exact decimal-derived revenue is hash-stable.
+
+    Plan note: the SQL (and oracle) spell the revenue view twice —
+    once joined, once under max() — and executed literally that is
+    TWO lineitem aggregations (branch pruning defeats reuse).  The
+    single-pass form is rank() over the aggregated revenue
+    (ties = all max rows, exactly the WHERE = max semantics);
+    rank()==1 plans a WindowGroupLimit, so the unpartitioned window
+    sees at most one candidate per upstream partition, not the full
+    supplier list."""
     li = _t(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= _ts("1997-01-01 00:00:00"))
         & (F.col("l_shipdate") < _ts("1997-04-01 00:00:00"))
@@ -665,11 +674,19 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
         _money(F.sum(_drev())).alias("total_revenue")
     )
-    max_rev = revenue.agg(F.max("total_revenue").alias("m"))
+    from pyspark.sql import Window as _W
+
+    top = (
+        revenue.withColumn(
+            "rk",
+            F.rank().over(_W.orderBy(F.col("total_revenue").desc())),
+        )
+        .filter(F.col("rk") == 1)
+        .drop("rk")
+    )
     supp = _t(spark, sf_dir, "supplier")
     return (
-        supp.join(revenue, supp.s_suppkey == revenue.supplier_no)
-        .join(F.broadcast(max_rev), F.col("total_revenue") == F.col("m"))
+        supp.join(F.broadcast(top), supp.s_suppkey == top.supplier_no)
         .select("s_suppkey", "s_name", "total_revenue")
         .orderBy("s_suppkey")
     )
