@@ -422,19 +422,22 @@ ORDER BY f.cohort_day, day_offset
 )
 def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort retention: bucket users by first-seen day, count distinct
-    returning users at day offsets 0–7.  Two aggregations share the
-    user_id partitioning — the first-seen groupBy and the join back both
-    hash on user_id, so the second shuffle reuses the first exchange;
+    returning users at day offsets 0–7.  First-seen is a window
+    min(day) over user_id — ONE hash exchange of the event table total
+    (the groupBy + join-back spelling the oracle uses would scan and
+    shuffle events twice: per-branch pruning defeats exchange reuse);
     only the final (cohort, offset) rollup reshuffles, and that output
     is tiny (days × 8 rows) at any corpus size."""
+    from pyspark.sql import Window as _W
+
     events = load_table(spark, sf_dir, "events").select(
         "user_id", F.to_date("ts").alias("day")
     )
-    firsts = events.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
-    joined = events.join(firsts, "user_id").select(
+    w = _W.partitionBy("user_id")
+    joined = events.select(
         "user_id",
-        "cohort_day",
-        F.datediff("day", "cohort_day").alias("day_offset"),
+        F.min("day").over(w).alias("cohort_day"),
+        F.datediff("day", F.min("day").over(w)).alias("day_offset"),
     )
     return (
         joined.filter(F.col("day_offset").between(0, 7))

@@ -1054,13 +1054,21 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_part = national.groupBy("l_partkey").agg(
         F.sum(_drev()).alias("value_exact")
     )
-    threshold = per_part.agg(
-        (F.sum("value_exact") * F.lit("0.001").cast("decimal(6,3)")).alias(
-            "threshold"
-        )
-    )
+    # Threshold via an unpartitioned window over the AGGREGATED rows:
+    # the scalar-subquery spelling (agg + broadcast rejoin) re-executes
+    # the national semi-join + aggregation for the threshold branch —
+    # two fact passes.  The window moves only |parts-in-nation| rows
+    # (already reduced ~3 orders of magnitude) through one reducer,
+    # which is the cheaper trade at every scale factor.
+    from pyspark.sql import Window as _W
+
+    total_w = _W.partitionBy()
     return (
-        per_part.join(F.broadcast(threshold))
+        per_part.withColumn(
+            "threshold",
+            F.sum("value_exact").over(total_w)
+            * F.lit("0.001").cast("decimal(6,3)"),
+        )
         .filter(F.col("value_exact") > F.col("threshold"))
         .select(
             "l_partkey", _money(F.col("value_exact")).alias("part_value")
