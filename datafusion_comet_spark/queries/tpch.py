@@ -711,18 +711,31 @@ WHERE p_brand = 'Brand#3' AND l_quantity < avg_qty
     tags=("tpch", "join", "aggregate", "subquery"),
 )
 def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q17: correlated avg-subquery decorrelated into an
-    aggregate-then-join (what Catalyst produces for the SQL form).
+    """TPC-H Q17: per-part average threshold.  The SQL (and oracle)
+    spell aggregate-then-join, which scans lineitem twice — and worse,
+    the threshold branch aggregates EVERY part's lineitems, though
+    only Brand#3 parts can survive the join (the filter cannot
+    transit the aggregate).  Single-pass form: broadcast-semi-join
+    the brand parts FIRST, then a window average per partkey over the
+    surviving ~1/1000 of the fact table — the per-part average over
+    the filtered rows is identical because partkey determines part.
+    One scan, one exchange, and the window input is already pruned.
     The avg threshold stays double: quantities are integers, so the
     comparison never sits on an fp boundary."""
+    from pyspark.sql import Window as _W
+
     li = _t(spark, sf_dir, "lineitem")
     part = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#3")
-    part_agg = li.groupBy(F.col("l_partkey").alias("agg_partkey")).agg(
-        (0.5 * F.avg("l_quantity")).alias("avg_qty")
+    branded = li.join(
+        F.broadcast(part.select("p_partkey")),
+        li.l_partkey == F.col("p_partkey"),
+        "left_semi",
     )
+    w = _W.partitionBy("l_partkey")
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(part_agg, F.col("agg_partkey") == li.l_partkey)
+        branded.withColumn(
+            "avg_qty", 0.5 * F.avg("l_quantity").over(w)
+        )
         .filter(F.col("l_quantity") < F.col("avg_qty"))
         .agg(
             (F.round(F.sum(_dec("l_extendedprice")) / 7.0, 2))
