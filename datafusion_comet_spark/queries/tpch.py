@@ -1001,23 +1001,24 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         supp.join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
         .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
     )
-    regional_li = li.join(
-        regional_supp.select("s_suppkey"),
-        li.l_suppkey == F.col("s_suppkey"),
-        "left_semi",
-    )
-    min_price = regional_li.groupBy(
-        F.col("l_partkey").alias("mp_partkey")
-    ).agg(F.min("l_extendedprice").alias("min_price"))
+    # Single-pass: the SQL (and oracle) spell the min as a separate
+    # aggregate of the regional lineitems joined back — a second full
+    # lineitem pass.  The window form computes the per-part min over
+    # the SAME part+region-restricted frame the main tree uses
+    # (partkey determines part, so restricting to p_size=15 parts
+    # changes nothing about each part's min): one lineitem scan, one
+    # window exchange on l_partkey.
+    from pyspark.sql import Window as _W
 
+    joined = li.join(
+        F.broadcast(part), li.l_partkey == part.p_partkey
+    ).join(regional_supp, li.l_suppkey == F.col("s_suppkey"))
+    w = _W.partitionBy("p_partkey")
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(regional_supp, li.l_suppkey == F.col("s_suppkey"))
-        .join(
-            min_price,
-            (F.col("mp_partkey") == F.col("p_partkey"))
-            & (F.col("l_extendedprice") == F.col("min_price")),
+        joined.withColumn(
+            "min_price", F.min("l_extendedprice").over(w)
         )
+        .filter(F.col("l_extendedprice") == F.col("min_price"))
         .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_type")
         .distinct()
         .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
