@@ -666,3 +666,133 @@ def events_session_window_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "session_start")
     )
+
+
+# --------------------------------------------------------------------------
+# Materialized-rollup cascade and changelog compaction — the two
+# maintenance loops every 100 TB event store runs continuously.  The
+# reference has neither (its IR is stateless scan→join→agg, reference:
+# native/proto/src/proto/operator.proto:38-56); both are compositions
+# of one keyed exchange + windows/aggregates.
+# --------------------------------------------------------------------------
+@register(
+    "rollup_reaggregate",
+    oracle="""
+WITH hourly AS (
+  SELECT event_type,
+         date_trunc('hour', ts) AS hr,
+         sum(value) AS sum_value,
+         count(*) AS cnt
+  FROM events
+  GROUP BY 1, 2
+)
+SELECT event_type,
+       CAST(date_trunc('day', hr) AS DATE) AS day,
+       CAST(sum(cnt) AS BIGINT) AS n_events,
+       round(sum(sum_value), 4) AS total_value,
+       round(sum(sum_value) / sum(cnt), 6) AS avg_value
+FROM hourly
+GROUP BY 1, 2
+ORDER BY 1, 2
+""",
+    tags=("temporal", "rollup", "aggregate"),
+)
+def rollup_reaggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style rollup cascade: the DAILY rollup is derived
+    from the HOURLY rollup, never from the raw events — the
+    aggregate-of-aggregates contract that makes materialized rollups
+    maintainable (carry mergeable states sum/count; derive avg at
+    read time; avg-of-avgs would be wrong and is structurally
+    impossible here because the hourly table doesn't store an avg).
+
+    Scale shape: pass 1 is the ordinary two-phase hash aggregate over
+    events (one shuffle, map-side partials); pass 2 re-aggregates
+    |event_types| x |hours| rows — at 100 TB the hourly table is ~6
+    orders of magnitude smaller than the fact, so cascade cost is
+    dominated by pass 1, exactly once, and pass 1 is the thing an
+    incremental pipeline materializes per arriving partition.  The
+    oracle spells the same cascade so both engines agree on the
+    double-sum association order."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hr")
+    ).agg(
+        F.sum("value").alias("sum_value"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    return (
+        hourly.groupBy(
+            "event_type", F.date_trunc("day", "hr").cast("date").alias("day")
+        )
+        .agg(
+            F.sum("cnt").alias("n_events"),
+            F.round(F.sum("sum_value"), 4).alias("total_value"),
+            F.round(F.sum("sum_value") / F.sum("cnt"), 6).alias("avg_value"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+@register(
+    "cdc_apply_changes",
+    oracle="""
+WITH ranked AS (
+  SELECT user_id, ts, event_id, event_type, value,
+         CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn,
+         count(*) OVER (PARTITION BY user_id) AS n_changes
+  FROM events
+)
+SELECT user_id,
+       ts AS last_ts,
+       event_type AS last_event_type,
+       value AS last_value,
+       CAST(n_changes AS BIGINT) AS n_changes
+FROM ranked
+WHERE rn = 1 AND op = 'U'
+ORDER BY user_id
+""",
+    tags=("temporal", "cdc", "window"),
+)
+def cdc_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changelog compaction (CDC apply-changes): collapse a change
+    stream to the latest surviving row per key — latest-wins by
+    (ts, event_id), keys whose LAST change is a delete disappear.
+    The events log stands in as the changelog ('error' = delete
+    tombstone, everything else upserts).
+
+    This is the snapshot-compaction half of the upsert story
+    (`merge_upsert` is the other half: folding a compacted delta into
+    an existing base by full-outer join).  Scale shape: ONE exchange
+    on the key; row_number and the per-key change count share the
+    same window partition, so both compute in a single Window
+    operator with no second shuffle, and the rn=1 filter prunes via
+    WindowGroupLimit before the count consumes it is NOT possible
+    (the count needs all rows) — the optimizer correctly keeps the
+    full window, which is the honest cost of emitting n_changes.
+    Tombstone deletion is a post-window filter, never a join."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    wc = Window.partitionBy("user_id")
+    return (
+        ev.withColumn(
+            "op",
+            F.when(F.col("event_type") == "error", F.lit("D")).otherwise(
+                F.lit("U")
+            ),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("n_changes", F.count(F.lit(1)).over(wc))
+        .filter((F.col("rn") == 1) & (F.col("op") == "U"))
+        .select(
+            "user_id",
+            F.col("ts").alias("last_ts"),
+            F.col("event_type").alias("last_event_type"),
+            F.col("value").alias("last_value"),
+            F.col("n_changes").cast("long").alias("n_changes"),
+        )
+        .orderBy("user_id")
+    )
