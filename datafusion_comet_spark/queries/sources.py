@@ -263,6 +263,71 @@ def python_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "python_datasource_pushdown",
+    oracle="""
+WITH gen AS (
+  SELECT i AS id,
+         (i * 2654435761) % 4294967296 % 97 AS user_id,
+         ['view', 'click', 'purchase'][CAST((i * 2654435761) % 4294967296 % 3 AS INT) + 1] AS kind,
+         (i * 2654435761) % 4294967296 % 1000 AS points
+  FROM (SELECT unnest(generate_series(300, 1499)) AS i)
+)
+SELECT kind,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(points) AS BIGINT) AS sum_points,
+       min(id) AS min_id,
+       max(id) AS max_id
+FROM gen
+WHERE kind = 'click' AND points >= 100
+GROUP BY kind
+ORDER BY kind
+""",
+    tags=("source", "python-datasource", "pushdown"),
+)
+def python_datasource_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connector-side filter pushdown through the Spark 4.1
+    ``pushFilters`` protocol — the Python analogue of the reference's
+    NativeScan pushed data filters (reference: operator.proto:99-132
+    ``data_filters``; residual split CometScanRule.scala:149-257).
+
+    The id-range predicates prune PARTITIONS at planning time (the
+    source's slices are contiguous id ranges — parquet row-group
+    min/max pruning in miniature), ``kind = 'click'`` filters rows
+    inside the reader, and ``points >= 100`` comes back as residual
+    for Spark to evaluate post-scan.  `test_python_datasource_pushdown_
+    prunes_partitions` pins the planning-side effect; this query pins
+    the three-way filter split's correctness."""
+    from ..sources.python_datasource import register_synthetic_pushdown_source
+
+    # planning-time flag for the Python DataSource pushdown protocol;
+    # scoped to Python sources only, so it stays on for the session
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    register_synthetic_pushdown_source(spark)
+    df = (
+        spark.read.format("synthetic_events_pushdown")
+        .option("n_rows", "2000")
+        .option("n_partitions", "8")
+        .load()
+        .filter(
+            (F.col("id") >= 300)
+            & (F.col("id") < 1500)
+            & (F.col("kind") == "click")
+            & (F.col("points") >= 100)
+        )
+    )
+    return (
+        df.groupBy("kind")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("points").cast("bigint").alias("sum_points"),
+            F.min("id").alias("min_id"),
+            F.max("id").alias("max_id"),
+        )
+        .orderBy("kind")
+    )
+
+
+@register(
     "parquet_schema_evolution",
     oracle="""
 SELECT r_regionkey,

@@ -461,3 +461,35 @@ def test_aqe_splits_skewed_join_partition(spark, sf_dir):
                 conf.unset(k)
             else:
                 conf.set(k, v)
+
+
+def test_python_datasource_pushdown_prunes_partitions(spark, sf_dir):
+    """The pushed id-range must shrink the PLANNED partition set (work
+    pruning, not just row filtering) and the residual split must hand
+    non-pushable predicates back to Spark."""
+    from pyspark.sql.datasource import EqualTo, GreaterThanOrEqual, LessThan
+
+    from datafusion_comet_spark.sources.python_datasource import (
+        SyntheticEventsPushdownReader,
+    )
+
+    r = SyntheticEventsPushdownReader({"n_rows": "2000", "n_partitions": "8"})
+    residual = list(
+        r.pushFilters(
+            [
+                GreaterThanOrEqual(("id",), 300),
+                LessThan(("id",), 1500),
+                EqualTo(("kind",), "click"),
+                GreaterThanOrEqual(("points",), 100),  # not pushable here
+            ]
+        )
+    )
+    assert [f.attribute for f in residual] == [("points",)]
+    parts = r.partitions()
+    # 8 planned slices of 250 ids; [300, 1500) intersects 5 of them
+    assert len(parts) == 5, [(p.start, p.end) for p in parts]
+    assert parts[0].start == 300 and parts[-1].end == 1500
+    # end-to-end: the executed plan's scan carries the pushed filters
+    df = REGISTRY["python_datasource_pushdown"].fn(spark, sf_dir)
+    rows = df.collect()
+    assert len(rows) == 1 and rows[0]["kind"] == "click"
