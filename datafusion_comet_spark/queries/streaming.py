@@ -407,3 +407,144 @@ def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame
         .agg(F.count(F.lit(1)).alias("n_unique"))
         .orderBy("event_type")
     )
+
+
+@register(
+    "stream_stream_left_outer",
+    oracle="""
+SELECT c.user_id,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN p.p_ts IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_matched,
+       CAST(sum(CASE WHEN p.p_ts IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_unmatched
+FROM (SELECT user_id, ts AS c_ts FROM events
+      WHERE event_type = 'click') c
+LEFT JOIN (SELECT user_id AS p_user, ts AS p_ts FROM events
+           WHERE event_type = 'purchase') p
+  ON p.p_user = c.user_id
+ AND p.p_ts >  c.c_ts
+ AND p.p_ts <= c.c_ts + INTERVAL '1 hour'
+GROUP BY c.user_id
+ORDER BY c.user_id
+""",
+    tags=("streaming", "stream-stream-join", "outer"),
+)
+def stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream LEFT OUTER join — the semantically
+    hard streaming join: a null-extended row for an unmatched click
+    may only emit once the watermark proves no future purchase can
+    match it (state eviction == answer emission, unlike the inner
+    join where unmatched state just disappears).
+
+    Two production realities this query pins:
+
+    * **Watermark-driven null emission needs watermark MOVEMENT.** In
+      a single microbatch the watermark never advances past the data,
+      so unmatched rows sit in state forever and the 'left outer'
+      degenerates to inner.  The events table is re-chunked into four
+      time-ordered files streamed with ``maxFilesPerTrigger=1``, so
+      each batch's watermark closes the previous batches' windows.
+    * **The sentinel flush.** The final hour of any bounded run can
+      never self-close.  Two trailing sentinel files (far-future rows
+      under a reserved key, one to advance the watermark input, one
+      to run the cleanup batch that emits against it) flush all
+      remaining unmatched state — the end-of-day barrier pattern for
+      draining bounded replays of unbounded pipelines.
+
+    With the flush, the streamed result equals the batch LEFT JOIN the
+    oracle spells.  State per key stays bounded by watermark + range
+    (1 h of stream), independent of stream length."""
+    import os
+    import shutil
+    import tempfile
+
+    src_dir = os.path.join(
+        tempfile.gettempdir(),
+        "dcs_io",
+        os.path.basename(sf_dir.rstrip("/")),
+        "sstream_outer_src",
+    )
+    shutil.rmtree(src_dir, ignore_errors=True)
+    os.makedirs(src_dir)
+
+    from ..catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_type"
+    )
+    mn, mx = ev.agg(F.min("ts"), F.max("ts")).first()
+    span_us = int((mx - mn).total_seconds() * 1_000_000) + 1
+    step_us = span_us // 4 + 1
+    # four time-ordered chunks, one file each (chunk-NN ordering keeps
+    # the file-stream source replaying them as separate microbatches)
+    for i in range(4):
+        lo = F.lit(mn) + F.expr(f"INTERVAL {i * step_us} MICROSECOND")
+        hi = F.lit(mn) + F.expr(f"INTERVAL {(i + 1) * step_us} MICROSECOND")
+        chunk = ev.filter((F.col("ts") >= lo) & (F.col("ts") < hi))
+        tmp = os.path.join(src_dir, f"_tmp{i}")
+        chunk.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+        os.rename(
+            os.path.join(tmp, part),
+            os.path.join(src_dir, f"chunk-{i:02d}.parquet"),
+        )
+        shutil.rmtree(tmp)
+    # sentinel rows: reserved key, 3 h past the end — written TWICE so
+    # the second file's batch runs cleanup against the advanced watermark
+    sentinel = spark.createDataFrame(
+        [(-1, None, "click"), (-1, None, "purchase")],
+        "user_id BIGINT, ts TIMESTAMP, event_type STRING",
+    ).withColumn("ts", F.lit(mx) + F.expr("INTERVAL 3 HOURS"))
+    for j in (4, 5):
+        tmp = os.path.join(src_dir, f"_tmp{j}")
+        sentinel.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+        os.rename(
+            os.path.join(tmp, part),
+            os.path.join(src_dir, f"chunk-{j:02d}.parquet"),
+        )
+        shutil.rmtree(tmp)
+
+    stream = (
+        spark.readStream.schema("user_id BIGINT, ts TIMESTAMP, event_type STRING")
+        .format("parquet")
+        .option("maxFilesPerTrigger", "1")
+        .load(src_dir)
+    )
+    clicks = (
+        stream.filter(F.col("event_type") == "click")
+        .select("user_id", F.col("ts").alias("c_ts"))
+        .withWatermark("c_ts", "1 hour")
+    )
+    purchases = (
+        stream.filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"))
+        .withWatermark("p_ts", "1 hour")
+    )
+    pairs = clicks.join(
+        purchases,
+        (F.col("p_user") == F.col("user_id"))
+        & (F.col("p_ts") > F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 1 HOUR")),
+        "left_outer",
+    )
+    out = run_to_memory(
+        pairs.select("user_id", "c_ts", "p_ts"),
+        "stream_stream_outer_sink",
+        "append",
+    )
+    return (
+        out.filter(F.col("user_id") >= 0)  # drop the sentinel key
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(
+                F.when(F.col("p_ts").isNotNull(), 1).otherwise(0)
+            ).cast("long").alias("n_matched"),
+            F.sum(
+                F.when(F.col("p_ts").isNull(), 1).otherwise(0)
+            ).cast("long").alias("n_unmatched"),
+        )
+        .orderBy("user_id")
+    )
