@@ -1098,6 +1098,53 @@ def sql_registered_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "arrow_native_udf",
+    oracle="""
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(length(text) - length(replace(text, ' ', '')) + 1)
+            AS BIGINT) AS sum_ws_tokens
+FROM documents
+WHERE text IS NOT NULL
+GROUP BY source
+ORDER BY source
+""",
+    tags=("expression", "udf", "arrow-udf", "udtf"),
+)
+def arrow_native_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4.1 ``@arrow_udf`` — the scalar UDF that receives and
+    returns **pyarrow Arrays directly**, no pandas materialization in
+    between.  This is the closest PySpark construct to the
+    reference's CometUDF contract ``evaluate(inputs:
+    Array[ValueVector]): ValueVector`` (reference:
+    common/src/main/scala/org/apache/comet/udf/CometUDF.scala,
+    expr.proto:519-532): a columnar batch in, a columnar batch out,
+    kernels from the Arrow compute library rather than per-row
+    Python.  The kernel (whitespace token count via
+    ``count_substring``) is SQL-expressible so the oracle pins the
+    Arrow round-trip's values.  Tagged ``udtf`` for the plan gate:
+    the Python eval operator is the surface under test."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from pyspark.sql.functions import arrow_udf
+
+    @arrow_udf("long")
+    def dcs_ws_tokens(text):
+        return pc.cast(pc.add(pc.count_substring(text, " "), 1), pa.int64())
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    return (
+        docs.select("source", dcs_ws_tokens("text").alias("t"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("t").cast("bigint").alias("sum_ws_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
     "events_props_json_extract",
     oracle="""
 SELECT event_type,
