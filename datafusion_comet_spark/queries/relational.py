@@ -560,7 +560,7 @@ N_SALT = 8
 @register(
     "join_skew_salted",
     oracle="""
-SELECT e.event_type, count(*) AS n, round(sum(e.value), 4) AS sum_value
+SELECT e.event_type, count(*) AS n, round(CAST(sum(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_value
 FROM events e
 JOIN (SELECT DISTINCT event_type FROM events WHERE event_type <> 'view') t
   ON e.event_type = t.event_type
@@ -595,7 +595,7 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("value"), 4).alias("sum_value"),
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 4).alias("sum_value"),
         )
         .orderBy("event_type")
     )

@@ -23,6 +23,7 @@ from ..sources import (
     write_read_orc,
     write_read_parquet,
     write_read_text,
+    write_read_xml,
 )
 from . import register
 
@@ -260,6 +261,93 @@ def python_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("kind")
     )
+
+
+@register(
+    "xml_scan_roundtrip",
+    oracle="""
+SELECT n_regionkey,
+       CAST(count(*) AS BIGINT) AS n_nations,
+       CAST(sum(length(n_name)) AS BIGINT) AS name_chars,
+       min(n_name) AS first_name
+FROM nation
+GROUP BY n_regionkey
+ORDER BY n_regionkey
+""",
+    tags=("source", "xml"),
+)
+def xml_scan_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML scan/sink (native in Spark 4 — the reference's scan oneof
+    stops at Parquet/CSV/Iceberg, operator.proto:38-56): write nation
+    to XML, read back with an explicit schema, aggregate over the
+    text column so character fidelity (entity escaping included) is
+    part of what the hash-match proves."""
+    nation = _t(spark, sf_dir, "nation")
+    back = write_read_xml(
+        spark, nation, scratch_dir(sf_dir, "nation_xml"), row_tag="nation"
+    )
+    return (
+        back.groupBy("n_regionkey")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_nations"),
+            F.sum(F.length("n_name")).cast("bigint").alias("name_chars"),
+            F.min("n_name").alias("first_name"),
+        )
+        .orderBy("n_regionkey")
+    )
+
+
+@register(
+    "binaryfile_ingest",
+    oracle="""
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       md5(text) AS content_md5
+FROM documents
+WHERE doc_id < 20 AND text IS NOT NULL
+ORDER BY doc_id
+""",
+    tags=("source", "binary", "multimodal"),
+)
+def binaryfile_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``binaryFile`` ingestion — the actual Spark entry point for
+    image/audio/video corpora (one row per file: path, length,
+    binary content), feeding the multimodal decode/featurize
+    operators (`multimodal_decode_stub`, `multimodal_embed_ann`).
+    Twenty documents are materialized as .bin files (setup fixture,
+    driver-side by construction — the operator under test is the
+    distributed scan), then read back as opaque bytes; the record key
+    is parsed from the file path, and the oracle recomputes byte
+    length + md5 from the source table, proving byte-lossless
+    ingestion.  At 100 TB the same plan reads a bucket listing —
+    binaryFile parallelizes per file and never loads a file twice."""
+    import os
+    import shutil
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter((F.col("doc_id") < 20) & F.col("text").isNotNull())
+        .select("doc_id", "text")
+        .collect()
+    )
+    out = scratch_dir(sf_dir, "binary_docs")
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out)
+    for r in docs:
+        with open(os.path.join(out, f"doc-{r.doc_id:05d}.bin"), "wb") as f:
+            f.write(r.text.encode("utf-8"))
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.bin")
+        .load(out)
+    )
+    return files.select(
+        F.regexp_extract(F.col("path"), r"doc-(\d+)\.bin", 1)
+        .cast("bigint")
+        .alias("doc_id"),
+        F.length("content").cast("bigint").alias("n_bytes"),
+        F.md5("content").alias("content_md5"),
+    ).orderBy("doc_id")
 
 
 @register(

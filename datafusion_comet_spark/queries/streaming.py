@@ -31,7 +31,7 @@ from . import register
 SELECT event_type,
        time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS win_start,
        count(*) AS n,
-       round(sum(value), 4) AS sum_value
+       round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_value
 FROM events
 WHERE event_type IN ('click', 'view')
 GROUP BY event_type, win_start
@@ -53,7 +53,7 @@ def stream_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", F.window("ts", "1 hour").alias("win"))
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("value"), 4).alias("sum_value"),
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 4).alias("sum_value"),
         )
     )
     # complete mode: emit every window at termination (append would
@@ -324,7 +324,7 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT event_type,
        CAST(count(*) AS BIGINT) AS n,
-       round(sum(value), 4) AS sum_value
+       round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_value
 FROM events
 GROUP BY event_type
 ORDER BY event_type
@@ -370,7 +370,7 @@ def stream_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         landed.groupBy("event_type")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n"),
-            F.round(F.sum("value"), 4).alias("sum_value"),
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 4).alias("sum_value"),
         )
         .orderBy("event_type")
     )

@@ -127,7 +127,7 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT c.user_id,
        count(*) AS n_pairs,
        count(DISTINCT c.event_id) AS n_converting_clicks,
-       round(sum(p.value), 4) AS conv_value
+       round(CAST(sum(CAST(p.value AS DECIMAL(18,6))) AS DOUBLE), 4) AS conv_value
 FROM events c
 JOIN events p
   ON p.user_id = c.user_id
@@ -165,7 +165,7 @@ def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_pairs"),
             F.countDistinct("click_id").alias("n_converting_clicks"),
-            F.round(F.sum("value"), 4).alias("conv_value"),
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 4).alias("conv_value"),
         )
         .orderBy("user_id")
     )
@@ -181,7 +181,7 @@ WITH spine AS (
 ), types AS (SELECT DISTINCT event_type FROM events),
 hourly AS (
   SELECT event_type, date_trunc('hour', ts) AS hour,
-         count(*) AS n_events, round(sum(value), 4) AS total_value
+         count(*) AS n_events, round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS total_value
   FROM events GROUP BY 1, 2
 )
 SELECT t.event_type, s.hour,
@@ -219,7 +219,7 @@ def events_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", F.date_trunc("hour", "ts").alias("hour")
     ).agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.round(F.sum("value"), 4).alias("total_value"),
+        F.round(F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 4).alias("total_value"),
     )
     dense = F.broadcast(spine.crossJoin(types))
     return (
@@ -259,7 +259,7 @@ SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
        count(*) AS n_events,
        min(t) AS session_start,
        epoch_us(max(t)) - epoch_us(min(t)) AS duration_us,
-       round(sum(value), 4) AS total_value
+       round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS total_value
 FROM s
 GROUP BY user_id, session_seq
 ORDER BY user_id, session_seq
@@ -304,7 +304,7 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias(
                 "duration_us"
             ),
-            F.round(F.sum("value"), 4).alias("total_value"),
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 4).alias("total_value"),
         )
         .orderBy("user_id", "session_seq")
     )
@@ -370,7 +370,7 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT CAST(least(floor(value / 25.0), 13) AS INT) AS bucket,
        count(*) AS n,
-       round(sum(value), 4) AS bucket_value,
+       round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS bucket_value,
        round(min(value), 4) AS lo,
        round(max(value), 4) AS hi
 FROM events
@@ -391,7 +391,7 @@ def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(bucket.alias("bucket"))
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("value"), 4).alias("bucket_value"),
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 4).alias("bucket_value"),
             F.round(F.min("value"), 4).alias("lo"),
             F.round(F.max("value"), 4).alias("hi"),
         )
@@ -578,7 +578,7 @@ def join_range_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT time_bucket(INTERVAL 30 MINUTE, ts) AS win_start,
        event_type,
        CAST(count(*) AS BIGINT) AS n_events,
-       round(sum(value), 4) AS total_value
+       round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS total_value
 FROM events
 GROUP BY 1, 2
 ORDER BY 1, 2
@@ -600,7 +600,7 @@ def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(F.window("ts", "30 minutes").alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 4).alias("total_value"),
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 4).alias("total_value"),
         )
         .select(
             F.col("w.start").alias("win_start"),
@@ -681,7 +681,7 @@ def events_session_window_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH hourly AS (
   SELECT event_type,
          date_trunc('hour', ts) AS hr,
-         sum(value) AS sum_value,
+         sum(CAST(value AS DECIMAL(18,6))) AS sum_value,
          count(*) AS cnt
   FROM events
   GROUP BY 1, 2
@@ -689,8 +689,8 @@ WITH hourly AS (
 SELECT event_type,
        CAST(date_trunc('day', hr) AS DATE) AS day,
        CAST(sum(cnt) AS BIGINT) AS n_events,
-       round(sum(sum_value), 4) AS total_value,
-       round(sum(sum_value) / sum(cnt), 6) AS avg_value
+       CAST(sum(sum_value) AS DECIMAL(28,6)) AS total_value,
+       round(CAST(sum(sum_value) AS DOUBLE) / sum(cnt), 6) AS avg_value
 FROM hourly
 GROUP BY 1, 2
 ORDER BY 1, 2
@@ -710,14 +710,17 @@ def rollup_reaggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
     |event_types| x |hours| rows — at 100 TB the hourly table is ~6
     orders of magnitude smaller than the fact, so cascade cost is
     dominated by pass 1, exactly once, and pass 1 is the thing an
-    incremental pipeline materializes per arriving partition.  The
-    oracle spells the same cascade so both engines agree on the
-    double-sum association order."""
+    incremental pipeline materializes per arriving partition.  Sums
+    are DECIMAL so the mergeable state is exact — the cascade's
+    result cannot depend on partial-aggregation order."""
     ev = load_table(spark, sf_dir, "events")
+    # DECIMAL sums: exact and associative, so the cascade's result is
+    # independent of partial-aggregation order (a double sum rounds
+    # differently run-to-run at rounding boundaries — caught at sf0.01)
     hourly = ev.groupBy(
         "event_type", F.date_trunc("hour", "ts").alias("hr")
     ).agg(
-        F.sum("value").alias("sum_value"),
+        F.sum(F.col("value").cast("decimal(18,6)")).alias("sum_value"),
         F.count(F.lit(1)).alias("cnt"),
     )
     return (
@@ -726,8 +729,10 @@ def rollup_reaggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.sum("cnt").alias("n_events"),
-            F.round(F.sum("sum_value"), 4).alias("total_value"),
-            F.round(F.sum("sum_value") / F.sum("cnt"), 6).alias("avg_value"),
+            F.sum("sum_value").cast("decimal(28,6)").alias("total_value"),
+            F.round(
+                F.sum("sum_value").cast("double") / F.sum("cnt"), 6
+            ).alias("avg_value"),
         )
         .orderBy("event_type", "day")
     )

@@ -110,3 +110,27 @@ def write_read_parquet(
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
     return spark.read.parquet(path)
+
+
+def write_read_xml(
+    spark: SparkSession, df: DataFrame, path: str, row_tag: str = "row"
+) -> DataFrame:
+    """XML write → read-back (Spark 4 ships the XML source natively —
+    no external spark-xml module).  The reference has no XML operator
+    at all; entity escaping (&lt; &amp; ...) round-trips values
+    losslessly, which the oracle hash-match proves.  Read-back passes
+    the schema explicitly: XML inference is a full extra scan AND
+    type-guesses, never the 100 TB plan."""
+    (
+        df.write.mode("overwrite")
+        .format("xml")
+        .option("rootTag", "rows")
+        .option("rowTag", row_tag)
+        .save(path)
+    )
+    return (
+        spark.read.format("xml")
+        .option("rowTag", row_tag)
+        .schema(df.schema)
+        .load(path)
+    )
