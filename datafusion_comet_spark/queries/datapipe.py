@@ -1354,8 +1354,8 @@ WITH per_doc AS (
 )
 SELECT source,
        CAST(count(*) AS BIGINT) AS n_docs,
-       round(avg(tok_rep), 4) AS avg_tok_rep,
-       round(avg(tri_rep), 4) AS avg_tri_rep,
+       round(CAST(avg(CAST(tok_rep AS DECIMAL(18,9))) AS DOUBLE), 4) AS avg_tok_rep,
+       round(CAST(avg(CAST(tri_rep AS DECIMAL(18,9))) AS DOUBLE), 4) AS avg_tri_rep,
        CAST(sum(CASE WHEN tok_rep > 0.3 THEN 1 ELSE 0 END) AS BIGINT)
          AS n_flagged
 FROM per_doc
@@ -1405,8 +1405,10 @@ def doc_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         per_doc.groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
-            F.round(F.avg("tok_rep"), 4).alias("avg_tok_rep"),
-            F.round(F.avg("tri_rep"), 4).alias("avg_tri_rep"),
+            F.round(F.avg(F.col("tok_rep").cast("decimal(18,9)")).cast("double"), 4)
+            .alias("avg_tok_rep"),
+            F.round(F.avg(F.col("tri_rep").cast("decimal(18,9)")).cast("double"), 4)
+            .alias("avg_tri_rep"),
             F.sum((F.col("tok_rep") > 0.3).cast("bigint")).alias("n_flagged"),
         )
         .orderBy("source")

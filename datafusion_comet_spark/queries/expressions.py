@@ -1188,7 +1188,7 @@ def events_props_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT c_mktsegment,
        CAST(count(*) AS BIGINT) AS n_customers,
-       round(avg(top_order), 2) AS avg_top_order
+       round(CAST(avg(CAST(top_order AS DECIMAL(18,2))) AS DOUBLE), 2) AS avg_top_order
 FROM (
   SELECT c.c_custkey, c.c_mktsegment,
          (SELECT max(o.o_totalprice) FROM orders o
@@ -1215,7 +1215,7 @@ def correlated_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql("""
         SELECT c_mktsegment,
                CAST(count(*) AS BIGINT) AS n_customers,
-               round(avg(top_order), 2) AS avg_top_order
+               round(CAST(avg(CAST(top_order AS DECIMAL(18,2))) AS DOUBLE), 2) AS avg_top_order
         FROM (
           SELECT c.c_custkey, c.c_mktsegment,
                  (SELECT max(o.o_totalprice) FROM dcs_css_orders o

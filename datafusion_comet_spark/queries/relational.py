@@ -642,7 +642,7 @@ def expand_grouping_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT c.c_mktsegment,
        count(*) AS n_orders,
-       round(sum(o.o_totalprice), 2) AS revenue
+       CAST(round(sum(CAST(o.o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS revenue
 FROM customer c
 JOIN orders o ON c.c_custkey = o.o_custkey
 GROUP BY c.c_mktsegment
@@ -664,7 +664,8 @@ def join_sort_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)
+            .cast("double").alias("revenue"),
         )
         .orderBy("c_mktsegment")
     )
@@ -731,7 +732,7 @@ def unpivot_charges(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_bucketed_colocated",
     oracle="""
 SELECT c_mktsegment, count(*) AS n_orders,
-       round(sum(o_totalprice), 2) AS revenue
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS revenue
 FROM customer JOIN orders ON c_custkey = o_custkey
 GROUP BY c_mktsegment
 ORDER BY c_mktsegment
@@ -771,7 +772,8 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)
+            .cast("double").alias("revenue"),
         )
         .orderBy("c_mktsegment")
     )
@@ -1028,7 +1030,7 @@ merged AS (
 )
 SELECT tag,
        CAST(count(*) AS BIGINT) AS n,
-       round(sum(price), 2) AS sum_price
+       CAST(round(sum(CAST(price AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_price
 FROM merged
 GROUP BY tag
 ORDER BY tag
@@ -1067,7 +1069,8 @@ def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         merged.groupBy("tag")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n"),
-            F.round(F.sum("price"), 2).alias("sum_price"),
+            F.round(F.sum(F.col("price").cast("decimal(18,2)")), 2)
+            .cast("double").alias("sum_price"),
         )
         .orderBy("tag")
     )
@@ -1261,7 +1264,7 @@ def range_generator(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT o_orderpriority,
        CAST(count(*) AS BIGINT) AS n_lines,
-       round(sum(l_extendedprice), 2) AS volume
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS volume
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 WHERE o_orderdate >= DATE '1996-01-01'
 GROUP BY o_orderpriority
@@ -1296,7 +1299,8 @@ def join_shuffle_hash_hint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("n_lines"),
-            F.round(F.sum("l_extendedprice"), 2).alias("volume"),
+            F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,2)")), 2)
+            .cast("double").alias("volume"),
         )
         .orderBy("o_orderpriority")
     )
@@ -1429,9 +1433,9 @@ SELECT 'n_orders' AS key,
 FROM orders
 UNION ALL
 SELECT 'revenue_m' AS key,
-       round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0 END) / 1e6, 3),
-       round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice ELSE 0 END) / 1e6, 3),
-       round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice ELSE 0 END) / 1e6, 3)
+       round(CAST(sum(CAST(CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0 END AS DECIMAL(18,2))) AS DOUBLE) / 1e6, 3),
+       round(CAST(sum(CAST(CASE WHEN o_orderstatus = 'O' THEN o_totalprice ELSE 0 END AS DECIMAL(18,2))) AS DOUBLE) / 1e6, 3),
+       round(CAST(sum(CAST(CASE WHEN o_orderstatus = 'P' THEN o_totalprice ELSE 0 END AS DECIMAL(18,2))) AS DOUBLE) / 1e6, 3)
 FROM orders
 ORDER BY key
 """,
@@ -1451,7 +1455,8 @@ def df_transpose(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).cast("double").alias("n_orders"),
             F.round(
-                F.sum(F.col("o_totalprice")) / F.lit(1e6), 3
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double")
+                / F.lit(1e6), 3
             ).alias("revenue_m"),
         )
         .orderBy("o_orderstatus")

@@ -113,8 +113,8 @@ def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT label,
        count(*) AS n,
-       round(avg(sqrt(list_sum(list_transform(embedding::DOUBLE[],
-                                              x -> x * x)))), 6) AS avg_norm,
+       round(CAST(avg(CAST(sqrt(list_sum(list_transform(embedding::DOUBLE[],
+                 x -> x * x))) AS DECIMAL(18,9))) AS DOUBLE), 6) AS avg_norm,
        round(max(sqrt(list_sum(list_transform(embedding::DOUBLE[],
                                               x -> x * x)))), 6) AS max_norm,
        CAST(max(len(embedding)) AS INT) AS dim
@@ -133,7 +133,8 @@ def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("label")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.avg("norm"), 6).alias("avg_norm"),
+            F.round(F.avg(F.col("norm").cast("decimal(18,9)")).cast("double"), 6)
+            .alias("avg_norm"),
             F.round(F.max("norm"), 6).alias("max_norm"),
             F.max("d").alias("dim"),
         )
@@ -353,7 +354,7 @@ def ann_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     "embedding_centroid_per_label",
     oracle="""
 SELECT label, CAST(i AS INT) AS dim,
-       round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS centroid_val,
+       round(CAST(avg(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(18,9))) AS DOUBLE), 6) AS centroid_val,
        CAST(count(*) AS BIGINT) AS n_vecs
 FROM embeddings CROSS JOIN range(1, 9) r(i)
 WHERE embedding IS NOT NULL
@@ -386,7 +387,10 @@ def embedding_centroid_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         exploded.groupBy("label", (F.col("pos") + 1).cast("int").alias("dim"))
         .agg(
-            F.round(F.avg(F.col("v").cast("double")), 6).alias("centroid_val"),
+            F.round(
+                F.avg(F.col("v").cast("double").cast("decimal(18,9)"))
+                .cast("double"), 6
+            ).alias("centroid_val"),
             F.count(F.lit(1)).alias("n_vecs"),
         )
         .orderBy("label", "dim")

@@ -88,7 +88,7 @@ def json_scan_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT o_orderstatus,
        count(*) AS n_orders,
-       round(sum(o_totalprice), 2) AS sum_price
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_price
 FROM orders
 WHERE o_orderpriority = '1-URGENT'
 GROUP BY o_orderstatus
@@ -114,7 +114,8 @@ def parquet_write_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderstatus")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)
+            .cast("double").alias("sum_price"),
         )
         .orderBy("o_orderstatus")
     )
@@ -123,7 +124,7 @@ def parquet_write_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "parquet_write_codecs",
     oracle="""
-SELECT count(*) AS n, round(sum(o_totalprice), 2) AS sum_price,
+SELECT count(*) AS n, CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_price,
        min(o_orderdate) AS min_date, max(o_orderdate) AS max_date
 FROM orders
 """,
@@ -143,7 +144,8 @@ def parquet_write_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
     totals = [
         f.agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)
+            .cast("double").alias("sum_price"),
             F.min("o_orderdate").alias("min_date"),
             F.max("o_orderdate").alias("max_date"),
         )
@@ -160,7 +162,7 @@ def parquet_write_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT s_nationkey,
        count(*) AS n_supp,
-       round(sum(s_acctbal), 2) AS sum_bal,
+       CAST(round(sum(CAST(s_acctbal AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_bal,
        min(s_name) AS first_name
 FROM supplier
 GROUP BY s_nationkey
@@ -181,7 +183,8 @@ def orc_scan_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         back.groupBy("s_nationkey")
         .agg(
             F.count(F.lit(1)).alias("n_supp"),
-            F.round(F.sum("s_acctbal"), 2).alias("sum_bal"),
+            F.round(F.sum(F.col("s_acctbal").cast("decimal(18,2)")), 2)
+            .cast("double").alias("sum_bal"),
             F.min("s_name").alias("first_name"),
         )
         .orderBy("s_nationkey")

@@ -48,7 +48,7 @@ returns_channel AS (
 u AS (SELECT * FROM orders_channel UNION ALL SELECT * FROM returns_channel)
 SELECT coalesce(channel, 'ALL') AS channel,
        coalesce(nation, 'ALL') AS nation,
-       CAST(round(sum(amount), 2) AS DOUBLE) AS total
+       CAST(round(sum(CAST(amount AS DECIMAL(18,2))), 2) AS DOUBLE) AS total
 FROM u
 GROUP BY ROLLUP (channel, nation)
 ORDER BY channel, nation
@@ -85,7 +85,10 @@ def tpcds_channel_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     u = orders_leg.unionByName(returns_leg)
     return (
         u.rollup("channel", "nation")
-        .agg(F.round(F.sum("amount"), 2).cast("double").alias("total"))
+        .agg(
+            F.round(F.sum(F.col("amount").cast("decimal(18,2)")), 2)
+            .cast("double").alias("total")
+        )
         .select(
             F.coalesce("channel", F.lit("ALL")).alias("channel"),
             F.coalesce("nation", F.lit("ALL")).alias("nation"),
@@ -292,7 +295,7 @@ WITH agg AS (
   SELECT l_returnflag, l_linestatus,
          CAST(grouping(l_returnflag) + grouping(l_linestatus) AS BIGINT)
            AS lochierarchy,
-         round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+         CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS revenue
   FROM lineitem
   GROUP BY ROLLUP (l_returnflag, l_linestatus)
 )
@@ -319,8 +322,12 @@ def tpcds_rollup_rank_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     agg = li.rollup("l_returnflag", "l_linestatus").agg(
         F.round(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-        ).alias("revenue"),
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * (F.lit(1).cast("decimal(3,2)") - F.col("l_discount").cast("decimal(4,2)"))
+            ),
+            2,
+        ).cast("double").alias("revenue"),
         (
             F.grouping("l_returnflag") + F.grouping("l_linestatus")
         ).cast("bigint").alias("lochierarchy"),

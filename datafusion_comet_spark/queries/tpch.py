@@ -76,8 +76,10 @@ SELECT l_returnflag, l_linestatus,
        CAST(round(sum({SQL_REV}), 2) AS DOUBLE)            AS sum_disc_price,
        CAST(round(sum({SQL_CHARGE}), 2) AS DOUBLE)         AS sum_charge,
        round(avg(l_quantity), 4)                           AS avg_qty,
-       round(avg(l_extendedprice), 4)                      AS avg_price,
-       round(avg(l_discount), 6)                           AS avg_disc,
+       round(CAST(avg(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 4)
+                                                           AS avg_price,
+       round(CAST(avg(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE), 6)
+                                                           AS avg_disc,
        count(*)                                            AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '2001-09-02 00:00:00'
@@ -99,8 +101,8 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             _money(F.sum(_drev())).alias("sum_disc_price"),
             _money(F.sum(charge)).alias("sum_charge"),
             F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.round(F.avg(_dec("l_extendedprice")).cast("double"), 4).alias("avg_price"),
+            F.round(F.avg(_dec("l_discount", 4, 2)).cast("double"), 6).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")

@@ -253,7 +253,7 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window_topk_per_group",
     oracle="""
 WITH rev AS (
-  SELECT l_suppkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+  SELECT l_suppkey, CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS revenue
   FROM lineitem GROUP BY l_suppkey
 ), ranked AS (
   SELECT n.n_name, s.s_name, r.revenue,
@@ -285,9 +285,13 @@ def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = _t(spark, sf_dir, "supplier")
     nat = _t(spark, sf_dir, "nation")
     rev = li.groupBy("l_suppkey").agg(
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-            "revenue"
-        )
+        F.round(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * (F.lit(1).cast("decimal(3,2)") - F.col("l_discount").cast("decimal(4,2)"))
+            ),
+            2,
+        ).cast("double").alias("revenue")
     )
     joined = rev.join(
         F.broadcast(supp), supp.s_suppkey == rev.l_suppkey
