@@ -53,6 +53,24 @@ PINNED = [
     "events_session_window_batch",  # native session-window aggregate
     "multimodal_embed_ann",     # MapInPandas embed below broadcast cosine join
     "scalar_subquery_api",      # Subquery + ReusedSubquery, no join
+    # round 2: the remaining TPC-H set — all 22 plan shapes pinned
+    "q2_min_cost_supplier",
+    "q4_order_priority",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q10_returned_items",
+    "q11_important_stock",
+    "q12_late_shipments",
+    "q13_customer_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_parts_supplier",
+    "q17_small_quantity",
+    "q18_large_volume",
+    "q19_discounted_revenue",
+    "q20_part_promotion",
+    "q22_sales_opportunity",
 ]
 
 REGEN = os.environ.get("SPARK_GRAFT_REGEN_GOLDENS") == "1"

@@ -493,3 +493,51 @@ def test_python_datasource_pushdown_prunes_partitions(spark, sf_dir):
     df = REGISTRY["python_datasource_pushdown"].fn(spark, sf_dir)
     rows = df.collect()
     assert len(rows) == 1 and rows[0]["kind"] == "click"
+
+
+# Non-broadcast exchange budget per TPC-H query — the scale metric to
+# hold the line on (every entry is a full shuffle of its subtree's
+# output at 100 TB; a regression that adds one is a silent 2x on the
+# cluster bill).  Counts are identical at sf0.001/0.01/0.1 because the
+# dimension joins broadcast at every test scale; budgets are exact,
+# not upper bounds, so an accidental IMPROVEMENT also shows up (and
+# should be ratified by updating the table).
+TPCH_EXCHANGE_BUDGET = {
+    "q1_pricing_summary": 2,
+    "q2_min_cost_supplier": 3,
+    "q3_shipping_priority": 1,
+    "q4_order_priority": 2,
+    "q5_local_supplier": 2,
+    "q6_forecast_revenue": 0,
+    "q7_volume_shipping": 2,
+    "q8_market_share": 2,
+    "q9_product_profit": 2,
+    "q10_returned_items": 1,
+    "q11_important_stock": 1,
+    "q12_late_shipments": 2,
+    "q13_customer_distribution": 3,
+    "q14_promo_revenue": 0,
+    "q15_top_supplier": 2,
+    "q16_parts_supplier": 3,
+    "q17_small_quantity": 1,
+    "q18_large_volume": 2,
+    "q19_discounted_revenue": 0,
+    "q20_part_promotion": 2,
+    "q21_waiting_supplier": 1,
+    "q21_scale_rewrite": 3,
+    "q22_sales_opportunity": 2,
+}
+
+
+def test_tpch_exchange_budgets(spark, sf_dir):
+    from datafusion_comet_spark.plans.introspect import plan_string as _ps
+
+    diffs = {}
+    for name, budget in TPCH_EXCHANGE_BUDGET.items():
+        p = _ps(REGISTRY[name].fn(spark, sf_dir), "simple")
+        n = p.count("Exchange hashpartitioning") + p.count(
+            "Exchange rangepartitioning"
+        )
+        if n != budget:
+            diffs[name] = (budget, n)
+    assert not diffs, f"exchange budget drift (expected, actual): {diffs}"
