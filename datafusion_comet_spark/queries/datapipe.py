@@ -2135,3 +2135,56 @@ def sample_stratified_exact_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 50)
         .orderBy("source", "rk")
     )
+
+
+@register(
+    "dedup_minhash_ml",
+    oracle=None,  # HashingTF murmur + seeded minhash: not SQL-expressible;
+    # pinned in tests/test_semantics.py (exact-dup recall + distance equality
+    # against an independently computed token-set Jaccard)
+    tags=("datapipe", "dedup", "minhash", "ml"),
+)
+def dedup_minhash_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup candidates via the pyspark.ml pipeline
+    (Tokenizer → binary HashingTF → MinHashLSH.approxSimilarityJoin) —
+    the library counterpart of the hand-rolled shingle pipeline
+    (`dedup_minhash_lsh`).  Same physical shape under the hood: the
+    hash tables explode into band buckets, candidates come from a
+    bucket self-join, and ``jaccard_dist`` is the EXACT Jaccard
+    distance over the feature sets, evaluated only on candidates.
+    Seeded, so results are deterministic run-to-run.
+
+    Trade-off vs the manual pipeline (SCALE.md): the ml version is
+    token-set Jaccard (unigrams) with numHashTables ANDed per table —
+    quick to stand up, one knob; the manual one controls shingle size
+    (word order sensitivity) and band/row shape (precision/recall
+    curve) and reuses its exchange across the self-join.  At 100 TB
+    both shuffle O(docs x tables) bucket rows; choose by whether
+    shingle-level control matters."""
+    from pyspark.ml.feature import HashingTF, MinHashLSH, Tokenizer
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull() & (F.length("text") > 0))
+        .select("doc_id", "text")
+    )
+    tok = Tokenizer(inputCol="text", outputCol="words")
+    tf = HashingTF(
+        inputCol="words", outputCol="features", numFeatures=1 << 18,
+        binary=True,
+    )
+    feat = tf.transform(tok.transform(docs)).select("doc_id", "features")
+    lsh = MinHashLSH(
+        inputCol="features", outputCol="hashes", numHashTables=8, seed=42
+    )
+    model = lsh.fit(feat)
+    pairs = model.approxSimilarityJoin(feat, feat, 0.5, distCol="jdist")
+    return (
+        pairs.filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
+        .select(
+            F.col("datasetA.doc_id").alias("a"),
+            F.col("datasetB.doc_id").alias("b"),
+            F.round("jdist", 6).alias("jaccard_dist"),
+        )
+        .orderBy("a", "b")
+    )

@@ -822,3 +822,44 @@ def test_csv_scan_option_surface_parses_tricky_content(spark, sf_dir):
         3: ("gamma", "multi\nline value"),
         4: ("delta", "plain"),
     }, rows
+
+
+def test_minhash_ml_pairs_match_exact_jaccard(spark, sf_dir):
+    """pyspark.ml MinHashLSH pin (dedup_minhash_ml is seeded-hash-based,
+    so no SQL oracle): (1) every reported pair's jaccard_dist equals
+    the token-set Jaccard distance computed independently in Python;
+    (2) recall is 1.0 for EXACT duplicates — identical feature vectors
+    produce identical signatures in every hash table, so a zero-distance
+    pair cannot be missed."""
+    reported = {
+        (r.a, r.b): r.jaccard_dist
+        for r in REGISTRY["dedup_minhash_ml"].fn(spark, sf_dir).collect()
+    }
+    docs = {
+        r.doc_id: set(r.text.lower().split())
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter("text IS NOT NULL AND length(text) > 0")
+        .select("doc_id", "text")
+        .collect()
+        if r.text.lower().split()
+    }
+    # (1) distance faithfulness on every reported pair
+    for (a, b), d in reported.items():
+        sa, sb = docs[a], docs[b]
+        exact = 1.0 - len(sa & sb) / len(sa | sb)
+        assert abs(d - exact) < 1e-4, (a, b, d, exact)
+    # (2) exact-dup recall: all identical token-set pairs reported
+    by_sig = {}
+    for doc_id, toks in docs.items():
+        by_sig.setdefault(frozenset(toks), []).append(doc_id)
+    dup_pairs = {
+        (min(a, b), max(a, b))
+        for ids in by_sig.values()
+        if len(ids) > 1
+        for a in ids
+        for b in ids
+        if a < b
+    }
+    assert dup_pairs, "fixture should contain exact duplicates"
+    missed = dup_pairs - set(reported)
+    assert not missed, f"exact-duplicate pairs missed by LSH: {missed}"
