@@ -2178,7 +2178,10 @@ def dedup_minhash_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
         inputCol="features", outputCol="hashes", numHashTables=8, seed=42
     )
     model = lsh.fit(feat)
-    pairs = model.approxSimilarityJoin(feat, feat, 0.5, distCol="jdist")
+    # threshold 0.2: template-generated corpus text shares many
+    # unigrams, so a loose bound floods the candidate set (0.5 emitted
+    # 88k pairs at sf0.01); near-dup means near
+    pairs = model.approxSimilarityJoin(feat, feat, 0.2, distCol="jdist")
     return (
         pairs.filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
         .select(
@@ -2186,5 +2189,11 @@ def dedup_minhash_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("datasetB.doc_id").alias("b"),
             F.round("jdist", 6).alias("jaccard_dist"),
         )
-        .orderBy("a", "b")
+        # the synthetic corpus is near-dup-rich by construction (~3M
+        # candidate pairs at sf0.1): bound the result to the 1000
+        # closest pairs (TakeOrderedAndProject — never a full collect),
+        # deterministic tie-break on (a, b); exact duplicates sort
+        # first, which the recall pin relies on
+        .orderBy("jaccard_dist", "a", "b")
+        .limit(1000)
     )

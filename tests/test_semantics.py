@@ -861,5 +861,6 @@ def test_minhash_ml_pairs_match_exact_jaccard(spark, sf_dir):
         if a < b
     }
     assert dup_pairs, "fixture should contain exact duplicates"
+    assert len(dup_pairs) < 1000, "dup count exceeds the query's top-k"
     missed = dup_pairs - set(reported)
     assert not missed, f"exact-duplicate pairs missed by LSH: {missed}"
