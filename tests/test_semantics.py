@@ -864,3 +864,45 @@ def test_minhash_ml_pairs_match_exact_jaccard(spark, sf_dir):
     assert len(dup_pairs) < 1000, "dup count exceeds the query's top-k"
     missed = dup_pairs - set(reported)
     assert not missed, f"exact-duplicate pairs missed by LSH: {missed}"
+
+
+def test_ignore_corrupt_files_skips_bad_parquet(spark, sf_dir, tmp_path):
+    """Operational resilience at fleet scale: a 100 TB listing will
+    contain the occasional truncated/corrupt file (failed writer,
+    partial upload).  Default posture FAILS the query (silent data
+    loss is worse than a failed job); the explicit recovery knob
+    ``spark.sql.files.ignoreCorruptFiles`` skips the bad file and
+    returns every healthy row — both contracts pinned here."""
+    import shutil
+
+    d = tmp_path / "mixed"
+    d.mkdir()
+    shutil.copy(f"{sf_dir}/region.parquet", d / "part-0.parquet")
+    (d / "part-1.parquet").write_bytes(b"PAR1 this is not a parquet file")
+    good_rows = spark.read.parquet(f"{sf_dir}/region.parquet").count()
+
+    import pytest as _pytest
+    from py4j.protocol import Py4JJavaError
+
+    with _pytest.raises(Exception) as ei:
+        spark.read.schema("r_regionkey BIGINT, r_name STRING").parquet(
+            str(d)
+        ).count()
+    assert isinstance(ei.value, Py4JJavaError) or "SparkException" in str(
+        type(ei.value)
+    )
+
+    saved = spark.conf.get("spark.sql.files.ignoreCorruptFiles", None)
+    try:
+        spark.conf.set("spark.sql.files.ignoreCorruptFiles", "true")
+        n = (
+            spark.read.schema("r_regionkey BIGINT, r_name STRING")
+            .parquet(str(d))
+            .count()
+        )
+        assert n == good_rows
+    finally:
+        if saved is None:
+            spark.conf.unset("spark.sql.files.ignoreCorruptFiles")
+        else:
+            spark.conf.set("spark.sql.files.ignoreCorruptFiles", saved)
