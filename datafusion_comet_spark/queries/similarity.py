@@ -395,3 +395,53 @@ def embedding_centroid_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label", "dim")
     )
+
+
+@register(
+    "ann_ml_random_projection",
+    oracle=None,  # seeded random hyperplanes: not SQL-expressible; pinned
+    # in tests/test_semantics.py (candidate distances exact + recall vs
+    # brute-force euclidean top-k)
+    tags=("similarity", "ann", "ml", "lsh"),
+)
+def ann_ml_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Euclidean ANN via pyspark.ml BucketedRandomProjectionLSH — the
+    third LSH family in the engine (MinHash≈Jaccard for sets, SimHash
+    ≈cosine for text, random-projection≈L2 for embeddings).  Vectors
+    hash to ⌊(v·w)/bucketLength⌋ per seeded hyperplane w; the
+    similarity self-join probes only colliding buckets and evaluates
+    the EXACT euclidean distance on candidates — the same
+    candidates-then-exact contract as every LSH operator here.
+
+    Scale shape: bucket hashing is a map-only projection; the join
+    shuffles (bucket, vector) rows, so cost scales with collision
+    density (bucketLength and numHashTables are the recall/cost
+    knobs), never with |pairs|.  Output bounded to the 200 closest
+    pairs (TakeOrderedAndProject)."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("embedding").isNotNull())
+        .select(
+            "vec_id",
+            array_to_vector(_as_double(F.col("embedding"))).alias("features"),
+        )
+    )
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="features", outputCol="hashes",
+        numHashTables=6, bucketLength=2.0, seed=42,
+    )
+    model = lsh.fit(emb)
+    pairs = model.approxSimilarityJoin(emb, emb, 4.0, distCol="l2_dist")
+    return (
+        pairs.filter(F.col("datasetA.vec_id") < F.col("datasetB.vec_id"))
+        .select(
+            F.col("datasetA.vec_id").alias("a"),
+            F.col("datasetB.vec_id").alias("b"),
+            F.round("l2_dist", 6).alias("l2_dist"),
+        )
+        .orderBy("l2_dist", "a", "b")
+        .limit(200)
+    )

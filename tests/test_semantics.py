@@ -906,3 +906,37 @@ def test_ignore_corrupt_files_skips_bad_parquet(spark, sf_dir, tmp_path):
             spark.conf.unset("spark.sql.files.ignoreCorruptFiles")
         else:
             spark.conf.set("spark.sql.files.ignoreCorruptFiles", saved)
+
+
+def test_random_projection_ann_distances_and_recall(spark, sf_dir):
+    """BucketedRandomProjectionLSH pin: (1) every reported pair's
+    l2_dist equals the exact euclidean distance recomputed in Python;
+    (2) recall vs exact brute force — of the true 20 closest pairs,
+    the seeded 6-table join must surface a large majority (identical
+    vectors always collide; near vectors may straddle a bucket edge,
+    so the bound is high-but-not-1.0 by design)."""
+    import math
+
+    reported = [
+        (r.a, r.b, r.l2_dist)
+        for r in REGISTRY["ann_ml_random_projection"].fn(spark, sf_dir).collect()
+    ]
+    assert reported, "no candidate pairs surfaced"
+    vecs = {
+        r.vec_id: [float(x) for x in r.embedding]
+        for r in spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .filter("embedding IS NOT NULL")
+        .collect()
+    }
+
+    def dist(a, b):
+        return math.sqrt(sum((x - y) ** 2 for x, y in zip(vecs[a], vecs[b])))
+
+    for a, b, d in reported:
+        assert abs(d - dist(a, b)) < 1e-4, (a, b, d, dist(a, b))
+    ids = sorted(vecs)
+    exact = sorted(
+        ((dist(a, b), a, b) for i, a in enumerate(ids) for b in ids[i + 1:]),
+    )[:20]
+    hits = sum(1 for d, a, b in exact if any(x == a and y == b for x, y, _ in reported))
+    assert hits >= 16, f"recall too low: {hits}/20"
