@@ -1226,3 +1226,93 @@ def correlated_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY c_mktsegment
         ORDER BY c_mktsegment
     """)
+
+
+@register(
+    "pandas_api_on_spark",
+    oracle="""
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n,
+       max(o_totalprice) AS max_price,
+       min(o_totalprice) AS min_price
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+    tags=("expression", "pandas-api"),
+)
+def pandas_api_on_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pandas-API-on-Spark layer (``df.pandas_api()`` →
+    pandas-style groupby/agg → ``to_spark()``): a third user-facing
+    API over the SAME Catalyst/Tungsten execution the reference
+    accelerates (the reference sits below the API layer and is
+    agnostic to it, SURVEY.md §0; this engine keeps all three —
+    SQL, DataFrame, pandas — compiling to one planner).  The
+    aggregate uses only order-independent stats (count/max/min) so
+    the oracle hash-match is exact."""
+    import pyspark.pandas as pps
+
+    psdf = (
+        _t(spark, sf_dir, "orders")
+        .select("o_orderpriority", "o_totalprice")
+        .pandas_api()
+    )
+    g = (
+        psdf.groupby("o_orderpriority", as_index=False)
+        .agg(
+            n=("o_totalprice", "count"),
+            max_price=("o_totalprice", "max"),
+            min_price=("o_totalprice", "min"),
+        )
+        .sort_values("o_orderpriority")
+    )
+    out = g.to_spark()
+    return out.select(
+        "o_orderpriority",
+        F.col("n").cast("bigint").alias("n"),
+        "max_price",
+        "min_price",
+    ).orderBy("o_orderpriority")
+
+
+@register(
+    "sql_scripting_block",
+    oracle="""
+SELECT o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n_big
+FROM orders
+WHERE o_totalprice > (SELECT CAST(avg(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) * 1.5
+                      FROM orders)
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+""",
+    tags=("expression", "sql-scripting", "spark4"),
+)
+def sql_scripting_block(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 SQL scripting (BEGIN … END with DECLARE'd variables):
+    procedural control flow compiled INTO the same single-session
+    planner — the variable is bound once (one aggregate job) and the
+    main statement uses it as a literal, replacing the scalar
+    subquery the oracle spells.  No reference counterpart (its IR is
+    single-statement, operator.proto:31-57); the ANSI SQL/PSM
+    scripting surface comes free with the Spark 4 frontend.
+
+    The threshold works out identically on both paths because the
+    avg is computed over the SAME exact-decimal cast the oracle
+    uses."""
+    spark.conf.set("spark.sql.scripting.enabled", "true")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("dcs_script_orders")
+    return spark.sql("""
+        BEGIN
+          DECLARE thresh DOUBLE;
+          SET thresh = (SELECT CAST(avg(CAST(o_totalprice AS DECIMAL(18,2)))
+                                    AS DOUBLE) * 1.5
+                        FROM dcs_script_orders);
+          SELECT o_orderstatus,
+                 CAST(count(*) AS BIGINT) AS n_big
+          FROM dcs_script_orders
+          WHERE o_totalprice > thresh
+          GROUP BY o_orderstatus
+          ORDER BY o_orderstatus;
+        END
+    """)
