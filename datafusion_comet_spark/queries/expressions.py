@@ -1316,3 +1316,61 @@ def sql_scripting_block(spark: SparkSession, sf_dir: str) -> DataFrame:
           ORDER BY o_orderstatus;
         END
     """)
+
+
+@register(
+    "collation_group_caseless",
+    oracle="""
+SELECT lower(seg_mixed) AS segment,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(count(DISTINCT seg_mixed) AS BIGINT) AS n_casings,
+       min(seg_mixed) AS first_casing
+FROM (
+  SELECT CASE WHEN c_custkey % 2 = 0 THEN lower(c_mktsegment)
+              ELSE c_mktsegment END AS seg_mixed
+  FROM customer
+) t
+GROUP BY lower(seg_mixed)
+ORDER BY segment
+""",
+    tags=("expression", "collation", "spark4"),
+)
+def collation_group_caseless(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collation-aware grouping (Spark 4 COLLATE UTF8_LCASE): a
+    mixed-case column groups CASELESSLY while count(DISTINCT) inside
+    each group still sees the binary casings — two collation levels in
+    one aggregate.  The reference explicitly REJECTS collated strings
+    for sort and hash partitioning (raw-byte comparison only,
+    reference: serde/QueryPlanSerde.scala:832-833,
+    CometShuffleExchangeExec.scala:344-346; SURVEY.md §1.2) — this is
+    a capability superset, executed natively by Spark's collation-aware
+    hash/sort.  The group representative under a caseless collation is
+    scan-order-dependent, so the output label is lower()ed and the
+    deterministic min() casing is emitted alongside — the same
+    canonicalization discipline the oracle uses."""
+    cust = _t(spark, sf_dir, "customer").select(
+        F.when(
+            F.col("c_custkey") % 2 == 0, F.lower("c_mktsegment")
+        ).otherwise(F.col("c_mktsegment")).alias("seg_mixed")
+    )
+    return (
+        cust.groupBy(
+            F.expr("seg_mixed COLLATE UTF8_LCASE").alias("k")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.count_distinct(
+                F.expr("seg_mixed COLLATE UTF8_BINARY")
+            ).cast("bigint").alias("n_casings"),
+            F.min(F.expr("seg_mixed COLLATE UTF8_BINARY")).alias(
+                "first_casing"
+            ),
+        )
+        .select(
+            F.lower(F.col("k").cast("string")).alias("segment"),
+            "n",
+            "n_casings",
+            "first_casing",
+        )
+        .orderBy("segment")
+    )
