@@ -2197,3 +2197,66 @@ def dedup_minhash_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("jaccard_dist", "a", "b")
         .limit(1000)
     )
+
+
+@register(
+    "global_index_assignment",
+    oracle="""
+SELECT doc_id,
+       CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS global_idx
+FROM documents
+ORDER BY doc_id
+""",
+    tags=("datapipe", "index", "zipWithIndex"),
+)
+def global_index_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contiguous global index (0..n-1 in doc_id order) WITHOUT a
+    single-reducer global sort — the distributed zipWithIndex idiom
+    every training-data pipeline needs for example numbering and
+    shard-stable sample addressing.
+
+    The naive spelling — row_number() over an unpartitioned window —
+    funnels ALL rows through one reducer (Spark even warns
+    'No Partition Defined for Window operation').  The scale shape is
+    two passes over range-partitioned data:
+
+    1. range-partition by the order key (each partition holds a
+       contiguous key range, already sorted within);
+    2. per-partition local row_number (window PARTITIONED by the
+       physical partition id — parallel, no cross-partition data);
+    3. per-partition counts → cumulative offsets (|partitions| rows,
+       computed in one tiny window) broadcast-joined back;
+    4. global_idx = offset + local_idx - 1.
+
+    Cost: ONE range exchange of the data + a |partitions|-row side
+    plan, vs the naive single reducer holding 100 TB.  The oracle
+    spells the naive form; values are identical because range
+    partitioning preserves global key order across partition ids
+    (partition i's keys all precede partition i+1's)."""
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartitionByRange(8, "doc_id")
+        .withColumn("pid", F.spark_partition_id())
+    )
+    from pyspark.sql import Window
+
+    wloc = Window.partitionBy("pid").orderBy("doc_id")
+    local = docs.withColumn("local_idx", F.row_number().over(wloc))
+    counts = local.groupBy("pid").agg(F.max("local_idx").alias("cnt"))
+    woff = Window.orderBy("pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = counts.withColumn(
+        "offset", F.coalesce(F.sum("cnt").over(woff), F.lit(0))
+    ).select("pid", "offset")
+    return (
+        local.join(F.broadcast(offsets), "pid")
+        .select(
+            "doc_id",
+            (F.col("offset") + F.col("local_idx") - 1)
+            .cast("bigint")
+            .alias("global_idx"),
+        )
+        .orderBy("doc_id")
+    )
