@@ -2260,3 +2260,69 @@ def global_index_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "dedup_keep_best",
+    oracle="""
+WITH keyed AS (
+  SELECT doc_id,
+         array_to_string(list_slice(string_split(
+           lower(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')), ' '),
+           1, 8), ' ') AS prefix_key,
+         length(text) - length(replace(text, ' ', '')) + 1 AS quality
+  FROM documents
+  WHERE text IS NOT NULL
+)
+SELECT length(prefix_key) AS key_len, doc_id,
+       CAST(n_copies AS BIGINT) AS n_copies,
+       CAST(quality AS BIGINT) AS quality
+FROM (
+  SELECT prefix_key, doc_id, quality,
+         row_number() OVER (PARTITION BY prefix_key
+                            ORDER BY quality DESC, doc_id) AS rn,
+         count(*) OVER (PARTITION BY prefix_key) AS n_copies
+  FROM keyed
+) t
+WHERE rn = 1 AND n_copies > 1
+ORDER BY key_len, doc_id
+""",
+    tags=("datapipe", "dedup", "window", "keep-best"),
+)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-BEST-copy dedup on a PREFIX fingerprint: documents keyed
+    by their first 8 normalized tokens (the crawl-dedup key that
+    catches truncated / boilerplate-suffixed variants of the same
+    page, which exact-hash dedup misses), and within each duplicate
+    group the copy with the highest quality signal survives (here
+    whitespace token count ≈ longest/most complete copy; in
+    production a composite score) — the selection rule curation
+    pipelines actually want, not first-seen.  Same single-shuffle
+    shape as keep-first (`dedup_window_first`): one exchange on the
+    prefix key, ranking and group size share the window partition,
+    survivors filter post-window."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    norm = F.lower(F.regexp_replace("text", r"[^a-zA-Z0-9 ]", ""))
+    quality = (
+        F.length("text")
+        - F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+        + 1
+    )
+    prefix_key = F.array_join(F.slice(F.split(norm, " "), 1, 8), " ")
+    keyed = docs.select(
+        prefix_key.alias("prefix_key"), "doc_id", quality.alias("quality")
+    )
+    w = W.partitionBy("prefix_key").orderBy(F.col("quality").desc(), "doc_id")
+    wc = W.partitionBy("prefix_key")
+    return (
+        keyed.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_copies", F.count(F.lit(1)).over(wc))
+        .filter((F.col("rn") == 1) & (F.col("n_copies") > 1))
+        .select(
+            F.length("prefix_key").alias("key_len"),
+            "doc_id",
+            F.col("n_copies").cast("bigint").alias("n_copies"),
+            F.col("quality").cast("bigint").alias("quality"),
+        )
+        .orderBy("key_len", "doc_id")
+    )
