@@ -59,6 +59,7 @@ def load_all() -> dict[str, Query]:
     """Import every query module so REGISTRY is fully populated."""
     from . import tpch  # noqa: F401
     from . import tpcds_style  # noqa: F401
+    from . import tpcds_style2  # noqa: F401
     from . import relational  # noqa: F401
     from . import expressions  # noqa: F401
     from . import aggregates  # noqa: F401

@@ -1,0 +1,793 @@
+"""TPC-DS-shaped composite queries, batch 2.
+
+Continues ``tpcds_style.py``: the reference's TPC-DS benchmark surface
+(103 queries, reference: benchmarks/results/0.16.0/{spark,comet}-tpcds.json)
+contains recurring plan shapes not yet pinned by batch 1 — net-of-returns
+left joins (q93), nested aggregate-derived semi-join filters (q23),
+group-size band scans (q34/q73), dual-rank return ratios (q49), sliding
+moving-average deviations (q47/q57), within-class revenue ratios
+(q98/q12/q20), consecutive-period share growth (q31), weekday pivots
+joined across periods (q59), multi-EXISTS demographic rollups (q10/q35),
+and above-group-average outlier reports (q30).  Each is reproduced on
+the available star schema with a DuckDB oracle.
+
+Scale notes are inline per query: every shape aggregates the fact table
+exactly once where the literal SQL spelling would scan it twice, and
+every join against a derived aggregate broadcasts the (tiny) aggregate
+side rather than shuffling the fact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from . import register
+from .tpch import SQL_REV, _dec, _drev, _money, _ts
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# --------------------------------------------------------------------------
+# q93 shape — net customer spend after returns (left join to a returns agg)
+# --------------------------------------------------------------------------
+@register(
+    "tpcds_net_after_returns",
+    oracle=f"""
+WITH ret AS (
+  SELECT l_orderkey, sum({SQL_REV}) AS ret_amt
+  FROM lineitem WHERE l_returnflag = 'R'
+  GROUP BY l_orderkey
+)
+SELECT c_custkey, c_name,
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+         AS gross,
+       CAST(round(sum(coalesce(ret_amt, CAST(0 AS DECIMAL(18,2)))), 2)
+            AS DOUBLE) AS returned,
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                  - sum(coalesce(ret_amt, CAST(0 AS DECIMAL(18,2)))), 2)
+            AS DOUBLE) AS net
+FROM orders
+LEFT JOIN ret ON o_orderkey = l_orderkey
+JOIN customer ON o_custkey = c_custkey
+GROUP BY c_custkey, c_name
+ORDER BY net DESC, c_custkey
+LIMIT 25
+""",
+    tags=("tpcds", "outer-join", "aggregate", "topk"),
+)
+def tpcds_net_after_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q93 shape: facts LEFT JOINed to a per-key returns
+    aggregate, net = gross - returned, top-k customers by net.
+
+    Scale: the returned-amount rollup shrinks lineitem to |orders with
+    an R line| before the join, so the orders-side join input is an
+    aggregate, not the 6×-larger line fact; both sides then share the
+    o_orderkey exchange.  The final per-customer rollup is TakeOrdered
+    (top-25), never a global sort."""
+    li = _t(spark, sf_dir, "lineitem")
+    ret = (
+        li.filter(F.col("l_returnflag") == "R")
+        .groupBy("l_orderkey")
+        .agg(F.sum(_drev()).alias("ret_amt"))
+    )
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    zero = F.lit(0).cast("decimal(18,2)")
+    return (
+        orders.join(ret, orders.o_orderkey == ret.l_orderkey, "left")
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            _money(F.sum(_dec("o_totalprice"))).alias("gross"),
+            _money(F.sum(F.coalesce(F.col("ret_amt"), zero))).alias(
+                "returned"
+            ),
+            _money(
+                F.sum(_dec("o_totalprice"))
+                - F.sum(F.coalesce(F.col("ret_amt"), zero))
+            ).alias("net"),
+        )
+        .orderBy(F.col("net").desc(), "c_custkey")
+        .limit(25)
+    )
+
+
+# --------------------------------------------------------------------------
+# q23 shape — revenue from frequent items bought by best customers
+# --------------------------------------------------------------------------
+@register(
+    "tpcds_frequent_buyer_semi",
+    oracle=f"""
+WITH freq_parts AS (
+  SELECT l_partkey FROM lineitem
+  GROUP BY l_partkey HAVING count(DISTINCT l_orderkey) >= 35
+),
+big_spenders AS (
+  SELECT o_custkey FROM orders
+  GROUP BY o_custkey
+  HAVING sum(CAST(o_totalprice AS DECIMAL(18,2)))
+         > CAST(3000000 AS DECIMAL(18,2))
+)
+SELECT CAST(round(sum({SQL_REV}), 2) AS DOUBLE) AS qualified_revenue,
+       count(*) AS qualified_lines
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+  AND o.o_orderdate <  TIMESTAMP '1999-01-01 00:00:00'
+  AND l.l_partkey IN (SELECT l_partkey FROM freq_parts)
+  AND o.o_custkey IN (SELECT o_custkey FROM big_spenders)
+""",
+    tags=("tpcds", "semi-join", "aggregate", "having"),
+)
+def tpcds_frequent_buyer_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q23 shape: two aggregate-derived filter sets (frequently
+    ordered parts, high-lifetime-value customers), applied to the fact
+    as semi joins, then one scalar rollup.
+
+    Scale: both filter sets are aggregates over their own fact pass but
+    shrink to key lists (|parts|, |customers|) that broadcast — the
+    period fact scan is filtered by two BroadcastHashJoin(LeftSemi)
+    without any fact-sized shuffle.  The distinct-order count uses the
+    (l_partkey, l_orderkey) pair exchange once; nothing else shuffles
+    lineitem."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    freq_parts = (
+        li.groupBy("l_partkey")
+        .agg(F.count_distinct("l_orderkey").alias("n_orders"))
+        .filter(F.col("n_orders") >= 35)
+        .select("l_partkey")
+    )
+    big_spenders = (
+        orders.groupBy("o_custkey")
+        .agg(F.sum(_dec("o_totalprice")).alias("lifetime"))
+        .filter(F.col("lifetime") > F.lit(3000000).cast("decimal(18,2)"))
+        .select("o_custkey")
+    )
+    period = orders.filter(
+        (F.col("o_orderdate") >= _ts("1998-01-01 00:00:00"))
+        & (F.col("o_orderdate") < _ts("1999-01-01 00:00:00"))
+    ).join(F.broadcast(big_spenders), "o_custkey", "left_semi")
+    return (
+        li.join(F.broadcast(freq_parts), "l_partkey", "left_semi")
+        .join(period, F.col("l_orderkey") == period.o_orderkey)
+        .agg(
+            _money(F.sum(_drev())).alias("qualified_revenue"),
+            F.count(F.lit(1)).alias("qualified_lines"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q34/q73 shape — order-size band report
+# --------------------------------------------------------------------------
+@register(
+    "tpcds_party_size_band",
+    oracle="""
+WITH sized AS (
+  SELECT l_orderkey, count(*) AS n_lines
+  FROM lineitem GROUP BY l_orderkey
+  HAVING count(*) BETWEEN 9 AND 13
+)
+SELECT c_name, c_custkey, o_orderkey, n_lines
+FROM sized
+JOIN orders   ON o_orderkey = l_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1999-01-01 00:00:00'
+ORDER BY n_lines DESC, o_orderkey
+""",
+    tags=("tpcds", "having", "join", "band"),
+)
+def tpcds_party_size_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q34/q73 shape: group-size HAVING band (orders with 9-13
+    lines) joined back to the order and customer dimensions.
+
+    Scale: the band aggregate is the only lineitem exchange.  Its
+    survivor set is a few % of ALL orders — proportional to the fact,
+    so it is NOT broadcast (at 100 TB it would be GBs); the o_orderkey
+    shuffle join lets AQE downgrade to broadcast only when the band
+    output actually fits.  The date filter is applied on the orders
+    side BEFORE its join so partition pruning on o_orderdate engages
+    on a date-partitioned layout."""
+    li = _t(spark, sf_dir, "lineitem")
+    sized = (
+        li.groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("n_lines"))
+        .filter(F.col("n_lines").between(9, 13))
+    )
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= _ts("1997-01-01 00:00:00"))
+        & (F.col("o_orderdate") < _ts("1999-01-01 00:00:00"))
+    )
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        orders.join(sized, orders.o_orderkey == sized.l_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select("c_name", "c_custkey", "o_orderkey", "n_lines")
+        .orderBy(F.col("n_lines").desc(), "o_orderkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# q49 shape — worst return ratios, dual rankings
+# --------------------------------------------------------------------------
+@register(
+    "tpcds_return_ratio_rank",
+    oracle=f"""
+WITH per_part AS (
+  SELECT l_partkey,
+         sum(CASE WHEN l_returnflag = 'R' THEN {SQL_REV}
+                  ELSE CAST(0 AS DECIMAL(18,2)) END) AS ret_amt,
+         sum({SQL_REV}) AS tot_amt,
+         CAST(sum(CASE WHEN l_returnflag = 'R' THEN l_quantity
+                       ELSE 0 END) AS BIGINT) AS ret_qty,
+         CAST(sum(l_quantity) AS BIGINT) AS tot_qty
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1998-04-01 00:00:00'
+  GROUP BY l_partkey
+  HAVING count(*) >= 5
+),
+ranked AS (
+  SELECT l_partkey,
+         round(CAST(ret_amt AS DOUBLE) / CAST(tot_amt AS DOUBLE), 6)
+           AS amt_ratio,
+         round(CAST(ret_qty AS DOUBLE) / CAST(tot_qty AS DOUBLE), 6)
+           AS qty_ratio,
+         rank() OVER (ORDER BY
+           round(CAST(ret_amt AS DOUBLE) / CAST(tot_amt AS DOUBLE), 6) DESC)
+           AS amt_rank,
+         rank() OVER (ORDER BY
+           round(CAST(ret_qty AS DOUBLE) / CAST(tot_qty AS DOUBLE), 6) DESC)
+           AS qty_rank
+  FROM per_part
+)
+SELECT l_partkey, amt_ratio, qty_ratio,
+       CAST(amt_rank AS BIGINT) AS amt_rank,
+       CAST(qty_rank AS BIGINT) AS qty_rank
+FROM ranked
+WHERE amt_rank <= 10 OR qty_rank <= 10
+ORDER BY amt_rank, qty_rank, l_partkey
+""",
+    tags=("tpcds", "window", "rank", "conditional"),
+)
+def tpcds_return_ratio_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q49 shape: per-item return ratio by amount AND by
+    quantity, ranked both ways, keep items in either top-10.
+
+    Scale: one conditional aggregate pass over the quarter's lines
+    (two ratios from the same groupBy — never two fact scans), then
+    two unpartitioned rank windows over the |parts|-sized aggregate.
+    Both windows share the same tiny input; WindowGroupLimit-style
+    early pruning does not apply because rank ties must survive, but
+    the windowed relation is already aggregate-sized.  Ratios are
+    computed in exact decimal then divided as double on both engines
+    (identical IEEE bits), so rank ties are data-determined, not
+    float-noise-determined."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1998-01-01 00:00:00"))
+        & (F.col("l_shipdate") < _ts("1998-04-01 00:00:00"))
+    )
+    zero_dec = F.lit(0).cast("decimal(18,2)")
+    per_part = (
+        li.groupBy("l_partkey")
+        .agg(
+            F.sum(
+                F.when(F.col("l_returnflag") == "R", _drev()).otherwise(
+                    zero_dec
+                )
+            ).alias("ret_amt"),
+            F.sum(_drev()).alias("tot_amt"),
+            F.sum(
+                F.when(F.col("l_returnflag") == "R", F.col("l_quantity"))
+                .otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("ret_qty"),
+            F.sum("l_quantity").cast("long").alias("tot_qty"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .filter(F.col("n_lines") >= 5)
+    )
+    amt_ratio = F.round(
+        F.col("ret_amt").cast("double") / F.col("tot_amt").cast("double"), 6
+    )
+    qty_ratio = F.round(
+        F.col("ret_qty").cast("double") / F.col("tot_qty").cast("double"), 6
+    )
+    ranked = per_part.select(
+        "l_partkey",
+        amt_ratio.alias("amt_ratio"),
+        qty_ratio.alias("qty_ratio"),
+        F.rank()
+        .over(Window.orderBy(amt_ratio.desc()))
+        .cast("long")
+        .alias("amt_rank"),
+        F.rank()
+        .over(Window.orderBy(qty_ratio.desc()))
+        .cast("long")
+        .alias("qty_rank"),
+    )
+    return ranked.filter(
+        (F.col("amt_rank") <= 10) | (F.col("qty_rank") <= 10)
+    ).orderBy("amt_rank", "qty_rank", "l_partkey")
+
+
+# --------------------------------------------------------------------------
+# q47/q57 shape — sliding moving-average deviation per brand-month
+# --------------------------------------------------------------------------
+@register(
+    "tpcds_rolling_brand_deviation",
+    oracle=f"""
+WITH monthly AS (
+  SELECT p_brand,
+         CAST(year(l_shipdate) AS INT) AS yr,
+         CAST(month(l_shipdate) AS INT) AS mo,
+         sum({SQL_REV}) AS rev
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY 1, 2, 3
+),
+ma AS (
+  SELECT p_brand, yr, mo, rev,
+         sum(rev) OVER (
+           PARTITION BY p_brand ORDER BY yr, mo
+           ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS wsum,
+         count(*) OVER (
+           PARTITION BY p_brand ORDER BY yr, mo
+           ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS nwin
+  FROM monthly
+)
+SELECT p_brand, yr, mo,
+       CAST(round(rev, 2) AS DOUBLE) AS rev,
+       round(CAST(wsum AS DOUBLE) / 3, 2) AS moving_avg,
+       round(3 * CAST(rev AS DOUBLE) / CAST(wsum AS DOUBLE), 6) AS ratio
+FROM ma
+WHERE nwin = 3
+  AND 3 * CAST(rev AS DOUBLE) / CAST(wsum AS DOUBLE) > 1.4
+ORDER BY p_brand, yr, mo
+""",
+    tags=("tpcds", "window", "frame", "join", "aggregate"),
+)
+def tpcds_rolling_brand_deviation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-DS q47/q57 shape: monthly sales per brand, centered 3-month
+    moving average (ROWS frame), report months spiking >40% above it.
+
+    Scale: the fact joins the part dimension via broadcast, aggregates
+    to |brand × month| (tiny) in one exchange, and the sliding frame
+    runs over that aggregate — frame order (yr, mo) is unique within a
+    brand so the frame contents are deterministic; the interior-month
+    gate (nwin = 3) uses the SAME frame's count rather than a second
+    window spec.  The decimal frame-sum average is exact; division
+    happens in double on both engines."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    monthly = (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(
+            "p_brand",
+            F.year("l_shipdate").cast("int").alias("yr"),
+            F.month("l_shipdate").cast("int").alias("mo"),
+        )
+        .agg(F.sum(_drev()).alias("rev"))
+    )
+    w = (
+        Window.partitionBy("p_brand")
+        .orderBy("yr", "mo")
+        .rowsBetween(-1, 1)
+    )
+    ma = monthly.select(
+        "p_brand",
+        "yr",
+        "mo",
+        "rev",
+        F.sum("rev").over(w).alias("wsum"),
+        F.count(F.lit(1)).over(w).alias("nwin"),
+    )
+    # The moving average is spelled sum/3, not avg(): Spark's decimal
+    # avg stays exact decimal while DuckDB's avg over decimal degrades
+    # to double — sum stays an exact decimal in BOTH engines, so the
+    # double division below is bit-identical across them.
+    ratio = (
+        F.lit(3) * F.col("rev").cast("double") / F.col("wsum").cast("double")
+    )
+    return (
+        ma.filter((F.col("nwin") == 3) & (ratio > 1.4))
+        .select(
+            "p_brand",
+            "yr",
+            "mo",
+            _money(F.col("rev")).alias("rev"),
+            F.round(F.col("wsum").cast("double") / 3, 2).alias("moving_avg"),
+            F.round(ratio, 6).alias("ratio"),
+        )
+        .orderBy("p_brand", "yr", "mo")
+    )
+
+
+# --------------------------------------------------------------------------
+# q98/q12/q20 shape — revenue share within class
+# --------------------------------------------------------------------------
+@register(
+    "tpcds_class_revenue_ratio",
+    oracle=f"""
+WITH per_part AS (
+  SELECT p_type, p_brand, sum({SQL_REV}) AS rev
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1998-07-01 00:00:00'
+  GROUP BY p_type, p_brand
+)
+SELECT p_type, p_brand,
+       CAST(round(rev, 2) AS DOUBLE) AS rev,
+       round(CAST(rev AS DOUBLE)
+             / CAST(sum(rev) OVER (PARTITION BY p_type) AS DOUBLE), 6)
+         AS class_share
+FROM per_part
+ORDER BY p_type, class_share DESC, p_brand
+""",
+    tags=("tpcds", "window", "ratio", "join"),
+)
+def tpcds_class_revenue_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q98/q12/q20 shape: each brand's share of its class
+    (p_type) revenue via an unbounded partition window over the
+    aggregate.
+
+    Scale: fact → broadcast-join dimension → ONE groupBy exchange to
+    |type × brand|; the class total is a window over that aggregate
+    (free — same partitioning), never a second aggregate joined back.
+    The window sums exact decimals, so shares are bit-stable."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1998-01-01 00:00:00"))
+        & (F.col("l_shipdate") < _ts("1998-07-01 00:00:00"))
+    )
+    part = _t(spark, sf_dir, "part").select(
+        "p_partkey", "p_type", "p_brand"
+    )
+    per = (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_type", "p_brand")
+        .agg(F.sum(_drev()).alias("rev"))
+    )
+    w = Window.partitionBy("p_type")
+    share = F.round(
+        F.col("rev").cast("double") / F.sum("rev").over(w).cast("double"), 6
+    )
+    return per.select(
+        "p_type",
+        "p_brand",
+        _money(F.col("rev")).alias("rev"),
+        share.alias("class_share"),
+    ).orderBy("p_type", F.col("class_share").desc(), "p_brand")
+
+
+# --------------------------------------------------------------------------
+# q31 shape — quarter-over-quarter share growth, nation vs world
+# --------------------------------------------------------------------------
+@register(
+    "tpcds_quarterly_share_growth",
+    oracle=f"""
+WITH nq AS (
+  SELECT n_name,
+         CAST(quarter(o_orderdate) AS INT) AS qtr,
+         sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation   ON c_nationkey = n_nationkey
+  WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+  GROUP BY 1, 2
+),
+wq AS (SELECT qtr, sum(rev) AS wrev FROM nq GROUP BY qtr)
+SELECT a.n_name, a.qtr AS qtr,
+       round(CAST(b.rev AS DOUBLE) / CAST(a.rev AS DOUBLE), 6)
+         AS nation_growth,
+       round(CAST(wb.wrev AS DOUBLE) / CAST(wa.wrev AS DOUBLE), 6)
+         AS world_growth
+FROM nq a
+JOIN nq b   ON a.n_name = b.n_name AND b.qtr = a.qtr + 1
+JOIN wq wa  ON wa.qtr = a.qtr
+JOIN wq wb  ON wb.qtr = a.qtr + 1
+WHERE CAST(b.rev AS DOUBLE) / CAST(a.rev AS DOUBLE)
+      > CAST(wb.wrev AS DOUBLE) / CAST(wa.wrev AS DOUBLE)
+ORDER BY a.n_name, qtr
+""",
+    tags=("tpcds", "join", "growth", "aggregate-of-aggregate"),
+)
+def tpcds_quarterly_share_growth(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-DS q31 shape: nations whose quarter-over-quarter revenue
+    growth beat the world's growth in the same transition.
+
+    Scale: ONE fact aggregate to |nation × quarter|; the oracle's four
+    self-joins become two lead() windows over that aggregate — one
+    partitioned by nation for the nation curve, one over the
+    quarterly world rollup (aggregate-of-aggregate, ~4 rows) joined
+    back by broadcast.  The orders fact is scanned and shuffled exactly
+    once; executed literally, the SQL spelling re-evaluates it four
+    times."""
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= _ts("1997-01-01 00:00:00"))
+        & (F.col("o_orderdate") < _ts("1998-01-01 00:00:00"))
+    )
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    nq = (
+        orders.join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name", F.quarter("o_orderdate").cast("int").alias("qtr"))
+        .agg(F.sum(_dec("o_totalprice")).alias("rev"))
+    )
+    wn = Window.partitionBy("n_name").orderBy("qtr")
+    nation_curve = nq.select(
+        "n_name",
+        "qtr",
+        "rev",
+        F.lead("rev", 1).over(wn).alias("next_rev"),
+        F.lead("qtr", 1).over(wn).alias("next_qtr"),
+    ).filter(F.col("next_qtr") == F.col("qtr") + 1)
+    wq = nq.groupBy("qtr").agg(F.sum("rev").alias("wrev"))
+    ww = Window.orderBy("qtr")
+    world_curve = wq.select(
+        "qtr",
+        "wrev",
+        F.lead("wrev", 1).over(ww).alias("next_wrev"),
+        F.lead("qtr", 1).over(ww).alias("next_wqtr"),
+    ).filter(F.col("next_wqtr") == F.col("qtr") + 1)
+    ngrowth = F.col("next_rev").cast("double") / F.col("rev").cast("double")
+    wgrowth = F.col("next_wrev").cast("double") / F.col("wrev").cast("double")
+    return (
+        nation_curve.join(F.broadcast(world_curve), "qtr")
+        .filter(ngrowth > wgrowth)
+        .select(
+            "n_name",
+            "qtr",
+            F.round(ngrowth, 6).alias("nation_growth"),
+            F.round(wgrowth, 6).alias("world_growth"),
+        )
+        .orderBy("n_name", "qtr")
+    )
+
+
+# --------------------------------------------------------------------------
+# q59 shape — weekday revenue pivot, month joined to next month
+# --------------------------------------------------------------------------
+@register(
+    "tpcds_weekday_pivot_ratio",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(month(o_orderdate) AS INT) AS mo,
+         CAST(dayofweek(o_orderdate) + 1 AS INT) AS dow,
+         sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+  FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND o_orderdate <  TIMESTAMP '1997-07-01 00:00:00'
+  GROUP BY 1, 2
+),
+piv AS (
+  SELECT mo,
+         sum(CASE WHEN dow = 1 THEN rev END) AS sun,
+         sum(CASE WHEN dow = 2 THEN rev END) AS mon,
+         sum(CASE WHEN dow = 6 THEN rev END) AS fri,
+         sum(CASE WHEN dow = 7 THEN rev END) AS sat
+  FROM daily GROUP BY mo
+)
+SELECT a.mo AS mo,
+       round(CAST(b.sun AS DOUBLE) / CAST(a.sun AS DOUBLE), 6) AS sun_ratio,
+       round(CAST(b.mon AS DOUBLE) / CAST(a.mon AS DOUBLE), 6) AS mon_ratio,
+       round(CAST(b.fri AS DOUBLE) / CAST(a.fri AS DOUBLE), 6) AS fri_ratio,
+       round(CAST(b.sat AS DOUBLE) / CAST(a.sat AS DOUBLE), 6) AS sat_ratio
+FROM piv a JOIN piv b ON b.mo = a.mo + 1
+ORDER BY a.mo
+""",
+    tags=("tpcds", "pivot", "join", "ratio"),
+)
+def tpcds_weekday_pivot_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q59 shape: weekday revenue pivoted to columns per month,
+    each month compared to the next month weekday-by-weekday.
+
+    Scale: one fact aggregate to |month × weekday| (42 rows), an
+    explicit-values pivot over it (Expand-free conditional sums), and
+    the month-to-month comparison as lead() windows over the 6-row
+    pivot — the literal self-join would re-run the fact aggregate.
+    Spark's dayofweek() is 1=Sunday; DuckDB's dayofweek() is 0=Sunday,
+    so the oracle shifts by +1 to the Spark numbering."""
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= _ts("1997-01-01 00:00:00"))
+        & (F.col("o_orderdate") < _ts("1997-07-01 00:00:00"))
+    )
+    daily = orders.groupBy(
+        F.month("o_orderdate").cast("int").alias("mo"),
+        F.dayofweek("o_orderdate").cast("int").alias("dow"),
+    ).agg(F.sum(_dec("o_totalprice")).alias("rev"))
+    piv = daily.groupBy("mo").agg(
+        F.sum(F.when(F.col("dow") == 1, F.col("rev"))).alias("sun"),
+        F.sum(F.when(F.col("dow") == 2, F.col("rev"))).alias("mon"),
+        F.sum(F.when(F.col("dow") == 6, F.col("rev"))).alias("fri"),
+        F.sum(F.when(F.col("dow") == 7, F.col("rev"))).alias("sat"),
+    )
+    w = Window.orderBy("mo")
+
+    def ratio(c: str) -> Column:
+        return F.round(
+            F.lead(c, 1).over(w).cast("double") / F.col(c).cast("double"), 6
+        )
+
+    return (
+        piv.select(
+            "mo",
+            F.lead("mo", 1).over(w).alias("next_mo"),
+            ratio("sun").alias("sun_ratio"),
+            ratio("mon").alias("mon_ratio"),
+            ratio("fri").alias("fri_ratio"),
+            ratio("sat").alias("sat_ratio"),
+        )
+        .filter(F.col("next_mo") == F.col("mo") + 1)
+        .drop("next_mo")
+        .orderBy("mo")
+    )
+
+
+# --------------------------------------------------------------------------
+# q10/q35 shape — multi-EXISTS demographic rollup
+# --------------------------------------------------------------------------
+@register(
+    "tpcds_multi_exists_demographics",
+    oracle="""
+SELECT n_name,
+       count(*) AS n_customers,
+       round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+             / count(*), 4) AS avg_acctbal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+WHERE EXISTS (
+    SELECT 1 FROM orders
+    WHERE o_custkey = c_custkey
+      AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00')
+  AND EXISTS (
+    SELECT 1 FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE o_custkey = c_custkey AND l_returnflag = 'R')
+GROUP BY n_name
+ORDER BY n_name
+""",
+    tags=("tpcds", "exists", "semi-join", "aggregate"),
+)
+def tpcds_multi_exists_demographics(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-DS q10/q35 shape: customers passing TWO existence tests on
+    different fact paths (ordered in the period; ever returned an
+    item), rolled up by nation.
+
+    Scale: each EXISTS is a LeftSemi join against a key-projected fact;
+    the returned-item test pre-shrinks lineitem to returned orderkeys
+    before touching orders, so the orders↔lineitem join runs on the
+    'R' subset only.  Customer is the smallest relation here and keeps
+    both semi joins broadcast-able at 100 TB (facts stream past a
+    broadcast customer-key set is wrong — the semi join direction
+    matters: customers ⋉ fact keys, with the fact-key sets aggregated
+    first)."""
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal"
+    )
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    period_buyers = orders.filter(
+        (F.col("o_orderdate") >= _ts("1997-01-01 00:00:00"))
+        & (F.col("o_orderdate") < _ts("1998-01-01 00:00:00"))
+    ).select("o_custkey")
+    ret_orders = li.filter(F.col("l_returnflag") == "R").select("l_orderkey")
+    returners = orders.join(
+        ret_orders, F.col("o_orderkey") == F.col("l_orderkey"), "left_semi"
+    ).select(F.col("o_custkey").alias("r_custkey"))
+    return (
+        cust.join(
+            period_buyers, F.col("c_custkey") == F.col("o_custkey"), "left_semi"
+        )
+        .join(returners, F.col("c_custkey") == F.col("r_custkey"), "left_semi")
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(
+                F.sum(_dec("c_acctbal")).cast("double")
+                / F.count(F.lit(1)),
+                4,
+            ).alias("avg_acctbal"),
+        )
+        .orderBy("n_name")
+    )
+
+
+# --------------------------------------------------------------------------
+# q30 shape — customers returning far above their nation's average
+# --------------------------------------------------------------------------
+@register(
+    "tpcds_above_avg_returners",
+    oracle=f"""
+WITH per_cust AS (
+  SELECT c_custkey, c_name, n_name, sum({SQL_REV}) AS ret_amt
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation   ON c_nationkey = n_nationkey
+  WHERE l_returnflag = 'R'
+  GROUP BY 1, 2, 3
+),
+windowed AS (
+  SELECT c_custkey, c_name, n_name, ret_amt,
+         sum(ret_amt) OVER (PARTITION BY n_name) AS nsum,
+         count(*)     OVER (PARTITION BY n_name) AS ncnt
+  FROM per_cust
+)
+SELECT c_custkey, c_name, n_name,
+       CAST(round(ret_amt, 2) AS DOUBLE) AS ret_amt,
+       round(CAST(nsum AS DOUBLE) / ncnt, 2) AS nation_avg
+FROM windowed
+WHERE CAST(ret_amt AS DOUBLE) * ncnt > 1.8 * CAST(nsum AS DOUBLE)
+ORDER BY n_name, ret_amt DESC, c_custkey
+""",
+    tags=("tpcds", "window", "outlier", "join"),
+)
+def tpcds_above_avg_returners(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q30 shape: customers whose returned revenue exceeds
+    1.8× their nation's per-customer average.
+
+    Scale: the returns fact aggregates to |returning customers| in one
+    exchange (dimension joins broadcast); the nation average is a
+    window over that aggregate — the SQL-subquery spelling would
+    aggregate the fact a second time and join back.  DuckDB allows
+    window functions in WHERE via its QUALIFY-less rewrite; Spark
+    computes the window column then filters, which is the same plan."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    per_cust = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(_drev()).alias("ret_amt"))
+    )
+    # Nation average spelled sum/count (exact decimal sum in both
+    # engines), and the outlier test cross-multiplied so no division
+    # result feeds a comparison.
+    w = Window.partitionBy("n_name")
+    nsum = F.sum("ret_amt").over(w)
+    ncnt = F.count(F.lit(1)).over(w)
+    return (
+        per_cust.select(
+            "c_custkey",
+            "c_name",
+            "n_name",
+            "ret_amt",
+            nsum.alias("nsum"),
+            ncnt.alias("ncnt"),
+        )
+        .filter(
+            F.col("ret_amt").cast("double") * F.col("ncnt")
+            > F.lit(1.8) * F.col("nsum").cast("double")
+        )
+        .select(
+            "c_custkey",
+            "c_name",
+            "n_name",
+            _money(F.col("ret_amt")).alias("ret_amt"),
+            F.round(
+                F.col("nsum").cast("double") / F.col("ncnt"), 2
+            ).alias("nation_avg"),
+        )
+        .orderBy("n_name", F.col("ret_amt").desc(), "c_custkey")
+    )
