@@ -467,5 +467,37 @@ for name, b in _WIN.items():
     _e(EXPRESSIONS, name, "window", b, "CometWindowExec.scala:41-247")
 
 
+# --- plan-internal expressions (no standalone evaluation surface) -----
+# The remaining names in the reference's expression doc
+# (docs/source/user-guide/latest/expressions.md) are Catalyst plan
+# artifacts, not user-callable functions.  They are realized implicitly
+# by the queries that exercise the enclosing operator; listed here so
+# the §2.2 inventory is accounted for name-by-name.
+INTERNAL_EXPRESSIONS: dict[str, str] = {
+    "AttributeReference": "every column reference in every query",
+    "Expression": "base class, not a function",
+    "Ascending": "orderBy(col.asc()) — every sorted query",
+    "Descending": "orderBy(col.desc()) — every top-k query",
+    "NullsFirst": "asc_nulls_first() — sort-gate queries (q1 ordering)",
+    "NullsLast": "desc_nulls_last() — window/sort queries",
+    "ScalarSubquery": "queries scalar_subquery_api / "
+    "correlated_scalar_subquery (serde/CometScalarSubquery.scala:28)",
+    "BloomFilterMightContain": "runtime-filter plan test "
+    "test_runtime_bloom_filter_injects_on_selective_join "
+    "(spark.sql.optimizer.runtime.bloomFilter.enabled)",
+    "KnownFloatingPointNormalized": "Catalyst NaN/-0.0 normalization "
+    "wrapper, injected by Spark around float comparisons "
+    "(rules/CometExecRule.scala:492-531 rebuilds what Spark does itself)",
+    "NormalizeNaNAndZero": "same — pinned by tests/test_fixture_edges.py "
+    "float-edge groupBy/join cases",
+    "MakeDecimal": "decimal internals inside Catalyst agg rewrites — "
+    "pinned by expr_decimal_arith / q1 decimal aggregates",
+    "PromotePrecision": "legacy decimal precision promotion — Catalyst "
+    "DecimalPrecision rule, exercised by every _dec() arithmetic query",
+    "Days": "Iceberg partition transform (no Iceberg runtime in env; "
+    "date_trunc('DAY', ...) is the semantic equivalent, registry DateTrunc)",
+}
+
+
 def entries_of_kind(kind: str) -> list[Expr]:
     return [e for e in EXPRESSIONS.values() if e.kind == kind]
