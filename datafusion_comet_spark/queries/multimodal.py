@@ -27,7 +27,7 @@ def _frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     "multimodal_metadata",
     oracle="""
 SELECT format, count(*) AS n,
-       sum(octet_length(encode(text))) AS total_bytes,
+       CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
        max(width * height) AS max_pixels,
        min(md5(text)) AS min_md5
 FROM (

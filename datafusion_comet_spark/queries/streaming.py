@@ -96,7 +96,7 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "stream_session_window",
     oracle="""
-SELECT user_id, count(*) AS n_sessions, sum(n_events) AS n_events
+SELECT user_id, count(*) AS n_sessions, CAST(sum(n_events) AS BIGINT) AS n_events
 FROM (
   SELECT user_id, session_id, count(*) AS n_events
   FROM (

@@ -31,3 +31,21 @@ def test_query_runs(spark, sf_dir, name):
     df = q.fn(spark, sf_dir)
     assert df.columns
     assert df.count() >= 0
+
+
+def test_no_oracle_emits_hugeint(sf_dir):
+    """DuckDB widens sum(BIGINT) to HUGEINT (int128).  The driver's
+    value-hash converts HUGEINT through pandas as float/object, so a
+    value-equal result can still hash-mismatch (the round-1
+    q12_late_shipments bug).  Every integer aggregate in an oracle must
+    therefore be CAST back to BIGINT.  DESCRIBE-only: no execution."""
+    from datafusion_comet_spark.testing import duckdb_connection
+
+    con = duckdb_connection(sf_dir)
+    offenders = []
+    for name in WITH_ORACLE:
+        desc = con.execute(f"DESCRIBE {REGISTRY[name].oracle}").fetchall()
+        for col, typ, *_ in desc:
+            if "HUGEINT" in typ.upper():
+                offenders.append((name, col, typ))
+    assert not offenders, f"uncast int128 oracle columns: {offenders}"
