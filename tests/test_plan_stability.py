@@ -71,6 +71,11 @@ PINNED = [
     "q19_discounted_revenue",
     "q20_part_promotion",
     "q22_sales_opportunity",
+    # round 2: TPC-DS batch-2 scale-critical shapes
+    "tpcds_net_after_returns",      # agg-before-join + TakeOrdered top-k
+    "tpcds_frequent_buyer_semi",    # two broadcast LeftSemi filter sets
+    "tpcds_quarterly_share_growth", # one fact exchange + lead windows
+    "tpcds_class_revenue_ratio",    # window-over-aggregate class share
 ]
 
 REGEN = os.environ.get("SPARK_GRAFT_REGEN_GOLDENS") == "1"
