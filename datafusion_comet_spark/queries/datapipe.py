@@ -2326,3 +2326,76 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("key_len", "doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Model-based quality scoring (fasttext-style hashed linear classifier)
+# --------------------------------------------------------------------------
+@register(
+    "quality_linear_scorer",
+    oracle="""
+SELECT source,
+       count(*) AS n_docs,
+       CAST(sum(CASE WHEN score > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(sum(score) AS BIGINT) AS sum_score,
+       CAST(sum(ntok) AS BIGINT) AS sum_tokens,
+       round(CAST(sum(score) AS DOUBLE) / sum(ntok), 6) AS avg_weight
+FROM (
+  SELECT source,
+         CAST(list_sum(list_transform(str_split(lower(text), ' '),
+              t -> (ascii(substr(md5(t), 1, 1)) % 7) - 3)) AS BIGINT)
+           AS score,
+         len(str_split(lower(text), ' ')) AS ntok
+  FROM documents
+) scored
+GROUP BY source
+ORDER BY source
+""",
+    tags=("datapipe", "text", "quality", "ml-scoring"),
+)
+def quality_linear_scorer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality gate: a fasttext-shaped linear classifier —
+    hashing-trick token featurizer + fixed weight table — evaluated
+    entirely as codegen expressions.  Stand-in weights are a
+    deterministic function of the feature hash ((ascii of the first
+    md5 hex char) % 7 - 3) so the oracle can recompute them; a real
+    deployment broadcasts a weight map and looks buckets up in it,
+    with identical plumbing and plan shape.
+
+    Scale: per-document score = fold over transform(tokens) — scan-side,
+    shuffle-free, no UDF; the only exchange is the per-source rollup.
+    The classifier therefore costs the same as any row-local
+    expression at 100 TB, unlike a Python-UDF scorer (the reference's
+    expression-over-UDF principle, SURVEY §2.5).  Integer weights keep
+    every aggregate exact: the kept/score sums are int compares and
+    int sums, and the single double division happens once per group on
+    exact operands."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.lower("text"), " ")
+    wts = F.transform(
+        toks,
+        lambda t: (F.ascii(F.substring(F.md5(t.cast("binary")), 1, 1)) % 7)
+        - 3,
+    )
+    scored = docs.select(
+        "source",
+        F.aggregate(
+            wts, F.lit(0).cast("long"), lambda a, x: a + x
+        ).alias("score"),
+        F.size(toks).alias("ntok"),
+    )
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("score") > 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_kept"),
+            F.sum("score").cast("long").alias("sum_score"),
+            F.sum("ntok").cast("long").alias("sum_tokens"),
+            F.round(
+                F.sum("score").cast("double") / F.sum("ntok"), 6
+            ).alias("avg_weight"),
+        )
+        .orderBy("source")
+    )
