@@ -125,7 +125,12 @@ def tpcds_customer_cohort_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     over the distinct key sets (exactly what the reference receives
     after lowering, SURVEY.md §2.1 set-ops note) — the distinct
     aggregates collapse each year to its key set before any join, so
-    the set ops never touch fact-table rows."""
+    the set ops never touch fact-table rows.  Each year's cohort is
+    referenced by three set-op branches, but the branches are
+    subtree-identical, so at runtime each year's distinct exchange is
+    computed once and ReusedExchange serves the other two (verified:
+    3 ReusedExchange nodes in the executed AQE plan) — the fact is
+    scanned once per year, not once per branch."""
     orders = _t(spark, sf_dir, "orders").select(
         "o_custkey", F.col("o_orderdate").cast("date").alias("d")
     )
