@@ -445,3 +445,101 @@ def ann_ml_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("l2_dist", "a", "b")
         .limit(200)
     )
+
+
+@register(
+    "ann_quantized_rerank",
+    oracle="""
+WITH q AS (
+  SELECT vec_id AS qid, embedding::DOUBLE[] AS q_emb,
+         list_transform(embedding::DOUBLE[],
+             x -> CAST(round(greatest(-1.0, least(1.0, x)) * 127) AS INT))
+           AS q_q
+  FROM embeddings WHERE vec_id < 3
+),
+c AS (
+  SELECT vec_id, embedding::DOUBLE[] AS c_emb,
+         list_transform(embedding::DOUBLE[],
+             x -> CAST(round(greatest(-1.0, least(1.0, x)) * 127) AS INT))
+           AS c_q
+  FROM embeddings
+),
+coarse AS (
+  SELECT qid, c.vec_id AS vec_id, q_emb, c_emb,
+         row_number() OVER (
+           PARTITION BY qid
+           ORDER BY list_dot_product(q_q::DOUBLE[], c_q::DOUBLE[]) DESC,
+                    c.vec_id) AS crn
+  FROM q CROSS JOIN c
+  WHERE qid <> c.vec_id
+),
+rerank AS (
+  SELECT qid, vec_id,
+         round(list_cosine_similarity(q_emb, c_emb), 6) AS sim,
+         row_number() OVER (
+           PARTITION BY qid
+           ORDER BY list_cosine_similarity(q_emb, c_emb) DESC, vec_id) AS rn
+  FROM coarse WHERE crn <= 20
+)
+SELECT qid, vec_id, sim, rn FROM rerank WHERE rn <= 5 ORDER BY qid, rn
+""",
+    tags=("similarity", "ann", "quantize", "rerank"),
+)
+def ann_quantized_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage ANN: int8-quantized coarse scan -> exact rerank.
+
+    The production memory-bandwidth lever for vector search at corpus
+    scale: stage 1 scores every candidate with an INTEGER dot product
+    over int8-quantized vectors (4x less data movement than float32;
+    in a real deployment the quantized column is precomputed at write
+    time, so the float column is never read in stage 1), keeps the
+    top-20 per query; stage 2 computes exact float cosine only on
+    those candidates.  Integer coarse scores are order-independent and
+    bit-exact on both engines, so the candidate cut is deterministic;
+    the same two-stage pipeline runs in the oracle, making the final
+    top-5 oracle-matched rather than recall-approximate.  Plan shape:
+    broadcast 3 query rows, one corpus scan, WindowGroupLimit prunes
+    to 20 per query before any exact-cosine work."""
+    quant = lambda arr: F.transform(
+        arr,
+        lambda x: F.round(
+            F.greatest(F.lit(-1.0), F.least(F.lit(1.0), x)) * 127, 0
+        ).cast("int"),
+    )
+    emb = (
+        _t(spark, sf_dir, "embeddings")
+        .select("vec_id", _as_double("embedding").alias("c_emb"))
+        .select("vec_id", "c_emb", quant(F.col("c_emb")).alias("c_q"))
+    )
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"),
+        F.col("c_emb").alias("q_emb"),
+        F.col("c_q").alias("q_q"),
+    )
+    int_dot = F.aggregate(
+        F.zip_with(
+            F.col("q_q"), F.col("c_q"), lambda x, y: (x * y).cast("long")
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    wc = W.partitionBy("qid").orderBy(
+        F.col("coarse").desc(), F.col("vec_id")
+    )
+    coarse = (
+        emb.join(F.broadcast(queries), F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id", "q_emb", "c_emb", int_dot.alias("coarse"))
+        .withColumn("crn", F.row_number().over(wc))
+        .filter(F.col("crn") <= 20)
+    )
+    sim_raw = dot(F.col("q_emb"), F.col("c_emb")) / (
+        l2_norm(F.col("q_emb")) * l2_norm(F.col("c_emb"))
+    )
+    wr = W.partitionBy("qid").orderBy(F.col("sim_raw").desc(), F.col("vec_id"))
+    return (
+        coarse.select("qid", "vec_id", sim_raw.alias("sim_raw"))
+        .withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") <= 5)
+        .select("qid", "vec_id", F.round("sim_raw", 6).alias("sim"), "rn")
+        .orderBy("qid", "rn")
+    )

@@ -952,3 +952,22 @@ def test_random_projection_ann_distances_and_recall(spark, sf_dir):
     )[:20]
     hits = sum(1 for d, a, b in exact if any(x == a and y == b for x, y, _ in reported))
     assert hits >= 16, f"recall too low: {hits}/20"
+
+
+def test_quantized_rerank_recall_vs_bruteforce(spark, sf_dir):
+    """Two-stage (int8 coarse top-20 -> exact rerank top-5) recall vs
+    exact brute-force top-5.  Quantization to 255 levels barely
+    perturbs a 20-of-N candidate cut, so per-query recall should be
+    high — floor 0.8 mean (the near-uniform synthetic embeddings are
+    the worst case: tight score gaps make the coarse cut's rounding
+    loss most visible)."""
+    exact = {}
+    for r in REGISTRY["ann_bruteforce_topk"].fn(spark, sf_dir).collect():
+        exact.setdefault(r.qid, set()).add(r.vec_id)
+    got = {}
+    for r in REGISTRY["ann_quantized_rerank"].fn(spark, sf_dir).collect():
+        got.setdefault(r.qid, set()).add(r.vec_id)
+    recalls = [
+        len(got.get(q, set()) & exact[q]) / len(exact[q]) for q in exact
+    ]
+    assert sum(recalls) / len(recalls) >= 0.8, recalls
