@@ -791,3 +791,204 @@ def tpcds_above_avg_returners(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_name", F.col("ret_amt").desc(), "c_custkey")
     )
+
+
+# --------------------------------------------------------------------------
+# q90 shape — time-band activity ratio (am vs pm)
+# --------------------------------------------------------------------------
+@register(
+    "tpcds_am_pm_ratio",
+    oracle="""
+SELECT CAST(sum(CASE WHEN hour(ts) BETWEEN 8 AND 11 THEN 1 ELSE 0 END)
+            AS BIGINT) AS am_cnt,
+       CAST(sum(CASE WHEN hour(ts) BETWEEN 19 AND 22 THEN 1 ELSE 0 END)
+            AS BIGINT) AS pm_cnt,
+       round(CAST(sum(CASE WHEN hour(ts) BETWEEN 8 AND 11 THEN 1 ELSE 0 END)
+                  AS DOUBLE)
+             / sum(CASE WHEN hour(ts) BETWEEN 19 AND 22 THEN 1 ELSE 0 END),
+             6) AS am_pm_ratio
+FROM events
+""",
+    tags=("tpcds", "conditional", "ratio"),
+)
+def tpcds_am_pm_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q90 shape: activity ratio between two diurnal bands in
+    one conditional-aggregate scan (the SQL spelling is two scalar
+    subqueries cross-joined — two fact scans; one pass with CASE sums
+    is the single-scan rewrite, same as tpcds_time_band_counts but
+    producing a ratio of exact integer counts)."""
+    ev = _t(spark, sf_dir, "events")
+    am = F.sum(
+        F.when(F.hour("ts").between(8, 11), 1).otherwise(0)
+    ).cast("long")
+    pm = F.sum(
+        F.when(F.hour("ts").between(19, 22), 1).otherwise(0)
+    ).cast("long")
+    return ev.agg(
+        am.alias("am_cnt"),
+        pm.alias("pm_cnt"),
+        F.round(am.cast("double") / pm, 6).alias("am_pm_ratio"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q92 shape — revenue from lines discounted far above the part's norm
+# --------------------------------------------------------------------------
+@register(
+    "tpcds_above_avg_discount",
+    oracle=f"""
+WITH windowed AS (
+  SELECT l_partkey, l_extendedprice, l_discount,
+         sum(CAST(l_discount AS DECIMAL(4,2)))
+           OVER (PARTITION BY l_partkey) AS dsum,
+         count(*) OVER (PARTITION BY l_partkey) AS dcnt
+  FROM lineitem
+)
+SELECT CAST(round(sum({SQL_REV}), 2) AS DOUBLE) AS excess_revenue,
+       count(*) AS n_lines
+FROM windowed
+WHERE CAST(l_discount AS DECIMAL(4,2)) * dcnt * 10 > 12 * dsum
+""",
+    tags=("tpcds", "window", "outlier"),
+)
+def tpcds_above_avg_discount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q92 shape: lines whose discount exceeds 1.2x their
+    part's average discount, summed.  The correlated-average subquery
+    becomes a per-part window (one l_partkey exchange, no second fact
+    scan + join-back); the 1.2x test is cross-multiplied in exact
+    decimal-integer arithmetic (disc*n*10 > 12*sum) so no division
+    result is ever compared."""
+    li = _t(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_partkey")
+    disc = _dec("l_discount", 4, 2)
+    windowed = li.select(
+        "l_partkey",
+        "l_extendedprice",
+        "l_discount",
+        F.sum(disc).over(w).alias("dsum"),
+        F.count(F.lit(1)).over(w).alias("dcnt"),
+    )
+    return (
+        windowed.filter(
+            disc * F.col("dcnt") * 10 > F.col("dsum") * 12
+        )
+        .agg(
+            _money(F.sum(_drev())).alias("excess_revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q58 shape — parts with balanced revenue across two periods
+# --------------------------------------------------------------------------
+@register(
+    "tpcds_half_year_balance",
+    oracle=f"""
+WITH halves AS (
+  SELECT l_partkey,
+         sum(CASE WHEN l_shipdate <  TIMESTAMP '1997-07-01 00:00:00'
+                  THEN {SQL_REV} ELSE CAST(0 AS DECIMAL(18,2)) END) AS h1,
+         sum(CASE WHEN l_shipdate >= TIMESTAMP '1997-07-01 00:00:00'
+                  THEN {SQL_REV} ELSE CAST(0 AS DECIMAL(18,2)) END) AS h2
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+  GROUP BY l_partkey
+)
+SELECT l_partkey,
+       CAST(round(h1, 2) AS DOUBLE) AS h1_revenue,
+       CAST(round(h2, 2) AS DOUBLE) AS h2_revenue
+FROM halves
+WHERE h1 * 10 <= h2 * 11 AND h2 * 10 <= h1 * 11
+  AND h1 > 0 AND h2 > 0
+ORDER BY l_partkey
+""",
+    tags=("tpcds", "conditional", "balance"),
+)
+def tpcds_half_year_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q58 shape: parts whose revenue is balanced (within 10%)
+    across two periods.  The multi-channel INTERSECT spelling becomes
+    ONE conditional aggregate per part (both halves from the same
+    exchange) with the +/-10% band as cross-multiplied exact-decimal
+    inequalities."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1997-01-01 00:00:00"))
+        & (F.col("l_shipdate") < _ts("1998-01-01 00:00:00"))
+    )
+    zero = F.lit(0).cast("decimal(18,2)")
+    mid = _ts("1997-07-01 00:00:00")
+    halves = li.groupBy("l_partkey").agg(
+        F.sum(
+            F.when(F.col("l_shipdate") < mid, _drev()).otherwise(zero)
+        ).alias("h1"),
+        F.sum(
+            F.when(F.col("l_shipdate") >= mid, _drev()).otherwise(zero)
+        ).alias("h2"),
+    )
+    return (
+        halves.filter(
+            (F.col("h1") * 10 <= F.col("h2") * 11)
+            & (F.col("h2") * 10 <= F.col("h1") * 11)
+            & (F.col("h1") > 0)
+            & (F.col("h2") > 0)
+        )
+        .select(
+            "l_partkey",
+            _money(F.col("h1")).alias("h1_revenue"),
+            _money(F.col("h2")).alias("h2_revenue"),
+        )
+        .orderBy("l_partkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# q99/q62 shape — shipping-delay buckets per priority
+# --------------------------------------------------------------------------
+@register(
+    "tpcds_delay_buckets",
+    oracle="""
+SELECT o_orderpriority,
+       CAST(sum(CASE WHEN d < 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS shipped_early,
+       CAST(sum(CASE WHEN d BETWEEN 0 AND 30 THEN 1 ELSE 0 END) AS BIGINT)
+         AS within_30,
+       CAST(sum(CASE WHEN d BETWEEN 31 AND 90 THEN 1 ELSE 0 END) AS BIGINT)
+         AS days_31_90,
+       CAST(sum(CASE WHEN d > 90 THEN 1 ELSE 0 END) AS BIGINT)
+         AS over_90
+FROM (
+  SELECT o_orderpriority,
+         date_diff('day', o_orderdate, l_shipdate) AS d
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+) t
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+    tags=("tpcds", "conditional", "datetime", "buckets"),
+)
+def tpcds_delay_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q99/q62 shape: order-to-ship delay histogram per
+    priority as conditional sums over one join pass (the days-late
+    CASE ladder).  The negative bucket is real in this corpus —
+    synthetic ship dates precede their order dates — and doubles as
+    the data-quality accounting column a production pipeline would
+    carry.  Both engines compute the delay as whole-day timestamp
+    difference on midnight-aligned values."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    d = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    joined = orders.join(li, orders.o_orderkey == li.l_orderkey).select(
+        "o_orderpriority", d.alias("d")
+    )
+    bucket = lambda cond: F.sum(F.when(cond, 1).otherwise(0)).cast("long")
+    return (
+        joined.groupBy("o_orderpriority")
+        .agg(
+            bucket(F.col("d") < 0).alias("shipped_early"),
+            bucket(F.col("d").between(0, 30)).alias("within_30"),
+            bucket(F.col("d").between(31, 90)).alias("days_31_90"),
+            bucket(F.col("d") > 90).alias("over_90"),
+        )
+        .orderBy("o_orderpriority")
+    )
