@@ -684,3 +684,101 @@ def python_datasource_write(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_regionkey")
     )
+
+
+@register(
+    "iceberg_mor_deletes_emulation",
+    oracle="""
+WITH base AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+         o_orderkey % 2 AS file_id,
+         CAST(row_number() OVER (PARTITION BY o_orderkey % 2
+                                 ORDER BY o_orderkey) - 1 AS BIGINT) AS pos
+  FROM orders
+),
+pos_del AS (
+  SELECT CAST(0 AS BIGINT) AS file_id,
+         CAST(unnest(generate_series(0, 99)) AS BIGINT) AS pos
+),
+surviving AS (
+  SELECT b.* FROM base b
+  WHERE NOT EXISTS (SELECT 1 FROM pos_del d
+                    WHERE d.file_id = b.file_id AND d.pos = b.pos)
+    AND NOT (b.o_custkey % 97 = 0)
+)
+SELECT o_orderstatus,
+       count(*) AS n_rows,
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+         AS total
+FROM surviving
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+""",
+    tags=("sources", "iceberg", "mor", "deletes"),
+)
+def iceberg_mor_deletes_emulation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Iceberg merge-on-read scan semantics rebuilt on plain
+    DataFrames: positional deletes (delete applies to (file, row-pos)
+    pairs) and equality deletes (delete applies to any row matching
+    the key) merged into the scan, with Iceberg's sequence-number
+    visibility rule — a delete file applies only to data files with a
+    LOWER data sequence number (reference: IcebergScan
+    operator.proto:180-266, positional/equality MOR deletes
+    native/core/src/execution/operators/iceberg_scan.rs; the
+    reference's second-largest scan operator at ~2000 LoC).
+
+    The emulation: row position = per-file row_number over the file's
+    write order; positional deletes anti-join on (file_id, pos);
+    equality deletes carry a sequence number and are filtered to
+    seq > data_seq BEFORE the anti join — the obsolete delete (seq 0
+    vs data seq 1) must NOT remove rows, which the oracle pins by
+    simply omitting it.  Scale: both delete sets broadcast (delete
+    files are orders of magnitude smaller than data files); the only
+    fact exchange is the per-file position window, which a real
+    Iceberg reader gets for free from file row ordering."""
+    from pyspark.sql import Window as W
+
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        (F.col("o_orderkey") % 2).alias("file_id"),
+    ).withColumn(
+        "pos",
+        (
+            F.row_number().over(
+                W.partitionBy("file_id").orderBy("o_orderkey")
+            )
+            - 1
+        ).cast("long"),
+    )
+    data_seq = 1
+    pos_del = spark.range(0, 100).select(
+        F.lit(0).cast("long").alias("file_id"), F.col("id").alias("pos")
+    )
+    eq_del = spark.createDataFrame(
+        [(97, 2), (89, 0)], "modulus INT, seq INT"
+    ).filter(F.col("seq") > data_seq)
+    survivors = base.join(
+        F.broadcast(pos_del), ["file_id", "pos"], "left_anti"
+    ).join(
+        F.broadcast(eq_del),
+        F.col("o_custkey") % F.col("modulus") == 0,
+        "left_anti",
+    )
+    return (
+        survivors.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2
+            )
+            .cast("double")
+            .alias("total"),
+        )
+        .orderBy("o_orderstatus")
+    )
