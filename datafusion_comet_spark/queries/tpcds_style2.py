@@ -992,3 +992,314 @@ def tpcds_delay_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+# --------------------------------------------------------------------------
+# q41 shape — OR-of-AND attribute combination dimension filter
+# --------------------------------------------------------------------------
+@register(
+    "tpcds_attribute_combo_parts",
+    oracle="""
+SELECT p_brand, count(*) AS n_parts,
+       CAST(round(sum(CAST(p_retailprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+         AS shelf_value
+FROM part
+WHERE (p_type LIKE 'STANDARD%' AND p_size BETWEEN 1 AND 15)
+   OR (p_type LIKE 'SMALL%'    AND p_size BETWEEN 20 AND 35)
+   OR (p_type LIKE 'LARGE%'    AND p_size BETWEEN 40 AND 50)
+GROUP BY p_brand
+ORDER BY p_brand
+""",
+    tags=("tpcds", "predicate", "pushdown"),
+)
+def tpcds_attribute_combo_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q41 shape: a pure dimension scan under an OR-of-AND
+    attribute predicate.  The point at scale is pushdown: the whole
+    disjunction is a single scan-level filter (PushedFilters carries
+    the Or(And(...),...) tree into the parquet reader), no join, one
+    tiny rollup — the plan must stay scan→filter→agg with zero wide
+    exchanges."""
+    part = _t(spark, sf_dir, "part")
+    combo = (
+        (F.col("p_type").startswith("STANDARD")
+         & F.col("p_size").between(1, 15))
+        | (F.col("p_type").startswith("SMALL")
+           & F.col("p_size").between(20, 35))
+        | (F.col("p_type").startswith("LARGE")
+           & F.col("p_size").between(40, 50))
+    )
+    return (
+        part.filter(combo)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            _money(F.sum(_dec("p_retailprice"))).alias("shelf_value"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+# --------------------------------------------------------------------------
+# q66 shape — 12-month wide pivot per group
+# --------------------------------------------------------------------------
+@register(
+    "tpcds_monthly_pivot_wide",
+    oracle=f"""
+SELECT n_name,
+{",".join(f'''       CAST(round(sum(CASE WHEN month(l_shipdate) = {m}
+                     THEN {{rev}} ELSE CAST(0 AS DECIMAL(18,2)) END), 2)
+            AS DOUBLE) AS m{m:02d}'''.format(rev="{rev}") for m in range(1, 13))},
+       CAST(round(sum({{rev}}), 2) AS DOUBLE) AS total
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY n_name
+ORDER BY n_name
+""".replace("{rev}", SQL_REV),
+    tags=("tpcds", "pivot", "wide-aggregate"),
+)
+def tpcds_monthly_pivot_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q66 shape: a wide 12-column monthly pivot per supplier
+    nation in ONE aggregate pass — 13 conditional decimal sums from a
+    single exchange.  Explicit CASE sums rather than groupBy().pivot()
+    keep the plan a plain two-phase HashAggregate (pivot would plan
+    the same thing but via an extra analysis pass with value
+    discovery; with a known column set, spelling it out is both
+    deterministic and Expand-free)."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1997-01-01 00:00:00"))
+        & (F.col("l_shipdate") < _ts("1998-01-01 00:00:00"))
+    )
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    zero = F.lit(0).cast("decimal(18,2)")
+    month_cols = [
+        _money(
+            F.sum(
+                F.when(F.month("l_shipdate") == m, _drev()).otherwise(zero)
+            )
+        ).alias(f"m{m:02d}")
+        for m in range(1, 13)
+    ]
+    return (
+        li.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(*month_cols, _money(F.sum(_drev())).alias("total"))
+        .orderBy("n_name")
+    )
+
+
+# --------------------------------------------------------------------------
+# q80 shape — channel P&L: gross, returned, tax, net in one pass
+# --------------------------------------------------------------------------
+@register(
+    "tpcds_channel_pnl",
+    oracle=f"""
+SELECT n_name,
+       CAST(round(sum({SQL_REV}), 2) AS DOUBLE) AS gross,
+       CAST(round(sum(CASE WHEN l_returnflag = 'R' THEN {SQL_REV}
+                           ELSE CAST(0 AS DECIMAL(18,2)) END), 2) AS DOUBLE)
+         AS returned,
+       CAST(round(sum({SQL_REV} * CAST(l_tax AS DECIMAL(4,2))), 2) AS DOUBLE)
+         AS tax_cost,
+       CAST(round(sum({SQL_REV})
+                  - sum(CASE WHEN l_returnflag = 'R' THEN {SQL_REV}
+                             ELSE CAST(0 AS DECIMAL(18,2)) END)
+                  - sum({SQL_REV} * CAST(l_tax AS DECIMAL(4,2))), 2)
+            AS DOUBLE) AS net
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+GROUP BY n_name
+ORDER BY n_name
+""",
+    tags=("tpcds", "conditional", "pnl"),
+)
+def tpcds_channel_pnl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q80 shape: per-channel profit-and-loss — gross revenue,
+    returned revenue, tax cost, and the derived net — as FOUR decimal
+    aggregates in one fact pass (the literal q80 unions three
+    channel-specific sales⟕returns subplans; with returns flagged
+    in-line, the whole P&L is conditional aggregation over one
+    exchange).  Net is derived from the sums, not summed per-row, so
+    the three components remain individually auditable."""
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    zero = F.lit(0).cast("decimal(18,2)")
+    ret = F.sum(
+        F.when(F.col("l_returnflag") == "R", _drev()).otherwise(zero)
+    )
+    gross = F.sum(_drev())
+    tax = F.sum(_drev() * _dec("l_tax", 4, 2))
+    return (
+        li.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            _money(gross).alias("gross"),
+            _money(ret).alias("returned"),
+            _money(tax).alias("tax_cost"),
+            _money(gross - ret - tax).alias("net"),
+        )
+        .orderBy("n_name")
+    )
+
+
+# --------------------------------------------------------------------------
+# q11/q74 shape — customers whose channel preference shifted YoY
+# --------------------------------------------------------------------------
+@register(
+    "tpcds_yoy_preference_shift",
+    oracle="""
+WITH per_year AS (
+  SELECT o_custkey,
+         CAST(year(o_orderdate) AS INT) AS yr,
+         sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                  THEN CAST(o_totalprice AS DECIMAL(18,2))
+                  ELSE CAST(0 AS DECIMAL(18,2)) END) AS express,
+         sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                  THEN CAST(o_totalprice AS DECIMAL(18,2))
+                  ELSE CAST(0 AS DECIMAL(18,2)) END) AS standard
+  FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+  GROUP BY 1, 2
+),
+paired AS (
+  SELECT a.o_custkey, a.express AS e1, a.standard AS s1,
+         b.express AS e2, b.standard AS s2
+  FROM per_year a JOIN per_year b
+    ON a.o_custkey = b.o_custkey AND a.yr = 1996 AND b.yr = 1997
+  WHERE a.express > 0 AND a.standard > 0
+    AND b.express > 0 AND b.standard > 0
+)
+SELECT count(*) AS n_shifted,
+       CAST(min(o_custkey) AS BIGINT) AS first_cust,
+       CAST(max(o_custkey) AS BIGINT) AS last_cust
+FROM paired
+WHERE e2 * s1 > e1 * s2
+""",
+    tags=("tpcds", "yoy", "ratio", "self-join"),
+)
+def tpcds_yoy_preference_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q11/q74 shape: customers whose express/standard spend
+    ratio GREW between two years.  The two-channel two-year matrix is
+    one conditional aggregate per (customer, year); the year pairing
+    is a lag window per customer (the SQL self-join re-evaluates the
+    aggregate; lag reuses it), and the ratio-growth test is
+    cross-multiplied (e2·s1 > e1·s2) in exact decimal — no division,
+    no epsilon."""
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= _ts("1996-01-01 00:00:00"))
+        & (F.col("o_orderdate") < _ts("1998-01-01 00:00:00"))
+    )
+    zero = F.lit(0).cast("decimal(18,2)")
+    express = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    per_year = orders.groupBy(
+        "o_custkey", F.year("o_orderdate").cast("int").alias("yr")
+    ).agg(
+        F.sum(
+            F.when(express, _dec("o_totalprice")).otherwise(zero)
+        ).alias("express"),
+        F.sum(
+            F.when(~express, _dec("o_totalprice")).otherwise(zero)
+        ).alias("standard"),
+    )
+    w = Window.partitionBy("o_custkey").orderBy("yr")
+    paired = (
+        per_year.select(
+            "o_custkey",
+            "yr",
+            F.col("express").alias("e1"),
+            F.col("standard").alias("s1"),
+            F.lead("express", 1).over(w).alias("e2"),
+            F.lead("standard", 1).over(w).alias("s2"),
+            F.lead("yr", 1).over(w).alias("next_yr"),
+        )
+        .filter(
+            (F.col("yr") == 1996)
+            & (F.col("next_yr") == 1997)
+            & (F.col("e1") > 0)
+            & (F.col("s1") > 0)
+            & (F.col("e2") > 0)
+            & (F.col("s2") > 0)
+        )
+    )
+    return paired.filter(
+        F.col("e2") * F.col("s1") > F.col("e1") * F.col("s2")
+    ).agg(
+        F.count(F.lit(1)).alias("n_shifted"),
+        F.min("o_custkey").cast("bigint").alias("first_cust"),
+        F.max("o_custkey").cast("bigint").alias("last_cust"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q85 shape — conditional averages over join-side attribute bands
+# --------------------------------------------------------------------------
+@register(
+    "tpcds_acctbal_band_priority",
+    oracle="""
+SELECT o_orderpriority,
+       CAST(sum(CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_negative,
+       CAST(sum(CASE WHEN c_acctbal >= 0 AND c_acctbal < 5000
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+       CAST(sum(CASE WHEN c_acctbal >= 5000 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_high,
+       round(CAST(sum(CASE WHEN c_acctbal >= 5000
+                           THEN CAST(o_totalprice AS DECIMAL(18,2))
+                           ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+             / greatest(sum(CASE WHEN c_acctbal >= 5000 THEN 1 ELSE 0 END),
+                        1), 4) AS high_band_avg_order
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+    tags=("tpcds", "conditional", "bands", "join"),
+)
+def tpcds_acctbal_band_priority(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-DS q85 shape: counts and a conditional average over bands
+    of a JOIN-side attribute (customer account balance), grouped by a
+    fact attribute (order priority).  One broadcast join, one
+    exchange; the band average is exact-decimal sum over integer
+    count (guarded by greatest(n,1) on both engines so an empty band
+    yields 0, not null/NaN)."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    zero = F.lit(0).cast("decimal(18,2)")
+    n_high = F.sum(F.when(F.col("c_acctbal") >= 5000, 1).otherwise(0))
+    high_sum = F.sum(
+        F.when(F.col("c_acctbal") >= 5000, _dec("o_totalprice")).otherwise(
+            zero
+        )
+    )
+    return (
+        orders.join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum(F.when(F.col("c_acctbal") < 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_negative"),
+            F.sum(
+                F.when(
+                    (F.col("c_acctbal") >= 0) & (F.col("c_acctbal") < 5000),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_low"),
+            n_high.cast("long").alias("n_high"),
+            F.round(
+                high_sum.cast("double") / F.greatest(n_high, F.lit(1)), 4
+            ).alias("high_band_avg_order"),
+        )
+        .orderBy("o_orderpriority")
+    )
