@@ -541,3 +541,29 @@ def test_tpch_exchange_budgets(spark, sf_dir):
         if n != budget:
             diffs[name] = (budget, n)
     assert not diffs, f"exchange budget drift (expected, actual): {diffs}"
+
+
+def test_or_of_and_predicate_pushed_to_scan(spark, sf_dir):
+    """TPC-DS q41 shape: the whole OR-of-AND attribute disjunction
+    must reach the parquet reader as one pushed filter tree (an Or(...)
+    entry in PushedFilters), not evaluate post-scan only — at 100 TB
+    this is row-group pruning on every branch's min/max stats."""
+    df = REGISTRY["tpcds_attribute_combo_parts"].fn(spark, sf_dir)
+    pf = pushed_filters(df)
+    assert any("Or(" in f for f in pf), f"OR tree not pushed: {pf}"
+    ops = operators_in_plan(df)
+    assert "Exchange" in ops  # only the rollup shuffles
+    assert ops.count("FileScan") == 1
+
+
+def test_monthly_pivot_wide_single_exchange(spark, sf_dir):
+    """TPC-DS q66 shape: 13 conditional sums must come from ONE
+    two-phase aggregate — a single fact exchange, no Expand, no
+    per-month re-aggregation."""
+    df = REGISTRY["tpcds_monthly_pivot_wide"].fn(spark, sf_dir)
+    ops = operators_in_plan(df)
+    # one hash exchange for the aggregate + one range exchange for the
+    # final ORDER BY over the |nations|-sized result; nothing else
+    assert ops.count("Exchange") == 2, ops
+    assert "Expand" not in ops, ops
+    assert ops.count("FileScan") == 3  # lineitem + two broadcast dims
