@@ -1773,6 +1773,8 @@ WITH base AS (
   WHERE b.doc_id % 25 <> 0                             -- eval docs excluded
     AND len(b.t) BETWEEN 20 AND 200                    -- length gate
     AND 1.0 - len(list_distinct(b.t)) * 1.0 / len(b.t) <= 0.3  -- repetition
+    AND list_sum(list_transform(b.t,                   -- model-based gate
+          x -> (ascii(substr(md5(x), 1, 1)) % 7) - 3)) > 0
 ), eval_set AS (
   SELECT DISTINCT unnest(list_distinct(list_transform(
            generate_series(1, len(t) - 4),
@@ -1813,8 +1815,9 @@ ORDER BY source
 def pipeline_corpus_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full curation pipeline in ONE composed plan: normalization-
     keyed dedup → eval-set exclusion → length + repetition quality
-    gates → 5-gram benchmark decontamination → greedy token packing →
-    per-source accounting.  Every stage is the registered operator it
+    gates → model-based quality gate (the hashed linear scorer of
+    `quality_linear_scorer`, inline) → 5-gram benchmark
+    decontamination → greedy token packing → per-source accounting.  Every stage is the registered operator it
     names (`dedup_normalized_text`, `doc_repetition_ratio`,
     `decontaminate_ngram_overlap`, `doc_pack_greedy`) — this entry
     pins that they COMPOSE: one Catalyst plan, no materialization
@@ -1856,6 +1859,24 @@ def pipeline_corpus_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(1.0)
             - F.size(F.array_distinct("t")) / F.col("n").cast("double")
             <= 0.3
+        )
+        # model-based gate: the quality_linear_scorer's hashed linear
+        # score, inline as one more scan-side predicate (integer sum,
+        # exact on both engines)
+        & (
+            F.aggregate(
+                F.transform(
+                    F.col("t"),
+                    lambda x: (
+                        F.ascii(F.substring(F.md5(x.cast("binary")), 1, 1))
+                        % 7
+                    )
+                    - 3,
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            )
+            > 0
         )
     ).select("doc_id", "source", "t", "n")
 
