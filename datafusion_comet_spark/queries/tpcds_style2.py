@@ -1303,3 +1303,134 @@ def tpcds_acctbal_band_priority(
         )
         .orderBy("o_orderpriority")
     )
+
+
+# --------------------------------------------------------------------------
+# q28 shape — distinct-count/avg bands from one scan (multi-distinct)
+# --------------------------------------------------------------------------
+@register(
+    "tpcds_price_band_distincts",
+    oracle="""
+SELECT
+  CAST(count(DISTINCT CASE WHEN l_quantity <= 10 THEN l_extendedprice END)
+       AS BIGINT) AS d_low,
+  CAST(count(DISTINCT CASE WHEN l_quantity > 10 AND l_quantity <= 30
+                           THEN l_extendedprice END) AS BIGINT) AS d_mid,
+  CAST(count(DISTINCT CASE WHEN l_quantity > 30 THEN l_extendedprice END)
+       AS BIGINT) AS d_high,
+  CAST(count(CASE WHEN l_quantity <= 10 THEN 1 END) AS BIGINT) AS n_low,
+  CAST(count(CASE WHEN l_quantity > 10 AND l_quantity <= 30 THEN 1 END)
+       AS BIGINT) AS n_mid,
+  CAST(count(CASE WHEN l_quantity > 30 THEN 1 END) AS BIGINT) AS n_high
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+""",
+    tags=("tpcds", "multi-distinct", "expand"),
+)
+def tpcds_price_band_distincts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q28 shape: several DISTINCT aggregates over different
+    predicates of the SAME scan.  The literal q28 cross-joins six
+    scalar subqueries — six fact scans; conditional distinct-counts
+    collapse it to ONE scan.  Multiple count(DISTINCT expr) with
+    different arguments forces Catalyst's Expand-based multi-distinct
+    rewrite (each row replicated per distinct group with a gid) — the
+    one aggregate plan shape nothing else in the inventory pins; at
+    scale it trades a xN row blowup inside the exchange for
+    single-pass semantics, which is the right trade when the scan
+    (not the shuffle) is the expensive side."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1997-01-01 00:00:00"))
+        & (F.col("l_shipdate") < _ts("1998-01-01 00:00:00"))
+    )
+    low = F.col("l_quantity") <= 10
+    mid = (F.col("l_quantity") > 10) & (F.col("l_quantity") <= 30)
+    high = F.col("l_quantity") > 30
+    band = lambda c: F.when(c, F.col("l_extendedprice"))
+    return li.agg(
+        F.count_distinct(band(low)).alias("d_low"),
+        F.count_distinct(band(mid)).alias("d_mid"),
+        F.count_distinct(band(high)).alias("d_high"),
+        F.count(F.when(low, 1)).alias("n_low"),
+        F.count(F.when(mid, 1)).alias("n_mid"),
+        F.count(F.when(high, 1)).alias("n_high"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q39 shape — demand-variability outliers from exact integer moments
+# --------------------------------------------------------------------------
+@register(
+    "tpcds_demand_variability",
+    oracle="""
+WITH moments AS (
+  SELECT l_partkey,
+         CAST(year(l_shipdate) AS INT) AS yr,
+         CAST(quarter(l_shipdate) AS INT) AS qtr,
+         count(*) AS n,
+         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS s1,
+         CAST(sum(CAST(l_quantity AS BIGINT)
+                  * CAST(l_quantity AS BIGINT)) AS BIGINT) AS s2
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+  GROUP BY 1, 2, 3
+  HAVING count(*) >= 4
+)
+SELECT l_partkey, qtr, CAST(n AS BIGINT) AS n,
+       round(CAST(s1 AS DOUBLE) / n, 4) AS mean_qty,
+       round((CAST(s2 AS DOUBLE) * n - CAST(s1 AS DOUBLE) * s1)
+             / (CAST(n AS DOUBLE) * n), 4) AS pop_variance
+FROM moments
+WHERE (CAST(s2 AS DOUBLE) * n - CAST(s1 AS DOUBLE) * s1)
+      > CAST(s1 AS DOUBLE) * s1
+ORDER BY l_partkey, qtr
+""",
+    tags=("tpcds", "statistics", "variance", "outlier"),
+)
+def tpcds_demand_variability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q39 shape: items whose per-period demand variability is
+    high (coefficient of variation > 1, i.e. variance > mean²).
+
+    Determinism note: engine stddev/var aggregates accumulate doubles
+    in engine-specific merge orders — their low bits differ between
+    Spark and DuckDB (and between partition layouts).  The rebuild
+    computes variance from EXACT integer moments (n, Σq, Σq²: 64-bit
+    sums of integer quantities) and derives pop_variance =
+    (n·Σq² − (Σq)²)/n², with the CV>1 predicate cross-multiplied so
+    the filter compares exact products — variance as data, not as an
+    accumulator artifact.  One exchange, |part×quarter| output."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1997-01-01 00:00:00"))
+        & (F.col("l_shipdate") < _ts("1998-01-01 00:00:00"))
+    )
+    q = F.col("l_quantity").cast("long")
+    moments = (
+        li.groupBy(
+            "l_partkey",
+            F.year("l_shipdate").cast("int").alias("yr"),
+            F.quarter("l_shipdate").cast("int").alias("qtr"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(q).alias("s1"),
+            F.sum(q * q).alias("s2"),
+        )
+        .filter(F.col("n") >= 4)
+    )
+    n = F.col("n").cast("double")
+    s1 = F.col("s1").cast("double")
+    s2 = F.col("s2").cast("double")
+    return (
+        moments.filter(s2 * F.col("n") - s1 * F.col("s1") > s1 * F.col("s1"))
+        .select(
+            "l_partkey",
+            "qtr",
+            F.col("n").cast("bigint").alias("n"),
+            F.round(s1 / n, 4).alias("mean_qty"),
+            F.round((s2 * F.col("n") - s1 * F.col("s1")) / (n * n), 4).alias(
+                "pop_variance"
+            ),
+        )
+        .orderBy("l_partkey", "qtr")
+    )

@@ -567,3 +567,14 @@ def test_monthly_pivot_wide_single_exchange(spark, sf_dir):
     assert ops.count("Exchange") == 2, ops
     assert "Expand" not in ops, ops
     assert ops.count("FileScan") == 3  # lineitem + two broadcast dims
+
+
+def test_multi_distinct_uses_expand(spark, sf_dir):
+    """TPC-DS q28 shape: multiple count(DISTINCT <different args>)
+    must plan Catalyst's Expand-based multi-distinct rewrite over ONE
+    scan — the single-pass alternative to q28's literal six-subquery
+    cross join."""
+    df = REGISTRY["tpcds_price_band_distincts"].fn(spark, sf_dir)
+    ops = operators_in_plan(df)
+    assert "Expand" in ops, ops
+    assert ops.count("FileScan") == 1, ops
