@@ -1434,3 +1434,83 @@ def tpcds_demand_variability(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_partkey", "qtr")
     )
+
+
+# --------------------------------------------------------------------------
+# q44 shape — best and worst performers from one aggregate
+# --------------------------------------------------------------------------
+@register(
+    "tpcds_best_worst_performers",
+    oracle=f"""
+WITH per_supp AS (
+  SELECT l_suppkey, sum({SQL_REV}) AS rev
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1998-07-01 00:00:00'
+  GROUP BY l_suppkey
+),
+ranked AS (
+  SELECT l_suppkey, rev,
+         row_number() OVER (ORDER BY rev DESC, l_suppkey) AS rk_best,
+         row_number() OVER (ORDER BY rev ASC,  l_suppkey) AS rk_worst
+  FROM per_supp
+)
+SELECT 'BEST' AS side, CAST(rk_best AS BIGINT) AS rk, s_name,
+       CAST(round(rev, 2) AS DOUBLE) AS rev
+FROM ranked JOIN supplier ON l_suppkey = s_suppkey
+WHERE rk_best <= 10
+UNION ALL
+SELECT 'WORST' AS side, CAST(rk_worst AS BIGINT) AS rk, s_name,
+       CAST(round(rev, 2) AS DOUBLE) AS rev
+FROM ranked JOIN supplier ON l_suppkey = s_suppkey
+WHERE rk_worst <= 10
+ORDER BY side, rk
+""",
+    tags=("tpcds", "window", "rank", "union"),
+)
+def tpcds_best_worst_performers(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-DS q44 shape: the top-10 AND bottom-10 performers from the
+    SAME aggregate — two row_number windows (opposite orders) computed
+    in one pass over the per-supplier rollup, then both rank filters
+    taken from that single windowed relation before a unionByName.
+    row_number (not rank) with the key as tiebreak makes both lists
+    exactly 10 deterministic rows.  Scale: one fact exchange to
+    |suppliers|; both windows are unpartitioned but run over the
+    aggregate (WindowGroupLimit prunes each to its top-10 before the
+    name join, which broadcasts)."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1998-01-01 00:00:00"))
+        & (F.col("l_shipdate") < _ts("1998-07-01 00:00:00"))
+    )
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    per_supp = li.groupBy("l_suppkey").agg(F.sum(_drev()).alias("rev"))
+    ranked = per_supp.select(
+        "l_suppkey",
+        "rev",
+        F.row_number()
+        .over(Window.orderBy(F.col("rev").desc(), F.col("l_suppkey")))
+        .cast("long")
+        .alias("rk_best"),
+        F.row_number()
+        .over(Window.orderBy(F.col("rev").asc(), F.col("l_suppkey")))
+        .cast("long")
+        .alias("rk_worst"),
+    )
+    named = ranked.join(
+        F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey")
+    )
+    best = named.filter(F.col("rk_best") <= 10).select(
+        F.lit("BEST").alias("side"),
+        F.col("rk_best").alias("rk"),
+        "s_name",
+        _money(F.col("rev")).alias("rev"),
+    )
+    worst = named.filter(F.col("rk_worst") <= 10).select(
+        F.lit("WORST").alias("side"),
+        F.col("rk_worst").alias("rk"),
+        "s_name",
+        _money(F.col("rev")).alias("rev"),
+    )
+    return best.unionByName(worst).orderBy("side", "rk")
