@@ -265,3 +265,43 @@ def sliding_frame_query(draw) -> str:
 def test_random_sliding_frame_matches_duckdb(views, sf_dir, sql):
     df = views.sql(sql)
     compare_to_oracle(df, sql, sf_dir)
+
+
+@st.composite
+def multi_distinct_query(draw) -> str:
+    """Random multi-distinct aggregate: several count(DISTINCT <expr>)
+    with DIFFERENT arguments (and band predicates) in one SELECT —
+    exercises Catalyst's Expand-based multi-distinct rewrite (the
+    tpcds_price_band_distincts plan shape) across random band
+    boundaries, distinct targets, and filters.  Distinct targets stay
+    integer-valued so cross-engine DISTINCT equality is exact."""
+    band = draw(st.integers(5, 45))
+    c1, c2 = draw(
+        st.lists(
+            st.sampled_from(INT_COLS), min_size=2, max_size=2, unique=True
+        )
+    )
+    pred = draw(predicate())
+    key = draw(st.sampled_from(KEY_COLS))
+    return (
+        f"SELECT {key} AS k, "
+        f"CAST(count(DISTINCT CASE WHEN l_quantity <= {band} "
+        f"THEN {c1} END) AS BIGINT) AS d_lo, "
+        f"CAST(count(DISTINCT CASE WHEN l_quantity > {band} "
+        f"THEN {c2} END) AS BIGINT) AS d_hi, "
+        f"CAST(count(DISTINCT l_linenumber) AS BIGINT) AS d_ln, "
+        f"count(*) AS n "
+        f"FROM lineitem WHERE {pred} GROUP BY {key} ORDER BY k"
+    )
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(sql=multi_distinct_query())
+def test_random_multi_distinct_matches_duckdb(views, sf_dir, sql):
+    df = views.sql(sql)
+    compare_to_oracle(df, sql, sf_dir)
