@@ -1514,3 +1514,76 @@ def tpcds_best_worst_performers(
         _money(F.col("rev")).alias("rev"),
     )
     return best.unionByName(worst).orderBy("side", "rk")
+
+
+# --------------------------------------------------------------------------
+# q75 shape — YoY decline by brand, returns netted out
+# --------------------------------------------------------------------------
+@register(
+    "tpcds_yoy_decline_net_returns",
+    oracle=f"""
+WITH yearly AS (
+  SELECT p_brand,
+         CAST(year(l_shipdate) AS INT) AS yr,
+         sum(CASE WHEN l_returnflag <> 'R' THEN {SQL_REV}
+                  ELSE CAST(0 AS DECIMAL(18,2)) END)
+           - sum(CASE WHEN l_returnflag = 'R' THEN {SQL_REV}
+                      ELSE CAST(0 AS DECIMAL(18,2)) END) AS net
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+  GROUP BY 1, 2
+)
+SELECT a.p_brand,
+       CAST(round(a.net, 2) AS DOUBLE) AS net_prev,
+       CAST(round(b.net, 2) AS DOUBLE) AS net_curr,
+       CAST(round(b.net - a.net, 2) AS DOUBLE) AS delta
+FROM yearly a JOIN yearly b
+  ON a.p_brand = b.p_brand AND a.yr = 1996 AND b.yr = 1997
+WHERE b.net < a.net
+ORDER BY delta, a.p_brand
+""",
+    tags=("tpcds", "yoy", "netting", "decline"),
+)
+def tpcds_yoy_decline_net_returns(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-DS q75 shape: brands whose RETURN-NETTED revenue declined
+    year-over-year, ordered by the decline.  Composes the q80 netting
+    trick (sales and returns as conditional sums of one pass — q75's
+    literal spelling joins a returns table per channel) with the
+    q11/q74 year pairing (lead() per brand instead of the aggregate
+    self-join).  Exact decimal throughout; the decline filter and the
+    sort key are decimal subtractions, so order is data-determined."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1996-01-01 00:00:00"))
+        & (F.col("l_shipdate") < _ts("1998-01-01 00:00:00"))
+    )
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    zero = F.lit(0).cast("decimal(18,2)")
+    net = F.sum(
+        F.when(F.col("l_returnflag") != "R", _drev()).otherwise(zero)
+    ) - F.sum(F.when(F.col("l_returnflag") == "R", _drev()).otherwise(zero))
+    yearly = (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", F.year("l_shipdate").cast("int").alias("yr"))
+        .agg(net.alias("net"))
+    )
+    w = Window.partitionBy("p_brand").orderBy("yr")
+    paired = yearly.select(
+        "p_brand",
+        "yr",
+        F.col("net").alias("net_prev_dec"),
+        F.lead("net", 1).over(w).alias("net_curr_dec"),
+        F.lead("yr", 1).over(w).alias("next_yr"),
+    ).filter(
+        (F.col("yr") == 1996)
+        & (F.col("next_yr") == 1997)
+        & (F.col("net_curr_dec") < F.col("net_prev_dec"))
+    )
+    return paired.select(
+        "p_brand",
+        _money(F.col("net_prev_dec")).alias("net_prev"),
+        _money(F.col("net_curr_dec")).alias("net_curr"),
+        _money(F.col("net_curr_dec") - F.col("net_prev_dec")).alias("delta"),
+    ).orderBy("delta", "p_brand")
