@@ -782,3 +782,89 @@ def iceberg_mor_deletes_emulation(
         )
         .orderBy("o_orderstatus")
     )
+
+
+@register(
+    "python_datasource_stream_sink",
+    oracle="""
+WITH gen AS (
+  SELECT i AS id,
+         (i * 2654435761) % 4294967296 % 97 AS user_id,
+         ['view', 'click', 'purchase'][CAST((i * 2654435761) % 4294967296 % 3 AS INT) + 1] AS kind,
+         (i * 2654435761) % 4294967296 % 1000 AS points
+  FROM (SELECT unnest(generate_series(0, 1199)) AS i)
+)
+SELECT kind,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(points) AS BIGINT) AS sum_points,
+       min(id) AS min_id,
+       max(id) AS max_id
+FROM gen
+GROUP BY kind
+ORDER BY kind
+""",
+    tags=("source", "python-datasource", "streaming", "sink"),
+)
+def python_datasource_stream_sink(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Custom STREAMING SINK through the Python DataSource
+    stream-writer protocol: per-microbatch two-phase commit (task part
+    files → driver publishes manifest-<batchId>.json), exactly-once by
+    batch-id-idempotent manifests — a replayed batch overwrites its
+    own manifest instead of appending, so the manifest-consulting
+    reader can never double-count.  Completes the connector matrix
+    (batch read/write, stream read, filter pushdown → stream write);
+    the reference has NO streaming write path (its plan rule rejects
+    every streaming plan, CometExecRule.scala:548-550).  The readback
+    aggregates only manifest-listed files and must reproduce the
+    deterministic source exactly — the oracle regenerates the same
+    rows arithmetically."""
+    import glob as _glob
+    import json as _json
+    import os as _os
+    import shutil as _shutil
+
+    from ..sources import scratch_dir
+    from ..sources.python_datasource import (
+        SCHEMA_DDL,
+        register_jsonl_stream_sink,
+        register_synthetic_stream_source,
+    )
+
+    register_synthetic_stream_source(spark)
+    register_jsonl_stream_sink(spark)
+    path = scratch_dir(sf_dir, "jsonl_stream_sink")
+    ckpt = path + "_ckpt"
+    for d in (path, ckpt):  # fresh run: clear parts, manifests, state
+        if _os.path.isdir(d):
+            _shutil.rmtree(d)
+    stream = (
+        spark.readStream.format("synthetic_events_stream")
+        .option("n_rows", "1200")
+        .option("n_partitions", "4")
+        .load()
+    )
+    q = (
+        stream.writeStream.format("jsonl_stream_dir")
+        .option("path", path)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    files = []
+    for mpath in sorted(_glob.glob(_os.path.join(path, "manifest-*.json"))):
+        with open(mpath) as f:
+            files.extend(m["path"] for m in _json.load(f)["files"])
+    back = spark.read.schema(SCHEMA_DDL).json(files)
+    return (
+        back.groupBy("kind")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("points").cast("bigint").alias("sum_points"),
+            F.min("id").alias("min_id"),
+            F.max("id").alias("max_id"),
+        )
+        .orderBy("kind")
+    )

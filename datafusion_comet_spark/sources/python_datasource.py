@@ -310,3 +310,72 @@ class SyntheticEventsPushdownDataSource(DataSource):
 
 def register_synthetic_pushdown_source(spark) -> None:
     spark.dataSource.register(SyntheticEventsPushdownDataSource)
+
+
+# --------------------------------------------------------------------------
+# Streaming sink: the Python DataSource STREAM-writer protocol.
+# Each microbatch runs the same two-phase commit as the batch writer,
+# PER BATCH: task part-files (invisible) → WriterCommitMessage →
+# driver-side commit publishes manifest-<batchId>.json.  Exactly-once
+# then follows from batch-id idempotence: a replayed microbatch (task
+# retry, driver restart between write and checkpoint advance)
+# OVERWRITES its own manifest rather than appending a second one, so
+# readers — who must union only manifest-listed files — never see
+# duplicates.  The reference has no streaming write path at all
+# (CometExecRule.scala:548-550); its batch ParquetWriter commit
+# obligations (operator.proto:320-338) are what this extends per-batch.
+# --------------------------------------------------------------------------
+from pyspark.sql.datasource import DataSourceStreamWriter  # noqa: E402
+
+
+class JsonlDirStreamWriter(DataSourceStreamWriter):
+    def __init__(self, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("jsonl_stream_dir requires option 'path'")
+
+    def write(self, iterator):
+        _os.makedirs(self.path, exist_ok=True)
+        part = _os.path.join(
+            self.path, f"stream-part-{_uuid.uuid4().hex}.jsonl"
+        )
+        n = 0
+        with open(part, "w") as f:
+            for row in iterator:
+                f.write(_json.dumps(row.asDict()) + "\n")
+                n += 1
+        return _PartFile(part, n)
+
+    def commit(self, messages, batchId: int) -> None:
+        manifest = {
+            "batch": batchId,
+            "files": [
+                {"path": m.path, "n_rows": m.n_rows}
+                for m in sorted(messages, key=lambda m: m.path)
+            ],
+        }
+        # idempotent per batch id: replay overwrites, never appends
+        with open(
+            _os.path.join(self.path, f"manifest-{batchId:08d}.json"), "w"
+        ) as f:
+            _json.dump(manifest, f)
+
+    def abort(self, messages, batchId: int) -> None:
+        for m in messages:
+            if m is not None and _os.path.exists(m.path):
+                _os.remove(m.path)
+
+
+class JsonlDirStreamDataSource(DataSource):
+    """``df.writeStream.format("jsonl_stream_dir")`` custom sink."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "jsonl_stream_dir"
+
+    def streamWriter(self, schema: StructType, overwrite: bool):
+        return JsonlDirStreamWriter(self.options)
+
+
+def register_jsonl_stream_sink(spark) -> None:
+    spark.dataSource.register(JsonlDirStreamDataSource)
