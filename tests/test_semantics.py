@@ -971,3 +971,31 @@ def test_quantized_rerank_recall_vs_bruteforce(spark, sf_dir):
         len(got.get(q, set()) & exact[q]) / len(exact[q]) for q in exact
     ]
     assert sum(recalls) / len(recalls) >= 0.8, recalls
+
+
+def test_stream_sink_manifest_commit_is_batch_idempotent(tmp_path):
+    """The streaming sink's exactly-once claim: a REPLAYED microbatch
+    (same batchId, e.g. after a driver restart between sink commit and
+    checkpoint advance) overwrites its own manifest rather than adding
+    a second one — the manifest-consulting reader can never see a
+    batch twice."""
+    import json
+    import os
+
+    from datafusion_comet_spark.sources.python_datasource import (
+        JsonlDirStreamWriter,
+        _PartFile,
+    )
+
+    w = JsonlDirStreamWriter({"path": str(tmp_path)})
+    msgs = [_PartFile(str(tmp_path / "stream-part-a.jsonl"), 7)]
+    w.commit(msgs, batchId=3)
+    # replay with a different task's file set for the same batch
+    msgs2 = [_PartFile(str(tmp_path / "stream-part-b.jsonl"), 7)]
+    w.commit(msgs2, batchId=3)
+    manifests = [f for f in os.listdir(tmp_path) if f.startswith("manifest-")]
+    assert manifests == ["manifest-00000003.json"]
+    listed = json.load(open(tmp_path / "manifest-00000003.json"))
+    assert [m["path"] for m in listed["files"]] == [
+        str(tmp_path / "stream-part-b.jsonl")
+    ]
