@@ -276,7 +276,8 @@ def agg_distinct_forms(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_collect_set",
     oracle="""
 SELECT o_orderpriority,
-       list_sort(list(DISTINCT o_orderstatus)) AS statuses,
+       array_to_string(list_sort(list(DISTINCT o_orderstatus)), '|')
+         AS statuses,
        count(*) AS n
 FROM orders
 GROUP BY o_orderpriority
@@ -291,7 +292,13 @@ def agg_collect_set(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         orders.groupBy("o_orderpriority")
         .agg(
-            F.sort_array(F.collect_set("o_orderstatus")).alias("statuses"),
+            # serialized at the output boundary: the driver's hasher
+            # round-trips results through pandas, where a Spark array
+            # (numpy ndarray) and a DuckDB list stringify differently —
+            # the collect_set/sort_array ops still execute underneath
+            F.array_join(
+                F.sort_array(F.collect_set("o_orderstatus")), "|"
+            ).alias("statuses"),
             F.count(F.lit(1)).alias("n"),
         )
         .orderBy("o_orderpriority")
@@ -302,8 +309,10 @@ def agg_collect_set(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_percentiles",
     oracle="""
 SELECT l_returnflag,
-       list_transform(quantile_cont(l_quantity, [0.25, 0.5, 0.75]),
-                      x -> round(x, 6)) AS qty_quartiles,
+       array_to_string(list_transform(quantile_cont(l_quantity,
+                        [0.25, 0.5, 0.75]),
+                      x -> CAST(CAST(round(x, 6) AS DOUBLE) AS VARCHAR)), '|')
+         AS qty_quartiles,
        round(median(l_quantity), 6) AS qty_median
 FROM lineitem
 GROUP BY l_returnflag
@@ -318,9 +327,14 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.groupBy("l_returnflag")
         .agg(
-            F.transform(
-                F.expr("percentile(l_quantity, array(0.25D, 0.5D, 0.75D))"),
-                lambda x: F.round(x, 6),
+            F.array_join(
+                F.transform(
+                    F.expr(
+                        "percentile(l_quantity, array(0.25D, 0.5D, 0.75D))"
+                    ),
+                    lambda x: F.round(x, 6).cast("string"),
+                ),
+                "|",
             ).alias("qty_quartiles"),
             F.round(F.expr("median(l_quantity)"), 6).alias("qty_median"),
         )

@@ -558,10 +558,10 @@ SELECT doc_id,
        list_sort(toks)[1]                         AS first_sorted,
        toks[1]                                    AS head,
        toks[-1]                                   AS tail,
-       list_slice(toks, 2, 4)                     AS mid3,
+       array_to_string(list_slice(toks, 2, 4), '|')  AS mid3,
        array_to_string(list_slice(toks, 1, 3), '-') AS joined3,
        CAST(list_position(toks, 'the') AS INT)    AS pos_the,
-       list_sort(list_distinct(toks))             AS uniq_sorted
+       array_to_string(list_sort(list_distinct(toks)), '|') AS uniq_sorted
 FROM (SELECT doc_id, str_split(text, ' ') AS toks
       FROM documents WHERE doc_id < 40) t
 ORDER BY doc_id
@@ -580,10 +580,15 @@ def expr_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(F.sort_array("toks"), 1).alias("first_sorted"),
         F.element_at("toks", 1).alias("head"),
         F.element_at("toks", -1).alias("tail"),
-        F.slice("toks", 2, 3).alias("mid3"),
+        F.array_join(F.slice("toks", 2, 3), "|").alias("mid3"),
         F.array_join(F.slice("toks", 1, 3), "-").alias("joined3"),
         F.array_position("toks", "the").cast("int").alias("pos_the"),
-        F.sort_array(F.array_distinct("toks")).alias("uniq_sorted"),
+        # arrays serialized at the output boundary (driver-hash
+        # safety: numpy-vs-list stringification); the array ops
+        # themselves still execute underneath
+        F.array_join(
+            F.sort_array(F.array_distinct("toks")), "|"
+        ).alias("uniq_sorted"),
     ).orderBy("doc_id")
 
 
@@ -591,8 +596,10 @@ def expr_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     "expr_array_lambda",
     oracle="""
 SELECT doc_id,
-       list_transform(list_slice(toks, 1, 5), x -> upper(x)) AS up5,
-       list_filter(toks, x -> length(x) > 5)                 AS long_toks,
+       array_to_string(list_transform(list_slice(toks, 1, 5),
+                       x -> upper(x)), '|') AS up5,
+       coalesce(array_to_string(list_filter(toks, x -> length(x) > 5),
+                '|'), '') AS long_toks,  -- DuckDB: empty list -> NULL
        CAST(len(list_filter(toks, x -> x = 'the')) AS INT)   AS n_the,
        CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT)
          AS total_chars
@@ -610,8 +617,13 @@ def expr_array_lambda(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = docs.select("doc_id", F.split("text", " ").alias("toks"))
     return t.select(
         "doc_id",
-        F.transform(F.slice("toks", 1, 5), lambda x: F.upper(x)).alias("up5"),
-        F.filter("toks", lambda x: F.length(x) > 5).alias("long_toks"),
+        F.array_join(
+            F.transform(F.slice("toks", 1, 5), lambda x: F.upper(x)),
+            "|",
+        ).alias("up5"),
+        F.array_join(
+            F.filter("toks", lambda x: F.length(x) > 5), "|"
+        ).alias("long_toks"),
         F.size(F.filter("toks", lambda x: x == "the")).alias("n_the"),
         F.aggregate(
             "toks",
@@ -628,8 +640,9 @@ def expr_array_lambda(spark: SparkSession, sf_dir: str) -> DataFrame:
     "expr_map_struct",
     oracle="""
 SELECT n_nationkey,
-       ['key', 'region'] AS mkeys,
-       [CAST(n_nationkey AS BIGINT), CAST(n_regionkey AS BIGINT)] AS mvals,
+       'key|region' AS mkeys,
+       CAST(n_nationkey AS VARCHAR) || '|' ||
+         CAST(n_regionkey AS VARCHAR) AS mvals,
        CAST(n_nationkey AS BIGINT)  AS s_key,
        n_name                       AS s_name,
        2                            AS m_size
@@ -654,8 +667,11 @@ def expr_map_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return nation.select(
         "n_nationkey",
-        F.map_keys(m).alias("mkeys"),
-        F.map_values(m).alias("mvals"),
+        F.array_join(F.map_keys(m), "|").alias("mkeys"),
+        F.array_join(
+            F.transform(F.map_values(m), lambda v: v.cast("string")),
+            "|",
+        ).alias("mvals"),
         s.getField("key").alias("s_key"),
         s.getField("name").alias("s_name"),
         F.size(m).alias("m_size"),
@@ -875,7 +891,8 @@ SELECT doc_id,
                                     t -> length(t))) AS INT) AS total_len,
        len(list_filter(str_split(text, ' '), t -> length(t) > 9)) > 0
          AS any_very_long,
-       list_sort(list_distinct(str_split(text, ' ')))[1:3] AS first3
+       array_to_string(list_sort(list_distinct(str_split(text, ' ')))[1:3],
+                       '|') AS first3
 FROM documents
 WHERE doc_id < 50
 ORDER BY doc_id
@@ -898,7 +915,9 @@ def expr_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
             toks, F.lit(0), lambda acc, t: acc + F.length(t)
         ).alias("total_len"),
         F.exists(toks, lambda t: F.length(t) > 9).alias("any_very_long"),
-        F.slice(F.sort_array(F.array_distinct(toks)), 1, 3).alias("first3"),
+        F.array_join(
+            F.slice(F.sort_array(F.array_distinct(toks)), 1, 3), "|"
+        ).alias("first3"),
     ).orderBy("doc_id")
 
 
@@ -915,11 +934,14 @@ WITH per AS (
   FROM per GROUP BY user_id
 )
 SELECT user_id,
-       list_sort(list_transform(list_filter(entries, e -> e.value >= 3),
-                                e -> e.key || ':' || CAST(e.value AS VARCHAR)))
+       coalesce(array_to_string(
+         list_sort(list_transform(list_filter(entries, e -> e.value >= 3),
+                                  e -> e.key || ':' ||
+                                       CAST(e.value AS VARCHAR))), '|'), '')
          AS busy,
        CAST(2 * total AS BIGINT) AS total2,
-       list_sort(list_transform(entries, e -> upper(e.key))) AS types_uc
+       array_to_string(list_sort(list_transform(entries,
+                       e -> upper(e.key))), '|') AS types_uc
 FROM agg
 ORDER BY user_id
 """,
@@ -948,21 +970,27 @@ def expr_map_lambda(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return agg.select(
         "user_id",
-        F.sort_array(
-            F.transform(
-                F.map_entries(F.map_filter("m", lambda k, v: v >= 3)),
-                lambda e: F.concat_ws(
-                    ":", e["key"], e["value"].cast("string")
-                ),
-            )
+        F.array_join(
+            F.sort_array(
+                F.transform(
+                    F.map_entries(F.map_filter("m", lambda k, v: v >= 3)),
+                    lambda e: F.concat_ws(
+                        ":", e["key"], e["value"].cast("string")
+                    ),
+                )
+            ),
+            "|",
         ).alias("busy"),
         F.aggregate(
             F.map_values(F.transform_values("m", lambda k, v: v * 2)),
             F.lit(0).cast("bigint"),
             lambda acc, x: acc + x,
         ).alias("total2"),
-        F.sort_array(
-            F.map_keys(F.transform_keys("m", lambda k, v: F.upper(k)))
+        F.array_join(
+            F.sort_array(
+                F.map_keys(F.transform_keys("m", lambda k, v: F.upper(k)))
+            ),
+            "|",
         ).alias("types_uc"),
     ).orderBy("user_id")
 

@@ -200,9 +200,9 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     "embedding_quantize_int8",
     oracle="""
 SELECT vec_id,
-       list_transform(embedding::DOUBLE[],
+       array_to_string(list_transform(embedding::DOUBLE[],
                       x -> CAST(round(greatest(-1.0, least(1.0, x)) * 127)
-                                AS INT)) AS q
+                                AS INT)), '|') AS q
 FROM embeddings
 WHERE vec_id < 100
 ORDER BY vec_id
@@ -220,7 +220,10 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         _as_double(F.col("embedding")),
         lambda x: F.round(clipped(x) * 127, 0).cast("int"),
     )
-    return emb.select("vec_id", q.alias("q")).orderBy("vec_id")
+    # serialized at the output boundary (driver-hash safety for
+    # array columns); the per-element quantization runs underneath
+    q_str = F.array_join(F.transform(q, lambda x: x.cast("string")), "|")
+    return emb.select("vec_id", q_str.alias("q")).orderBy("vec_id")
 
 
 @register(

@@ -49,3 +49,23 @@ def test_no_oracle_emits_hugeint(sf_dir):
             if "HUGEINT" in typ.upper():
                 offenders.append((name, col, typ))
     assert not offenders, f"uncast int128 oracle columns: {offenders}"
+
+
+def test_oracle_queries_emit_only_scalar_columns(spark, sf_dir):
+    """Array/map/struct result columns are a driver-hash hazard: the
+    hasher round-trips rows through pandas, where a Spark array cell
+    (numpy ndarray) and a DuckDB list stringify differently even for
+    equal values — the generalization of the q12 int128 lesson.
+    Oracle-checked queries therefore serialize any collection at the
+    output boundary (array_join / '|'-joined casts); this guard keeps
+    the invariant.  Non-oracle queries may return anything."""
+    offenders = []
+    for name in WITH_ORACLE:
+        try:
+            dtypes = REGISTRY[name].fn(spark, sf_dir).dtypes
+        except Exception:
+            continue  # runtime failures are the other tests' job
+        for col, typ in dtypes:
+            if typ.startswith(("array", "map", "struct")):
+                offenders.append((name, col, typ))
+    assert not offenders, f"non-scalar oracle outputs: {offenders}"
