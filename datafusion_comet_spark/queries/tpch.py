@@ -55,6 +55,25 @@ def _money(col: Column, n: int = 2) -> Column:
     return F.round(col, n).cast("double")
 
 
+def _rev_cents() -> Column:
+    """Exact revenue as a 64-bit cents·1e2 product — the scaled-integer
+    kernel of q1 (see its docstring), reusable wherever a query's only
+    money aggregate is round(sum(revenue), 2)."""
+    pc = F.round(F.col("l_extendedprice") * 100).cast("long")
+    dc = F.round(F.col("l_discount") * 100).cast("long")
+    return pc * (100 - dc)
+
+
+def _sum_rev_money() -> Column:
+    """round(sum(revenue), 2) AS double via the scaled-integer kernel:
+    per-row products stay in codegen long registers; only the
+    accumulator is decimal(20,0) (exact at SF1000 where a long sum
+    would overflow and ANSI-raise).  Value-identical to
+    _money(F.sum(_drev()))."""
+    total = F.sum(_rev_cents().cast("decimal(20,0)"))
+    return F.round((total / 10000).cast("decimal(38,6)"), 2).cast("double")
+
+
 # SQL-side mirrors of the decimal expressions (DuckDB dialect).
 SQL_REV = (
     "(CAST(l_extendedprice AS DECIMAL(18,2))"
@@ -180,7 +199,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         cust.join(orders, cust.c_custkey == orders.o_custkey)
         .join(li, li.l_orderkey == orders.o_orderkey)
         .groupBy("l_orderkey", "o_orderdate")
-        .agg(_money(F.sum(_drev())).alias("revenue"))
+        .agg(_sum_rev_money().alias("revenue"))
         .select("l_orderkey", "revenue", "o_orderdate")
         .orderBy(F.col("revenue").desc(), "o_orderdate", "l_orderkey")
         .limit(10)
@@ -272,7 +291,7 @@ def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("n_name")
-        .agg(_money(F.sum(_drev())).alias("revenue"))
+        .agg(_sum_rev_money().alias("revenue"))
         .orderBy(F.col("revenue").desc(), "n_name")
     )
 
@@ -545,7 +564,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(li, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
-        .agg(_money(F.sum(_drev())).alias("revenue"))
+        .agg(_sum_rev_money().alias("revenue"))
         .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
         .orderBy(F.col("revenue").desc(), "c_custkey")
         .limit(20)
@@ -706,7 +725,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < _ts("1997-04-01 00:00:00"))
     )
     revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
-        _money(F.sum(_drev())).alias("total_revenue")
+        _sum_rev_money().alias("total_revenue")
     )
     from pyspark.sql import Window as _W
 
@@ -868,7 +887,7 @@ def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (q <= 40)
         )
     )
-    return j.filter(cond).agg(_money(F.sum(_drev())).alias("revenue"))
+    return j.filter(cond).agg(_sum_rev_money().alias("revenue"))
 
 
 # --------------------------------------------------------------------------
