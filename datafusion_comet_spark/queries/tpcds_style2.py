@@ -1587,3 +1587,153 @@ def tpcds_yoy_decline_net_returns(
         _money(F.col("net_curr_dec")).alias("net_curr"),
         _money(F.col("net_curr_dec") - F.col("net_prev_dec")).alias("delta"),
     ).orderBy("delta", "p_brand")
+
+
+# --------------------------------------------------------------------------
+# q33/q56/q60 shape — per-item revenue unioned across channels, top-k
+# --------------------------------------------------------------------------
+@register(
+    "tpcds_union_channel_item_topk",
+    oracle=f"""
+WITH leg1 AS (
+  SELECT l_partkey, sum({SQL_REV}) AS rev
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderpriority = '1-URGENT' GROUP BY l_partkey
+),
+leg2 AS (
+  SELECT l_partkey, sum({SQL_REV}) AS rev
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderpriority = '2-HIGH' GROUP BY l_partkey
+),
+leg3 AS (
+  SELECT l_partkey, sum({SQL_REV}) AS rev
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderpriority = '5-LOW' GROUP BY l_partkey
+),
+u AS (SELECT * FROM leg1 UNION ALL SELECT * FROM leg2
+      UNION ALL SELECT * FROM leg3)
+SELECT l_partkey, CAST(round(sum(rev), 2) AS DOUBLE) AS total_rev
+FROM u GROUP BY l_partkey
+ORDER BY total_rev DESC, l_partkey
+LIMIT 20
+""",
+    tags=("tpcds", "union", "reaggregate", "topk"),
+)
+def tpcds_union_channel_item_topk(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-DS q33/q56/q60 shape: per-item revenue computed per channel
+    leg, the legs UNION ALL'd, re-aggregated per item, top-k.  In real
+    q33 the legs scan DIFFERENT fact tables (store/catalog/web), so
+    union-of-aggregates IS the single-pass plan; here the three legs
+    are priority classes of one fact, and the honest scale note is
+    that same-fact legs should instead be ONE conditional aggregate —
+    this query keeps the union shape because that is the operator
+    composition the reference is benchmarked on (aggregate → union →
+    re-aggregate → TakeOrderedAndProject), with each leg aggregating
+    BEFORE the union so the unioned relation is |parts|-sized, never
+    fact-sized."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+
+    def leg(prio: str) -> DataFrame:
+        return (
+            li.join(
+                orders.filter(F.col("o_orderpriority") == prio),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+            )
+            .groupBy("l_partkey")
+            .agg(F.sum(_drev()).alias("rev"))
+        )
+
+    u = leg("1-URGENT").unionByName(leg("2-HIGH")).unionByName(leg("5-LOW"))
+    return (
+        u.groupBy("l_partkey")
+        .agg(_money(F.sum("rev")).alias("total_rev"))
+        .orderBy(F.col("total_rev").desc(), "l_partkey")
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+# q46/q68 shape — orders where most lines ship from a foreign nation
+# --------------------------------------------------------------------------
+@register(
+    "tpcds_cross_nation_orders",
+    oracle=f"""
+WITH lines AS (
+  SELECT o.o_orderkey, o.o_custkey,
+         CASE WHEN s.s_nationkey <> c.c_nationkey THEN 1 ELSE 0 END
+           AS is_foreign,
+         {SQL_REV} AS rev
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+),
+per_order AS (
+  SELECT o_orderkey, o_custkey,
+         CAST(sum(is_foreign) AS BIGINT) AS n_foreign,
+         count(*) AS n_lines,
+         sum(CASE WHEN is_foreign = 1 THEN rev
+                  ELSE CAST(0 AS DECIMAL(18,2)) END) AS foreign_rev
+  FROM lines GROUP BY o_orderkey, o_custkey
+)
+SELECT o_orderkey, o_custkey, n_foreign, n_lines,
+       CAST(round(foreign_rev, 2) AS DOUBLE) AS foreign_rev
+FROM per_order
+WHERE 2 * n_foreign > n_lines
+ORDER BY foreign_rev DESC, o_orderkey
+LIMIT 25
+""",
+    tags=("tpcds", "dimension-mismatch", "majority", "topk"),
+)
+def tpcds_cross_nation_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q46/q68 shape: orders whose lines MOSTLY involve a
+    dimension-attribute mismatch (supplier nation ≠ customer nation —
+    the analogue of q46's 'bought in a different city than home').
+    The mismatch flag is computed per line from two broadcast
+    dimensions, rolled up per order, and the majority test is the
+    cross-multiplied count comparison (2·foreign > lines).  One fact
+    exchange (the per-order rollup); TakeOrderedAndProject bounds the
+    output."""
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    li = _t(spark, sf_dir, "lineitem")
+    zero = F.lit(0).cast("decimal(18,2)")
+    is_foreign = F.when(
+        F.col("s_nationkey") != F.col("c_nationkey"), 1
+    ).otherwise(0)
+    lines = (
+        orders.join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            is_foreign.alias("is_foreign"),
+            _drev().alias("rev"),
+        )
+    )
+    per_order = lines.groupBy("o_orderkey", "o_custkey").agg(
+        F.sum("is_foreign").cast("long").alias("n_foreign"),
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(
+            F.when(F.col("is_foreign") == 1, F.col("rev")).otherwise(zero)
+        ).alias("foreign_rev_dec"),
+    )
+    return (
+        per_order.filter(2 * F.col("n_foreign") > F.col("n_lines"))
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "n_foreign",
+            "n_lines",
+            _money(F.col("foreign_rev_dec")).alias("foreign_rev"),
+        )
+        .orderBy(F.col("foreign_rev").desc(), "o_orderkey")
+        .limit(25)
+    )
