@@ -2420,3 +2420,66 @@ def quality_linear_scorer(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "quality_scorer_weight_table",
+    oracle="""
+WITH w AS (
+  SELECT [-3, 2, 0, -2, 3, 1, -1, -3, 2, 0, -2, 3, 1, -1, -3, 2] AS wt
+),
+scored AS (
+  SELECT d.lang,
+         CAST(list_sum(list_transform(str_split(lower(d.text), ' '),
+              t -> w.wt[strpos('0123456789abcdef',
+                               substr(md5(t), 1, 1))])) AS BIGINT) AS score
+  FROM documents d CROSS JOIN w
+)
+SELECT lang,
+       count(*) AS n_docs,
+       CAST(sum(CASE WHEN score > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+       CAST(sum(CASE WHEN score < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_neg,
+       CAST(sum(score) AS BIGINT) AS sum_score
+FROM scored
+GROUP BY lang
+ORDER BY lang
+""",
+    tags=("datapipe", "text", "quality", "ml-scoring", "weight-table"),
+)
+def quality_scorer_weight_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The quality scorer with weights as DATA: a 16-entry weight
+    TABLE indexed by feature-hash bucket (element_at on a literal
+    array), instead of `quality_linear_scorer`'s weights-as-arithmetic.
+    This is the shape a trained model actually ships in — at scale the
+    literal array is a broadcast built by collecting the (hash-sized,
+    bounded) trained-weights table, and retraining swaps the data, not
+    the query.  Lookup stays codegen (element_at on an array literal);
+    one exchange for the per-language rollup."""
+    weights = [-3, 2, 0, -2, 3, 1, -1, -3, 2, 0, -2, 3, 1, -1, -3, 2]
+    docs = load_table(spark, sf_dir, "documents")
+    wt = F.array(*[F.lit(w) for w in weights])
+    toks = F.split(F.lower("text"), " ")
+    bucket = lambda t: F.instr(
+        F.lit("0123456789abcdef"),
+        F.substring(F.md5(t.cast("binary")), 1, 1),
+    )
+    score = F.aggregate(
+        F.transform(toks, lambda t: F.element_at(wt, bucket(t))),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = docs.select("lang", score.alias("score"))
+    return (
+        scored.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("score") > 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_pos"),
+            F.sum(F.when(F.col("score") < 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_neg"),
+            F.sum("score").cast("long").alias("sum_score"),
+        )
+        .orderBy("lang")
+    )
