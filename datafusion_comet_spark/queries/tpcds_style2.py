@@ -1737,3 +1737,121 @@ def tpcds_cross_nation_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("foreign_rev").desc(), "o_orderkey")
         .limit(25)
     )
+
+
+# --------------------------------------------------------------------------
+# q79 shape — each customer's single best order
+# --------------------------------------------------------------------------
+@register(
+    "tpcds_best_visit_per_customer",
+    oracle=f"""
+WITH per_order AS (
+  SELECT o_custkey, o_orderkey, sum({SQL_REV}) AS rev
+  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+  WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+    AND o_orderdate <  TIMESTAMP '1998-07-01 00:00:00'
+  GROUP BY o_custkey, o_orderkey
+),
+best AS (
+  SELECT o_custkey, o_orderkey, rev,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY rev DESC, o_orderkey) AS rn
+  FROM per_order
+)
+SELECT c_name, o_orderkey,
+       CAST(round(rev, 2) AS DOUBLE) AS best_rev
+FROM best JOIN customer ON o_custkey = c_custkey
+WHERE rn = 1
+ORDER BY best_rev DESC, o_orderkey
+LIMIT 30
+""",
+    tags=("tpcds", "window", "per-group-best", "topk"),
+)
+def tpcds_best_visit_per_customer(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-DS q79 shape: each customer's single highest-revenue order
+    (per-group argmax over a per-order aggregate), then a global
+    top-30 of those bests.  Two-level reduction: the per-order rollup
+    shares its o_custkey-compatible exchange with the per-customer
+    window (WindowGroupLimit prunes to 1 row per customer before the
+    broadcast name join), and only |customers| rows reach the final
+    TakeOrdered."""
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= _ts("1998-01-01 00:00:00"))
+        & (F.col("o_orderdate") < _ts("1998-07-01 00:00:00"))
+    ).select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    per_order = (
+        orders.join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_custkey", "o_orderkey")
+        .agg(F.sum(_drev()).alias("rev"))
+    )
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("rev").desc(), F.col("o_orderkey")
+    )
+    best = per_order.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") == 1
+    )
+    return (
+        best.join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .select("c_name", "o_orderkey", _money(F.col("rev")).alias("best_rev"))
+        .orderBy(F.col("best_rev").desc(), "o_orderkey")
+        .limit(30)
+    )
+
+
+# --------------------------------------------------------------------------
+# q37/q82 shape — dimension band filter + fact-activity semi join
+# --------------------------------------------------------------------------
+@register(
+    "tpcds_active_part_band",
+    oracle="""
+SELECT p_brand, p_type, p_size,
+       CAST(round(CAST(p_retailprice AS DECIMAL(18,2)), 2) AS DOUBLE)
+         AS p_retailprice
+FROM part
+WHERE p_retailprice BETWEEN 905 AND 960
+  AND p_size IN (5, 10, 15, 20, 25, 30)
+  AND p_partkey IN (
+    SELECT l_partkey FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-04-01 00:00:00')
+ORDER BY p_brand, p_type, p_size, p_retailprice
+""",
+    tags=("tpcds", "semi-join", "band", "pushdown"),
+)
+def tpcds_active_part_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q37/q82 shape: a dimension report — parts in a price
+    band and size set that saw fact activity in a window.  The band
+    and the IN-set are scan-pushed dimension predicates; the activity
+    test is a LeftSemi against the window's distinct partkeys.  Join
+    direction matters at scale: the (filtered, small) dimension is the
+    probe side and the fact is reduced to a key set BEFORE the join —
+    never dimension-broadcast-into-fact followed by a distinct over
+    fact-sized output."""
+    part = _t(spark, sf_dir, "part").filter(
+        F.col("p_retailprice").between(905, 960)
+        & F.col("p_size").isin(5, 10, 15, 20, 25, 30)
+    )
+    active = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= _ts("1998-01-01 00:00:00"))
+            & (F.col("l_shipdate") < _ts("1998-04-01 00:00:00"))
+        )
+        .select("l_partkey")
+    )
+    return (
+        part.join(active, F.col("p_partkey") == F.col("l_partkey"), "left_semi")
+        .select(
+            "p_brand",
+            "p_type",
+            "p_size",
+            F.round(_dec("p_retailprice"), 2)
+            .cast("double")
+            .alias("p_retailprice"),
+        )
+        .orderBy("p_brand", "p_type", "p_size", "p_retailprice")
+    )
