@@ -305,3 +305,37 @@ def multi_distinct_query(draw) -> str:
 def test_random_multi_distinct_matches_duckdb(views, sf_dir, sql):
     df = views.sql(sql)
     compare_to_oracle(df, sql, sf_dir)
+
+
+@st.composite
+def semi_anti_query(draw) -> str:
+    """Random IN / NOT IN subquery filters — Catalyst lowers these to
+    LeftSemi / null-aware LeftAnti joins (the reference's null-aware
+    anti path, planner.rs:1818-1827); randomized over the subquery's
+    dimension predicate, the membership polarity, and the outer
+    aggregation key."""
+    neg = draw(st.sampled_from(["IN", "NOT IN"]))
+    size_lo = draw(st.integers(1, 25))
+    size_hi = size_lo + draw(st.integers(5, 25))
+    pred = draw(predicate())
+    key = draw(st.sampled_from(KEY_COLS))
+    return (
+        f"SELECT {key} AS k, count(*) AS n, "
+        f"CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty "
+        f"FROM lineitem WHERE ({pred}) "
+        f"AND l_partkey {neg} (SELECT p_partkey FROM part "
+        f"WHERE p_size BETWEEN {size_lo} AND {size_hi}) "
+        f"GROUP BY {key} ORDER BY k"
+    )
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(sql=semi_anti_query())
+def test_random_semi_anti_matches_duckdb(views, sf_dir, sql):
+    df = views.sql(sql)
+    compare_to_oracle(df, sql, sf_dir)
