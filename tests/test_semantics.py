@@ -999,3 +999,16 @@ def test_stream_sink_manifest_commit_is_batch_idempotent(tmp_path):
     assert [m["path"] for m in listed["files"]] == [
         str(tmp_path / "stream-part-b.jsonl")
     ]
+
+
+def test_no_oracle_queries_are_rerun_deterministic(spark, sf_dir):
+    """Name-level pin for the two no-oracle queries whose kernels are
+    verified elsewhere (connected-components graph pin; murmur3/xxhash
+    value pin): the registered query itself must return identical rows
+    across two executions — the determinism contract every inventory
+    entry carries even without a DuckDB counterpart."""
+    for name in ("dedup_cluster_components", "expr_hash_spark_native"):
+        fn = REGISTRY[name].fn
+        a = sorted(map(tuple, fn(spark, sf_dir).collect()))
+        b = sorted(map(tuple, fn(spark, sf_dir).collect()))
+        assert a == b and len(a) > 0, name
