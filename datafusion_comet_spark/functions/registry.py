@@ -255,6 +255,14 @@ _ARR = {
     "AggregateArray": lambda: F.aggregate(c("arr"), F.lit(0), lambda a, x: a + x),
     "ZipWith": lambda: F.zip_with(c("arr"), c("arr2"), lambda x, y: x + y),
     "ArrayExists": lambda: F.exists(c("arr"), lambda x: x > 2),
+    # beyond the reference doc: comparator-lambda sort and reduce
+    "ArraySortComparator": lambda: F.array_sort(
+        c("arr"),
+        lambda x, y: F.when(x < y, 1).when(x > y, -1).otherwise(0),
+    ),
+    "Reduce": lambda: F.reduce(
+        c("arr"), F.lit(0), lambda acc, x: acc + x
+    ),
     "ArrayForAll": lambda: F.forall(c("arr"), lambda x: x.isNotNull()),
 }
 for name, b in _ARR.items():
