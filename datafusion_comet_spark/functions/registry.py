@@ -483,7 +483,6 @@ for name, b in _WIN.items():
 # the §2.2 inventory is accounted for name-by-name.
 INTERNAL_EXPRESSIONS: dict[str, str] = {
     "AttributeReference": "every column reference in every query",
-    "Expression": "base class, not a function",
     "Ascending": "orderBy(col.asc()) — every sorted query",
     "Descending": "orderBy(col.desc()) — every top-k query",
     "NullsFirst": "asc_nulls_first() — sort-gate queries (q1 ordering)",

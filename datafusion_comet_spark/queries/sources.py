@@ -852,7 +852,10 @@ def python_datasource_stream_sink(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    finished = q.awaitTermination(120)
+    assert finished, (
+        f"stream did not finish within 120s; lastProgress={q.lastProgress}"
+    )
     files = []
     for mpath in sorted(_glob.glob(_os.path.join(path, "manifest-*.json"))):
         with open(mpath) as f:

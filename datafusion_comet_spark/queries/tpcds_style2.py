@@ -262,10 +262,10 @@ def tpcds_return_ratio_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: one conditional aggregate pass over the quarter's lines
     (two ratios from the same groupBy — never two fact scans), then
-    two unpartitioned rank windows over the |parts|-sized aggregate.
-    Both windows share the same tiny input; WindowGroupLimit-style
-    early pruning does not apply because rank ties must survive, but
-    the windowed relation is already aggregate-sized.  Ratios are
+    top-10-by-rank WITHOUT any global window: TakeOrdered 10th-value
+    thresholds + broadcast inequality count-joins reconstruct exact
+    rank() (ties included) while no task ever sees more than its own
+    partition of the aggregate — see inline comments.  Ratios are
     computed in exact decimal then divided as double on both engines
     (identical IEEE bits), so rank ties are data-determined, not
     float-noise-determined."""
@@ -300,22 +300,82 @@ def tpcds_return_ratio_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     qty_ratio = F.round(
         F.col("ret_qty").cast("double") / F.col("tot_qty").cast("double"), 6
     )
-    ranked = per_part.select(
+    cand = per_part.select(
         "l_partkey",
         amt_ratio.alias("amt_ratio"),
         qty_ratio.alias("qty_ratio"),
-        F.rank()
-        .over(Window.orderBy(amt_ratio.desc()))
-        .cast("long")
-        .alias("amt_rank"),
-        F.rank()
-        .over(Window.orderBy(qty_ratio.desc()))
-        .cast("long")
-        .alias("qty_rank"),
     )
-    return ranked.filter(
-        (F.col("amt_rank") <= 10) | (F.col("qty_rank") <= 10)
-    ).orderBy("amt_rank", "qty_rank", "l_partkey")
+    # Scale shape: the naive spelling ranks ALL |parts| aggregate rows
+    # through one unpartitioned WindowExec reducer (the OR'd rank
+    # filter defeats WindowGroupLimit pruning).  Instead:
+    #   1. 10th-highest value per measure via orderBy+limit(10) →
+    #      TakeOrderedAndProject (per-partition 10-row heads merged on
+    #      the driver — never a global sort);
+    #   2. keep aggregate rows at-or-above either broadcast threshold
+    #      (≥ the 10th value ⟹ at most 9 strictly greater ⟹ rank ≤ 10,
+    #      so this is exactly the top-10-by-rank set, ties included);
+    #   3. exact global rank of each survivor — including the OTHER
+    #      measure's possibly-large rank — as 1 + count(strictly
+    #      greater), via a broadcast inequality join against the
+    #      aggregate (rank() ≡ 1 + |{v : v > x}| under DESC order).
+    # Every branch re-reads per_part's shuffle via ReuseExchange; the
+    # fact is scanned once and no task ever holds more than its own
+    # aggregate partition.
+    th_amt = (
+        cand.orderBy(F.col("amt_ratio").desc())
+        .limit(10)
+        .agg(F.min("amt_ratio").alias("th_amt"))
+    )
+    th_qty = (
+        cand.orderBy(F.col("qty_ratio").desc())
+        .limit(10)
+        .agg(F.min("qty_ratio").alias("th_qty"))
+    )
+    kept = (
+        cand.join(F.broadcast(th_amt.join(th_qty)))
+        .filter(
+            (F.col("amt_ratio") >= F.col("th_amt"))
+            | (F.col("qty_ratio") >= F.col("th_qty"))
+        )
+        .select("l_partkey", "amt_ratio", "qty_ratio")
+    )
+    ka = kept.select(
+        F.col("l_partkey").alias("ka_key"), F.col("amt_ratio").alias("ka_v")
+    )
+    kq = kept.select(
+        F.col("l_partkey").alias("kq_key"), F.col("qty_ratio").alias("kq_v")
+    )
+    amt_gt = (
+        cand.select("amt_ratio")
+        .join(F.broadcast(ka), F.col("amt_ratio") > F.col("ka_v"))
+        .groupBy("ka_key")
+        .agg(F.count(F.lit(1)).alias("amt_gt"))
+    )
+    qty_gt = (
+        cand.select("qty_ratio")
+        .join(F.broadcast(kq), F.col("qty_ratio") > F.col("kq_v"))
+        .groupBy("kq_key")
+        .agg(F.count(F.lit(1)).alias("qty_gt"))
+    )
+    return (
+        kept.join(
+            F.broadcast(amt_gt), kept.l_partkey == F.col("ka_key"), "left"
+        )
+        .join(F.broadcast(qty_gt), kept.l_partkey == F.col("kq_key"), "left")
+        .select(
+            "l_partkey",
+            "amt_ratio",
+            "qty_ratio",
+            (F.coalesce(F.col("amt_gt"), F.lit(0)) + 1)
+            .cast("long")
+            .alias("amt_rank"),
+            (F.coalesce(F.col("qty_gt"), F.lit(0)) + 1)
+            .cast("long")
+            .alias("qty_rank"),
+        )
+        .filter((F.col("amt_rank") <= 10) | (F.col("qty_rank") <= 10))
+        .orderBy("amt_rank", "qty_rank", "l_partkey")
+    )
 
 
 # --------------------------------------------------------------------------

@@ -1121,22 +1121,21 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_part = national.groupBy("l_partkey").agg(
         F.sum(_drev()).alias("value_exact")
     )
-    # Threshold via an unpartitioned window over the AGGREGATED rows:
-    # the scalar-subquery spelling (agg + broadcast rejoin) re-executes
-    # the national semi-join + aggregation for the threshold branch —
-    # two fact passes.  The window moves only |parts-in-nation| rows
-    # (already reduced ~3 orders of magnitude) through one reducer,
-    # which is the cheaper trade at every scale factor.
-    from pyspark.sql import Window as _W
-
-    total_w = _W.partitionBy()
+    # Threshold as a re-aggregation of the per-part AGGREGATE, joined
+    # back via a broadcast of the 1-row total.  The per-part
+    # aggregate's shuffle exchange is identical in both branches, so
+    # ReuseExchange runs the fact semi-join + partial agg exactly once
+    # (no second fact pass), and — unlike the earlier unpartitioned-
+    # window spelling — no task ever sees more than its own partition
+    # of per-part rows: the only global object is the broadcast 1-row
+    # threshold.  Scales flat at 100x the part count.
+    total = per_part.agg(F.sum("value_exact").alias("grand_total"))
     return (
-        per_part.withColumn(
-            "threshold",
-            F.sum("value_exact").over(total_w)
-            * F.lit("0.001").cast("decimal(6,3)"),
+        per_part.join(F.broadcast(total))
+        .filter(
+            F.col("value_exact")
+            > F.col("grand_total") * F.lit("0.001").cast("decimal(6,3)")
         )
-        .filter(F.col("value_exact") > F.col("threshold"))
         .select(
             "l_partkey", _money(F.col("value_exact")).alias("part_value")
         )

@@ -171,16 +171,20 @@ SELECT s_suppkey, s_acctbal,
        round(percent_rank() OVER w, 6) AS pct_rank,
        round(cume_dist()    OVER w, 6) AS cume
 FROM supplier
-WINDOW w AS (ORDER BY s_acctbal, s_suppkey)
+WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal, s_suppkey)
 ORDER BY s_suppkey
 """,
     tags=("window", "distribution"),
 )
 def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ntile / percent_rank / cume_dist over a global window (all fall
-    back in the reference — native Spark superset)."""
+    """ntile / percent_rank / cume_dist (all fall back in the
+    reference — native Spark superset), partitioned by nation so the
+    window parallelizes across keys.  The GLOBAL (unpartitioned)
+    spelling of these functions is covered by
+    ``window_distribution_global``, which computes identical values
+    without funnelling the table through one reducer."""
     supp = _t(spark, sf_dir, "supplier")
-    w = W.orderBy("s_acctbal", "s_suppkey")
+    w = W.partitionBy("s_nationkey").orderBy("s_acctbal", "s_suppkey")
     return supp.select(
         "s_suppkey",
         "s_acctbal",
@@ -188,6 +192,86 @@ def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
         F.round(F.cume_dist().over(w), 6).alias("cume"),
     ).orderBy("s_suppkey")
+
+
+@register(
+    "window_distribution_global",
+    oracle="""
+SELECT s_suppkey, s_acctbal,
+       ntile(4)       OVER w AS quartile,
+       round(percent_rank() OVER w, 6) AS pct_rank,
+       round(cume_dist()    OVER w, 6) AS cume
+FROM supplier
+WINDOW w AS (ORDER BY s_acctbal, s_suppkey)
+ORDER BY s_suppkey
+""",
+    tags=("window", "distribution", "scale-rewrite"),
+)
+def window_distribution_global(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """GLOBAL ntile / percent_rank / cume_dist — without the
+    unpartitioned WindowExec the naive spelling plans (one reducer
+    holding the whole table).
+
+    Because the window's ORDER BY (s_acctbal, s_suppkey) is a unique
+    key, rank == row_number, so every distribution function is a pure
+    formula of (global row number rn, total count n):
+
+        percent_rank = (rn - 1) / (n - 1)
+        cume_dist    = rn / n
+        ntile(k)     = first (n % k) tiles get ceil(n/k) rows,
+                       the rest floor(n/k)  (Spark NTile semantics,
+                       matched by DuckDB)
+
+    rn itself uses the distributed zipWithIndex idiom (see
+    global_index_assignment): range-partition on the order key, local
+    row_number per physical partition, |partitions|-row offset rollup
+    broadcast back.  One range exchange of the data; the only global
+    objects are the tiny offsets and the 1-row total."""
+    supp = (
+        _t(spark, sf_dir, "supplier")
+        .select("s_suppkey", "s_acctbal")
+        .repartitionByRange(8, "s_acctbal", "s_suppkey")
+        .withColumn("pid", F.spark_partition_id())
+    )
+    wloc = W.partitionBy("pid").orderBy("s_acctbal", "s_suppkey")
+    local = supp.withColumn("local_rn", F.row_number().over(wloc))
+    counts = local.groupBy("pid").agg(F.max("local_rn").alias("cnt"))
+    woff = W.orderBy("pid").rowsBetween(W.unboundedPreceding, -1)
+    offsets = counts.select(
+        "pid",
+        F.coalesce(F.sum("cnt").over(woff), F.lit(0)).alias("offset"),
+        F.sum("cnt").over(
+            W.orderBy(F.lit(1)).rowsBetween(
+                W.unboundedPreceding, W.unboundedFollowing
+            )
+        ).alias("n"),
+    )
+    rn = F.col("offset") + F.col("local_rn")
+    n = F.col("n")
+    k = F.lit(4)
+    big = F.floor(n / k) + 1  # rows per tile in the first n%k tiles
+    small = F.floor(n / k)
+    cut = (n % k) * big  # rows covered by the big tiles
+    quartile = (
+        F.when(rn <= cut, F.floor((rn - 1) / big))
+        .otherwise((n % k) + F.floor((rn - cut - 1) / small))
+        + 1
+    )
+    return (
+        local.join(F.broadcast(offsets), "pid")
+        .select(
+            "s_suppkey",
+            "s_acctbal",
+            quartile.cast("int").alias("quartile"),
+            F.round(
+                (rn - 1).cast("double") / (n - 1).cast("double"), 6
+            ).alias("pct_rank"),
+            F.round(rn.cast("double") / n.cast("double"), 6).alias("cume"),
+        )
+        .orderBy("s_suppkey")
+    )
 
 
 @register(

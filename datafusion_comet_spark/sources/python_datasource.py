@@ -167,6 +167,22 @@ class _PartFile(WriterCommitMessage):
         self.n_rows = n_rows
 
 
+def _publish_json(obj, dest: str) -> None:
+    """Atomic manifest publication: write to a same-directory temp
+    file, then os.replace() onto the final name.  A truncating
+    in-place open(dest, 'w') would let a crash mid-commit (notably
+    during a streaming batch replay) expose a truncated manifest to
+    manifest-consulting readers; rename is atomic on POSIX so readers
+    see either the old manifest or the complete new one, never a
+    partial write."""
+    tmp = f"{dest}.tmp-{_uuid.uuid4().hex}"
+    with open(tmp, "w") as f:
+        _json.dump(obj, f)
+        f.flush()
+        _os.fsync(f.fileno())
+    _os.replace(tmp, dest)
+
+
 class JsonlDirWriter(DataSourceWriter):
     """Append-only JSONL part files + manifest commit."""
 
@@ -195,8 +211,7 @@ class JsonlDirWriter(DataSourceWriter):
             ],
             "total_rows": sum(m.n_rows for m in messages),
         }
-        with open(_os.path.join(self.path, "_MANIFEST.json"), "w") as f:
-            _json.dump(manifest, f)
+        _publish_json(manifest, _os.path.join(self.path, "_MANIFEST.json"))
 
     def abort(self, messages) -> None:
         for m in messages:
@@ -355,10 +370,9 @@ class JsonlDirStreamWriter(DataSourceStreamWriter):
             ],
         }
         # idempotent per batch id: replay overwrites, never appends
-        with open(
-            _os.path.join(self.path, f"manifest-{batchId:08d}.json"), "w"
-        ) as f:
-            _json.dump(manifest, f)
+        _publish_json(
+            manifest, _os.path.join(self.path, f"manifest-{batchId:08d}.json")
+        )
 
     def abort(self, messages, batchId: int) -> None:
         for m in messages:

@@ -147,7 +147,13 @@ def test_reference_expression_doc_fully_accounted():
     )
 
     ref_names = set()
-    for line in open(doc):
+    lines = open(doc).read().splitlines()
+    for i, line in enumerate(lines):
+        # skip markdown table HEADER rows (the row immediately before
+        # a |---| separator) so header labels like "Expression" can't
+        # enter the name set and mask genuine coverage gaps
+        if i + 1 < len(lines) and re.match(r"^\|\s*-", lines[i + 1]):
+            continue
         m = re.match(r"^\| ([A-Za-z_0-9]+)\s", line)
         if m:
             ref_names.add(m.group(1))

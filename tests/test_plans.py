@@ -578,3 +578,72 @@ def test_multi_distinct_uses_expand(spark, sf_dir):
     ops = operators_in_plan(df)
     assert "Expand" in ops, ops
     assert ops.count("FileScan") == 1, ops
+
+
+# Queries whose single-partition window input is bounded BY
+# CONSTRUCTION — the justification strings are the audit trail; a new
+# entry here needs the same scrutiny the originals got in round 3.
+_SINGLE_WINDOW_BOUNDED = {
+    "tpcds_quarterly_share_growth": (
+        "window input is the world rollup keyed by quarter(date) — "
+        "<=4 rows by schema domain, invariant to data scale"
+    ),
+    "tpcds_weekday_pivot_ratio": (
+        "window input is the month pivot over a 6-month constant "
+        "range — <=6 rows, invariant to data scale"
+    ),
+    "range_generator": (
+        "input is a constant 1000-row literal Range; a global running "
+        "sum IS the declared semantics"
+    ),
+    "global_index_assignment": (
+        "window input is the per-partition count rollup — |partitions| "
+        "rows, bounded by cluster layout, not data size"
+    ),
+    "window_distribution_global": (
+        "window input is the per-partition count rollup — |partitions| "
+        "rows (distributed zipWithIndex idiom)"
+    ),
+}
+
+
+def test_no_unpartitioned_window_over_unbounded_input(spark, sf_dir):
+    """Inventory-wide guard (round-3 verdict item 1): no registered
+    query may plan an unpartitioned WindowExec over unbounded-
+    cardinality input — the single reducer that holds 100 TB.
+
+    Detection: a ``Window`` operator whose immediate subtree contains
+    ``Exchange SinglePartition``.  Exemptions:
+      * a ``WindowGroupLimit`` between the Window and the exchange —
+        rank()<=k pruning sends each upstream partition's top-k only
+        (e.g. q15_top_supplier);
+      * the ``_SINGLE_WINDOW_BOUNDED`` allowlist, where the windowed
+        relation is bounded by construction (schema domain, query
+        constant, or |partitions|) with a written justification.
+
+    q11_important_stock's threshold window and
+    tpcds_return_ratio_rank's global ranks were retired in round 3 in
+    favor of broadcast-scalar / TakeOrdered+count-rank spellings; this
+    test keeps them retired.
+    """
+    import re
+
+    offenders = []
+    for name, q in REGISTRY.items():
+        plan = plan_string(q.fn(spark, sf_dir), "simple")
+        lines = plan.splitlines()
+        for i, ln in enumerate(lines):
+            if "WindowGroupLimit" in ln or not re.search(r"\bWindow\b", ln):
+                continue
+            ctx = lines[i : i + 4]
+            if not any("SinglePartition" in c for c in ctx):
+                continue
+            if any("WindowGroupLimit" in c for c in ctx):
+                continue  # rank-limit pruned: bounded per-partition feed
+            if name in _SINGLE_WINDOW_BOUNDED:
+                continue
+            offenders.append(name)
+            break
+    assert not offenders, (
+        f"unpartitioned WindowExec over unbounded input: {offenders}"
+    )

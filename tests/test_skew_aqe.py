@@ -79,12 +79,25 @@ def test_aqe_splits_skewed_join_partition(spark):
             F.min("rpad").alias("rmin"),
         )
         n = res.collect()[0]["n"]
-        plan = res._jdf.queryExecution().executedPlan().toString()
+        # Public-API plan capture: DataFrame.explain() prints the
+        # (post-execution, isFinalPlan=true) AQE plan Python-side, so
+        # redirect_stdout sees it — no private queryExecution() poking.
+        import io
+        from contextlib import redirect_stdout
+
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            res.explain(mode="extended")
+        plan = buf.getvalue()
     # result correctness: hot key 0 matches 40 right rows, every other
     # key k matches 40 right rows too (uniform 1k keys, 40 each)
     hot_left = 400_000 * 19 // 20
     cold_left = 400_000 - hot_left
     assert n == hot_left * 40 + cold_left * 40, n
+    # "skew=true" is the SortMergeJoin marker AQE's OptimizeSkewedJoin
+    # emits in Spark 4.1's plan string (pinned to the pyspark version
+    # in this container; the marker has been stable since Spark 3.0,
+    # SPARK-29544).
     assert "skew=true" in plan, (
         "AQE did not mark the skewed join partition for splitting:\n"
         + plan[:2000]
