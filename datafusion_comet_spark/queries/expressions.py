@@ -465,6 +465,129 @@ def expr_cast_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("o_orderkey")
 
 
+@register(
+    "expr_cast_narrowing",
+    oracle="""
+SELECT p_partkey,
+       TRY_CAST(p_size AS TINYINT)                   AS size_i8,
+       TRY_CAST(p_size AS SMALLINT)                  AS size_i16,
+       TRY_CAST(p_partkey * 1000000 AS INTEGER)      AS key_scaled_i32,
+       TRY_CAST(floor(p_retailprice) AS BIGINT)      AS price_trunc,
+       TRY_CAST(CAST(p_retailprice AS DECIMAL(12,2))
+                AS DECIMAL(18,6))                    AS price_rescaled,
+       TRY_CAST(p_size AS DOUBLE)                    AS size_dbl,
+       TRY_CAST(CAST(p_size AS DOUBLE) AS FLOAT)     AS size_f32
+FROM part
+WHERE p_partkey < 400
+ORDER BY p_partkey
+""",
+    tags=("expression", "cast", "narrowing"),
+)
+def expr_cast_narrowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numeric↔numeric direction family: int downcasts (in-range and
+    overflow→NULL under TRY), decimal rescale, int→double→float.  The
+    per-(from,to,evalMode) edge sweep lives in tests/test_cast_pairs.py
+    (reference: CometCast.scala:310-378 canCastFromByte..FromDouble)."""
+    part = _t(spark, sf_dir, "part").filter(F.col("p_partkey") < 400)
+    return part.select(
+        "p_partkey",
+        F.col("p_size").try_cast("tinyint").alias("size_i8"),
+        F.col("p_size").cast("smallint").alias("size_i16"),
+        F.expr("try_cast(p_partkey * 1000000 AS int)").alias(
+            "key_scaled_i32"
+        ),
+        F.expr("try_cast(floor(p_retailprice) AS bigint)").alias(
+            "price_trunc"
+        ),
+        F.col("p_retailprice")
+        .cast("decimal(12,2)")
+        .cast("decimal(18,6)")
+        .alias("price_rescaled"),
+        F.col("p_size").cast("double").alias("size_dbl"),
+        F.col("p_size").cast("double").cast("float").alias("size_f32"),
+    ).orderBy("p_partkey")
+
+
+@register(
+    "expr_cast_string_parsing",
+    oracle="""
+SELECT o_orderkey,
+       TRY_CAST(CAST(o_orderkey AS VARCHAR) AS BIGINT)  AS key_roundtrip,
+       TRY_CAST(o_orderstatus AS INTEGER)               AS status_as_int,
+       TRY_CAST(' ' || CAST(o_orderkey AS VARCHAR) || ' '
+                AS BIGINT)                              AS key_padded,
+       TRY_CAST(o_orderpriority AS DOUBLE) IS NULL      AS prio_not_numeric,
+       TRY_CAST(substr(CAST(o_orderdate AS VARCHAR), 1, 10)
+                AS DATE)                                AS od_parsed,
+       TRY_CAST(CAST(o_orderdate AS VARCHAR) AS TIMESTAMP)
+                                                        AS ots_parsed
+FROM orders
+WHERE o_orderkey < 400
+ORDER BY o_orderkey
+""",
+    tags=("expression", "cast", "string"),
+)
+def expr_cast_string_parsing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """string→{numeric, date, timestamp} direction family under TRY
+    semantics: numeric round-trip, malformed→NULL, whitespace trim,
+    ISO date/timestamp parse (reference:
+    CometCast.scala:206-233 canCastFromString)."""
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 400)
+    od_str = F.col("o_orderdate").cast("string")
+    return orders.select(
+        "o_orderkey",
+        F.col("o_orderkey").cast("string").try_cast("bigint").alias(
+            "key_roundtrip"
+        ),
+        F.col("o_orderstatus").try_cast("int").alias("status_as_int"),
+        F.concat(F.lit(" "), F.col("o_orderkey").cast("string"), F.lit(" "))
+        .try_cast("bigint")
+        .alias("key_padded"),
+        F.col("o_orderpriority")
+        .try_cast("double")
+        .isNull()
+        .alias("prio_not_numeric"),
+        F.substring(od_str, 1, 10).try_cast("date").alias("od_parsed"),
+        od_str.try_cast("timestamp").alias("ots_parsed"),
+    ).orderBy("o_orderkey")
+
+
+@register(
+    "expr_cast_temporal",
+    oracle="""
+SELECT o_orderkey,
+       CAST(o_orderdate AS DATE)                         AS od_date,
+       CAST(CAST(o_orderdate AS DATE) AS TIMESTAMP)      AS od_midnight,
+       CAST(CAST(o_orderdate AS DATE) AS VARCHAR)        AS od_str,
+       CAST(o_orderdate AS VARCHAR)                      AS ots_str,
+       CAST(epoch(o_orderdate) AS BIGINT)                AS ots_epoch_s
+FROM orders
+WHERE o_orderkey < 400
+ORDER BY o_orderkey
+""",
+    tags=("expression", "cast", "temporal"),
+)
+def expr_cast_temporal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal direction family: timestamp→date (truncation),
+    date→timestamp (midnight), both→string rendering, and the
+    epoch-seconds link via unix_seconds (the ANSI-legal spelling of
+    the LEGACY-only timestamp→bigint cast, pinned separately in
+    tests/test_cast_pairs.py; reference:
+    CometCast.scala:283-297 canCastFromTimestamp)."""
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 400)
+    od = F.col("o_orderdate")
+    return orders.select(
+        "o_orderkey",
+        od.cast("date").alias("od_date"),
+        od.cast("date").cast("timestamp").alias("od_midnight"),
+        od.cast("date").cast("string").alias("od_str"),
+        od.cast("string").alias("ots_str"),
+        # parquet reads as TIMESTAMP_NTZ; the ntz->ltz cast is exact
+        # under the engine's pinned UTC session timezone
+        F.unix_seconds(od.cast("timestamp")).alias("ots_epoch_s"),
+    ).orderBy("o_orderkey")
+
+
 # --------------------------------------------------------------------------
 # Hash  (reference serde/hash.scala:28-136)
 # --------------------------------------------------------------------------

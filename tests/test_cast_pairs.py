@@ -1,0 +1,699 @@
+"""Cast-matrix differential sweep (round-3 verdict item 3).
+
+The reference's single largest compat kernel is cast
+(reference: spark/src/main/scala/org/apache/comet/expressions/
+CometCast.scala:139-421, native/spark-expr/src/conversion_funcs/cast.rs,
+per-pair tables in docs/source/user-guide/latest/compatibility/
+expressions/cast.md).  This suite is the same artifact rebuilt as an
+executable table: every (from, to) pair the reference marks Compatible
+(plus the Spark-native extras it marks Incompatible/Unsupported, which
+are free here because this engine IS Spark), swept across eval modes:
+
+  LEGACY  — spark.sql.ansi.enabled=false, ``CAST`` (wrap/truncate/null)
+  TRY     — ``try_cast`` (ANSI rules, NULL instead of error)
+  ANSI    — spark.sql.ansi.enabled=true, ``CAST`` (raises on bad input)
+
+Per pair and mode the cast runs over an edge-value fixture and is
+diffed against DuckDB running the same literal VALUES — except where
+the engines' cast semantics genuinely diverge.  There the expected
+Spark value is COMPUTED from the named JVM rule (two's-complement
+narrowing wrap, saturate-then-narrow for floats, truncation toward
+zero, Java Float/Double.toString rendering, epoch-second timestamps)
+and pinned; ``_pin_*`` below are those rules made executable.  The pin
+tables double as this repo's analogue of the reference's cast
+compatibility doc: they record exactly where a DuckDB user would see
+different answers, value by value.
+
+ANSI is covered by ``test_cast_matrix_ansi``: on inputs where
+``try_cast`` returns a value, ANSI ``cast`` must return the same
+value; on inputs where ``try_cast`` nulls a non-null input (the
+error-suppression cases), ANSI ``cast`` must RAISE.  This pins the
+three-way LEGACY/TRY/ANSI split per (pair, value) without enumerating
+error messages.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import math
+import struct
+from decimal import ROUND_DOWN, Decimal
+
+import duckdb
+import pytest
+
+# ---------------------------------------------------------------------------
+# Type tables
+# ---------------------------------------------------------------------------
+DUCK_TYPE = {
+    "boolean": "BOOLEAN",
+    "tinyint": "TINYINT",
+    "smallint": "SMALLINT",
+    "int": "INTEGER",
+    "bigint": "BIGINT",
+    "float": "FLOAT",
+    "double": "DOUBLE",
+    "decimal(10,2)": "DECIMAL(10,2)",
+    "decimal(20,10)": "DECIMAL(20,10)",
+    "decimal(5,1)": "DECIMAL(5,1)",
+    "string": "VARCHAR",
+    "binary": "BLOB",
+    "date": "DATE",
+    "timestamp": "TIMESTAMP",
+    "timestamp_ntz": "TIMESTAMP",
+}
+
+INT_BITS = {"tinyint": 8, "smallint": 16, "int": 32, "bigint": 64}
+INT_FAMILY = tuple(INT_BITS)
+FLOAT_FAMILY = ("float", "double")
+TEMPORAL = ("date", "timestamp", "timestamp_ntz")
+
+# ---------------------------------------------------------------------------
+# Edge-value fixtures.  Each entry: (spark_literal, duck_literal, pyval)
+# — pyval is the abstract input value the pin rules compute from.
+# ---------------------------------------------------------------------------
+def _v(lit, py, duck=None):
+    return (lit, duck if duck is not None else lit, py)
+
+
+_NAN, _INF = float("nan"), float("inf")
+
+VALUES = {
+    "boolean": [
+        _v("TRUE", True),
+        _v("FALSE", False),
+        _v("CAST(NULL AS BOOLEAN)", None),
+    ],
+    "tinyint": [
+        _v("CAST(-128 AS TINYINT)", -128),
+        _v("CAST(-1 AS TINYINT)", -1),
+        _v("CAST(0 AS TINYINT)", 0),
+        _v("CAST(127 AS TINYINT)", 127),
+        _v("CAST(NULL AS TINYINT)", None),
+    ],
+    "smallint": [
+        _v("CAST(-32768 AS SMALLINT)", -32768),
+        _v("CAST(255 AS SMALLINT)", 255),
+        _v("CAST(32767 AS SMALLINT)", 32767),
+        _v("CAST(NULL AS SMALLINT)", None),
+    ],
+    "int": [
+        _v("CAST(-2147483648 AS INT)", -2147483648,
+           "CAST(-2147483648 AS INTEGER)"),
+        _v("CAST(0 AS INT)", 0, "CAST(0 AS INTEGER)"),
+        _v("CAST(40000 AS INT)", 40000, "CAST(40000 AS INTEGER)"),
+        _v("CAST(2147483647 AS INT)", 2147483647,
+           "CAST(2147483647 AS INTEGER)"),
+        _v("CAST(NULL AS INT)", None, "CAST(NULL AS INTEGER)"),
+    ],
+    "bigint": [
+        _v("CAST(-9223372036854775808 AS BIGINT)", -(2**63)),
+        _v("CAST(-1 AS BIGINT)", -1),
+        _v("CAST(0 AS BIGINT)", 0),
+        _v("CAST(9223372036854775807 AS BIGINT)", 2**63 - 1),
+        _v("CAST(NULL AS BIGINT)", None),
+    ],
+    "float": [
+        _v("CAST('-3.4028235E38' AS FLOAT)", -3.4028234663852886e38),
+        _v("CAST('-2.5' AS FLOAT)", -2.5),
+        _v("CAST('-0.0' AS FLOAT)", -0.0),
+        _v("CAST('1.5' AS FLOAT)", 1.5),
+        _v("CAST('96.0' AS FLOAT)", 96.0),
+        _v("CAST('3.4028235E38' AS FLOAT)", 3.4028234663852886e38),
+        _v("CAST('NaN' AS FLOAT)", _NAN),
+        _v("CAST('Infinity' AS FLOAT)", _INF),
+        _v("CAST(NULL AS FLOAT)", None),
+    ],
+    "double": [
+        _v("CAST('-1.7976931348623157E308' AS DOUBLE)",
+           -1.7976931348623157e308),
+        _v("CAST('-2.5' AS DOUBLE)", -2.5),
+        _v("CAST('1.0E-7' AS DOUBLE)", 1.0e-7),
+        _v("CAST('96.0' AS DOUBLE)", 96.0),
+        _v("CAST('1.5' AS DOUBLE)", 1.5),
+        _v("CAST('NaN' AS DOUBLE)", _NAN),
+        _v("CAST('-Infinity' AS DOUBLE)", -_INF),
+        _v("CAST(NULL AS DOUBLE)", None),
+    ],
+    "decimal(10,2)": [
+        _v("CAST('-99999999.99' AS DECIMAL(10,2))", Decimal("-99999999.99")),
+        _v("CAST('-1.99' AS DECIMAL(10,2))", Decimal("-1.99")),
+        _v("CAST('0' AS DECIMAL(10,2))", Decimal("0.00")),
+        _v("CAST('2.50' AS DECIMAL(10,2))", Decimal("2.50")),
+        _v("CAST('96.00' AS DECIMAL(10,2))", Decimal("96.00")),
+        _v("CAST('99999999.99' AS DECIMAL(10,2))", Decimal("99999999.99")),
+        _v("CAST(NULL AS DECIMAL(10,2))", None),
+    ],
+    "string": [
+        _v("'0'", "0"),
+        _v("'1'", "1"),
+        _v("'-1'", "-1"),
+        _v("'127'", "127"),
+        _v("'128'", "128"),
+        _v("'32768'", "32768"),
+        _v("'2147483647'", "2147483647"),
+        _v("'9223372036854775807'", "9223372036854775807"),
+        _v("'1.5'", "1.5"),
+        _v("'2.5'", "2.5"),
+        _v("'2.5e2'", "2.5e2"),
+        _v("' 42 '", " 42 "),
+        _v("''", ""),
+        _v("'abc'", "abc"),
+        _v("'true'", "true"),
+        _v("'f'", "f"),
+        _v("'yes'", "yes"),
+        _v("'NaN'", "NaN"),
+        _v("'2026-08-14'", "2026-08-14"),
+        _v("'2026-8-4'", "2026-8-4"),
+        _v("'2026-08-14 01:02:03'", "2026-08-14 01:02:03"),
+        _v("'2026-08-14T01:02:03.123456'", "2026-08-14T01:02:03.123456"),
+        _v("CAST(NULL AS STRING)", None, "CAST(NULL AS VARCHAR)"),
+    ],
+    "date": [
+        _v("DATE '0001-01-01'", _dt.date(1, 1, 1)),
+        _v("DATE '1969-12-31'", _dt.date(1969, 12, 31)),
+        _v("DATE '1970-01-01'", _dt.date(1970, 1, 1)),
+        _v("DATE '2026-08-14'", _dt.date(2026, 8, 14)),
+        _v("DATE '9999-12-31'", _dt.date(9999, 12, 31)),
+        _v("CAST(NULL AS DATE)", None),
+    ],
+    "timestamp": [
+        _v("TIMESTAMP '1969-12-31 23:59:59.999999'",
+           _dt.datetime(1969, 12, 31, 23, 59, 59, 999999)),
+        _v("TIMESTAMP '1970-01-01 00:00:00'", _dt.datetime(1970, 1, 1)),
+        _v("TIMESTAMP '2026-08-14 01:02:03.123456'",
+           _dt.datetime(2026, 8, 14, 1, 2, 3, 123456)),
+        _v("TIMESTAMP '9999-12-31 23:59:59'",
+           _dt.datetime(9999, 12, 31, 23, 59, 59)),
+        _v("CAST(NULL AS TIMESTAMP)", None),
+    ],
+    "timestamp_ntz": [
+        _v("TIMESTAMP_NTZ '1969-12-31 23:59:59.999999'",
+           _dt.datetime(1969, 12, 31, 23, 59, 59, 999999),
+           "TIMESTAMP '1969-12-31 23:59:59.999999'"),
+        _v("TIMESTAMP_NTZ '2026-08-14 01:02:03.123456'",
+           _dt.datetime(2026, 8, 14, 1, 2, 3, 123456),
+           "TIMESTAMP '2026-08-14 01:02:03.123456'"),
+        _v("CAST(NULL AS TIMESTAMP_NTZ)", None,
+           "CAST(NULL AS TIMESTAMP)"),
+    ],
+    "binary": [
+        _v("X''", b"", "''::BLOB"),
+        _v("X'41'", b"A", "'\\x41'::BLOB"),
+        _v("X'414243'", b"ABC", "'\\x41\\x42\\x43'::BLOB"),
+        _v("X'00FF'", b"\x00\xff", "'\\x00\\xFF'::BLOB"),
+        _v("CAST(NULL AS BINARY)", None, "CAST(NULL AS BLOB)"),
+    ],
+}
+
+# ---------------------------------------------------------------------------
+# The pair matrix (reference parity noted per family in the module doc).
+# ---------------------------------------------------------------------------
+PAIRS = {
+    "boolean": ["tinyint", "smallint", "int", "bigint", "float", "double",
+                "decimal(10,2)", "decimal(5,1)", "string"],
+    "tinyint": ["boolean", "smallint", "int", "bigint", "float", "double",
+                "decimal(10,2)", "decimal(5,1)", "decimal(20,10)", "string"],
+    "smallint": ["boolean", "tinyint", "int", "bigint", "float", "double",
+                 "decimal(10,2)", "decimal(5,1)", "decimal(20,10)", "string"],
+    "int": ["boolean", "tinyint", "smallint", "bigint", "float", "double",
+            "decimal(10,2)", "decimal(5,1)", "decimal(20,10)", "string"],
+    "bigint": ["boolean", "tinyint", "smallint", "int", "float", "double",
+               "decimal(10,2)", "decimal(5,1)", "string"],
+    "float": ["boolean", "tinyint", "smallint", "int", "bigint", "double",
+              "decimal(10,2)", "decimal(20,10)", "string"],
+    "double": ["boolean", "tinyint", "smallint", "int", "bigint", "float",
+               "decimal(10,2)", "decimal(20,10)", "string"],
+    "decimal(10,2)": ["boolean", "tinyint", "smallint", "int", "bigint",
+                      "float", "double", "decimal(20,10)", "decimal(5,1)",
+                      "string"],
+    "string": ["boolean", "tinyint", "smallint", "int", "bigint", "float",
+               "double", "decimal(10,2)", "decimal(20,10)", "decimal(5,1)",
+               "binary", "date", "timestamp", "timestamp_ntz"],
+    "date": ["string", "timestamp", "timestamp_ntz"],
+    "timestamp": ["bigint", "string", "date", "timestamp_ntz"],
+    "timestamp_ntz": ["string", "date", "timestamp"],
+    "binary": ["string"],
+}
+
+# LEGACY-only pairs (ANSI/TRY reject at analysis time; reference gates
+# the same rows on CometEvalMode.LEGACY in CometCast.scala:299-305 and
+# canCastFromDate).
+LEGACY_ONLY_PAIRS = {
+    "boolean": ["timestamp"],
+    "tinyint": ["timestamp", "binary"],
+    "smallint": ["timestamp", "binary"],
+    "int": ["timestamp", "binary"],
+    "bigint": ["timestamp", "binary"],
+    "float": ["timestamp"],
+    "double": ["timestamp"],
+    "decimal(10,2)": ["timestamp"],
+    "date": ["boolean", "tinyint", "smallint", "int", "bigint", "float",
+             "double", "decimal(10,2)"],
+    "timestamp": ["float", "double"],
+}
+
+# ---------------------------------------------------------------------------
+# Pin rules — Spark's semantics, computed.  Each returns the expected
+# value for one input, or ``_USE_DUCK`` to fall through to the
+# differential check for that input.
+# ---------------------------------------------------------------------------
+_USE_DUCK = object()
+_DUCK_ERROR = object()
+
+_I_MIN = {b: -(1 << (INT_BITS[b] - 1)) for b in INT_BITS}
+_I_MAX = {b: (1 << (INT_BITS[b] - 1)) - 1 for b in INT_BITS}
+
+
+def _wrap(v: int, to: str) -> int:
+    """Two's-complement narrowing, the JVM (int)/(short)/(byte) cast."""
+    bits = INT_BITS[to]
+    m = 1 << bits
+    r = v % m
+    return r - m if r >= (m >> 1) else r
+
+
+def _pin_int_narrow_legacy(py, to):
+    """LEGACY int-family downcast: JVM narrowing wrap (Spark
+    Cast.scala longToInt etc. under non-ANSI)."""
+    if py is None:
+        return None
+    return _wrap(py, to)
+
+
+def _pin_float_to_int(py, to, mode):
+    """Float/double -> int family.  TRY: NULL on NaN/±inf/overflow,
+    else truncate toward zero (DuckDB rounds half-even instead).
+    LEGACY: NaN->0; saturate at long/int bounds then JVM-narrow for
+    short/byte — the Scala ``value.toLong/.toInt .toShort/.toByte``
+    chain."""
+    if py is None:
+        return None
+    if mode == "TRY":
+        if math.isnan(py) or math.isinf(py):
+            return None
+        t = int(py)  # Python int() truncates toward zero, as Spark does
+        return t if _I_MIN[to] <= t <= _I_MAX[to] else None
+    if math.isnan(py):
+        return 0
+    wide = "bigint" if to == "bigint" else "int"
+    if math.isinf(py) or not (_I_MIN[wide] <= py <= _I_MAX[wide]):
+        sat = _I_MAX[wide] if py > 0 else _I_MIN[wide]
+    else:
+        sat = int(py)
+    return _wrap(sat, to) if to in ("tinyint", "smallint") else sat
+
+
+def _pin_dec_to_int(py, to, mode):
+    """Decimal -> int family: truncate toward zero; on overflow TRY
+    yields NULL while LEGACY wraps like the JVM narrowing cast
+    (Decimal.toLong then .toByte/.toShort).  DuckDB rounds, hence the
+    pin."""
+    if py is None:
+        return None
+    t = int(py.to_integral_value(rounding=ROUND_DOWN))
+    if _I_MIN[to] <= t <= _I_MAX[to]:
+        return t
+    return _wrap(t, to) if mode == "LEGACY" else None
+
+
+_JAVA_FLOAT_STR = {
+    # Java Float/Double.toString rendering (Spark's to-string cast);
+    # DuckDB prints C-style ('inf', '1e-07', '…e+308').
+    -3.4028234663852886e38: "-3.4028235E38",
+    3.4028234663852886e38: "3.4028235E38",
+    -1.7976931348623157e308: "-1.7976931348623157E308",
+    1.0e-7: "1.0E-7",
+    -2.5: "-2.5",
+    -0.0: "-0.0",
+    1.5: "1.5",
+    96.0: "96.0",
+}
+
+
+def _pin_float_to_string(py, mode):
+    if py is None:
+        return None
+    if math.isnan(py):
+        return "NaN"
+    if math.isinf(py):
+        return "Infinity" if py > 0 else "-Infinity"
+    return _JAVA_FLOAT_STR[py]
+
+
+def _ts_render(us: int) -> str:
+    """Spark's timestamp-to-string: microsecond precision, trailing
+    zeros trimmed, no fraction when zero (session TZ = UTC)."""
+    ts = _dt.datetime(1970, 1, 1) + _dt.timedelta(microseconds=us)
+    s = ts.strftime("%Y-%m-%d %H:%M:%S")
+    if us % 1_000_000:
+        s += ("%.6f" % ((us % 1_000_000) / 1e6))[1:].rstrip("0")
+    return s
+
+
+def _pin_num_to_ts(py, mode):
+    """LEGACY numeric -> timestamp: value = SECONDS since epoch
+    (booleans: true -> 1 MICROsecond, Cast.scala booleanToTimestamp).
+    NaN/±inf/out-of-range -> NULL."""
+    if py is None:
+        return None
+    if py is True:
+        return _ts_render(1)
+    if py is False:
+        return _ts_render(0)
+    if isinstance(py, float) and (math.isnan(py) or math.isinf(py)):
+        return None
+    us = int(py * Decimal(1_000_000)) if isinstance(py, Decimal) else None
+    if us is None:
+        try:
+            us = int(Decimal(repr(py)) * 1_000_000)
+        except Exception:
+            return None
+    # Spark SATURATES at the long-microsecond range instead of nulling
+    # (longToTimestamp multiplication clamp); the two extremes render
+    # as ±290k-year timestamps Python datetime can't hold
+    if us <= -(2**63):
+        return "-290308-12-21 19:59:05.224192"
+    if us >= 2**63 - 1:
+        return "+294247-01-10 04:00:54.775807"
+    return _ts_render(us)
+
+
+def _pin_ts_to_num(py, to, mode):
+    """timestamp -> bigint: floor seconds; -> float/double: fractional
+    seconds (LEGACY only)."""
+    if py is None:
+        return None
+    us = int(
+        (py - _dt.datetime(1970, 1, 1)) / _dt.timedelta(microseconds=1)
+    )
+    if to == "bigint":
+        return us // 1_000_000
+    secs = us / 1e6
+    if to == "float":  # float32 narrowing of the fractional seconds
+        secs = struct.unpack("f", struct.pack("f", secs))[0]
+    return secs
+
+
+def _pin_int_to_binary(py, frm, mode):
+    """LEGACY int-family -> binary: big-endian two's complement at the
+    type's width (Spark Cast.scala:416-424)."""
+    if py is None:
+        return None
+    fmt = {"tinyint": ">b", "smallint": ">h", "int": ">i", "bigint": ">q"}
+    return struct.pack(fmt[frm], py)
+
+
+# Value-keyed pin tables for the remaining (non-rule) divergences.
+# Key: (from, to) -> {python input value: expected}, applied in the
+# modes listed.  Each entry documents WHY DuckDB disagrees.
+_STRING_FRACTION_INTS = {
+    # Spark LEGACY parses fractional strings as decimal then truncates
+    # (but rejects exponent notation); TRY (ANSI rules) rejects all
+    # three -> NULL.  DuckDB rounds '1.5'->2 and accepts '2.5e2'->250.
+    "1.5": {"LEGACY": 1, "TRY": None},
+    "2.5": {"LEGACY": 2, "TRY": None},
+    "2.5e2": {"LEGACY": None, "TRY": None},
+}
+
+VALUE_PINS = {
+    ("string", "boolean"): {
+        # Spark accepts the postgres-style affirmative set; DuckDB
+        # only t/f/true/false/0/1
+        "yes": {"LEGACY": True, "TRY": True},
+    },
+    ("binary", "string"): {
+        # Spark decodes UTF-8 (invalid bytes -> U+FFFD); DuckDB
+        # renders BLOB escape text
+        b"\x00\xff": {"LEGACY": "\x00�", "TRY": "\x00�"},
+    },
+    ("string", "date"): {
+        # year-32768 date: representable in Spark ('+32768-01-01'),
+        # out of DuckDB's parse
+        "32768": {"LEGACY": "+32768-01-01", "TRY": "+32768-01-01"},
+    },
+    ("string", "timestamp"): {
+        "32768": {
+            "LEGACY": "+32768-01-01 00:00:00",
+            "TRY": "+32768-01-01 00:00:00",
+        },
+    },
+    ("string", "timestamp_ntz"): {
+        "32768": {
+            "LEGACY": "+32768-01-01 00:00:00",
+            "TRY": "+32768-01-01 00:00:00",
+        },
+    },
+}
+
+
+def _expected(frm, to, mode, py):
+    """Route one (pair, mode, input) to its pin rule, or _USE_DUCK."""
+    vp = VALUE_PINS.get((frm, to), {})
+    try:
+        if py in vp and mode in vp[py]:
+            return vp[py][mode]
+    except TypeError:
+        pass
+    if frm in INT_FAMILY and to in INT_FAMILY:
+        if mode == "LEGACY" and INT_BITS[to] < INT_BITS[frm]:
+            return _pin_int_narrow_legacy(py, to)
+        return _USE_DUCK
+    if frm in FLOAT_FAMILY and to in INT_FAMILY:
+        return _pin_float_to_int(py, to, mode)
+    if frm == "decimal(10,2)" and to in INT_FAMILY:
+        return _pin_dec_to_int(py, to, mode)
+    if frm in FLOAT_FAMILY and to == "string":
+        return _pin_float_to_string(py, mode)
+    if frm in FLOAT_FAMILY and to.startswith("decimal"):
+        # DuckDB's TRY_CAST(NaN AS DECIMAL) raises (engine quirk);
+        # Spark yields NULL for NaN/±inf in every mode
+        if py is not None and (math.isnan(py) or math.isinf(py)):
+            return None
+        if frm == "float":
+            # Spark converts float32 via Java's shortest decimal
+            # rendering (96.0f -> 96.0000000000); DuckDB scales in
+            # float space (96.0f -> 96.0000032768)
+            if py is None:
+                return None
+            from decimal import ROUND_HALF_UP, localcontext
+
+            scale = int(to.split(",")[1].rstrip(")"))
+            prec = int(to.split("(")[1].split(",")[0])
+            with localcontext() as ctx:
+                ctx.prec = 80  # room for 1e38 at scale 10
+                q = Decimal(_JAVA_FLOAT_STR[py]).quantize(
+                    Decimal(1).scaleb(-scale), rounding=ROUND_HALF_UP
+                )
+            return q if len(q.as_tuple().digits) <= prec else None
+        return _USE_DUCK
+    if frm == "double" and to == "float":
+        # IEEE narrowing: overflow -> ±inf (DuckDB TRY_CAST nulls it)
+        if py is not None and abs(py) > 3.4028235677973366e38:
+            return math.copysign(_INF, py)
+        return _USE_DUCK
+    if frm.startswith("decimal") and to.startswith("decimal"):
+        # rescale rounds HALF_UP in Spark; DuckDB truncates toward zero
+        if py is None:
+            return None
+        scale = int(to.split(",")[1].rstrip(")"))
+        prec = int(to.split("(")[1].split(",")[0])
+        from decimal import ROUND_HALF_UP
+
+        q = py.quantize(Decimal(1).scaleb(-scale), rounding=ROUND_HALF_UP)
+        return q if len(q.as_tuple().digits) <= prec else None
+    if frm == "string" and to in INT_FAMILY:
+        if py in _STRING_FRACTION_INTS:
+            return _STRING_FRACTION_INTS[py][mode]
+        return _USE_DUCK
+    if to == "timestamp" and frm not in (
+        "string", "date", "timestamp_ntz", "timestamp"
+    ):
+        return _pin_num_to_ts(py, mode)  # LEGACY-only pairs
+    if frm == "timestamp" and to in ("bigint", "float", "double"):
+        return _pin_ts_to_num(py, to, mode)
+    if frm in INT_FAMILY and to == "binary":
+        return _pin_int_to_binary(py, frm, mode)
+    if frm == "date" and to not in ("string", "timestamp", "timestamp_ntz"):
+        return None  # LEGACY date->numeric: Spark yields NULL for all
+    return _USE_DUCK
+
+
+# ---------------------------------------------------------------------------
+# Engine runners
+# ---------------------------------------------------------------------------
+def _canon(v):
+    if isinstance(v, (bytes, bytearray)):
+        return bytes(v)
+    if isinstance(v, float) and math.isnan(v):
+        return "NaN"
+    return v
+
+
+def _eq(a, b):
+    if a is None or b is None:
+        return a is None and b is None
+    if isinstance(a, float) and isinstance(b, float):
+        if math.isinf(a) or math.isinf(b):
+            return a == b
+        return math.isclose(a, b, rel_tol=1e-9, abs_tol=1e-300)
+    if isinstance(a, Decimal) and isinstance(b, (int, Decimal)):
+        return a == Decimal(b)
+    return a == b
+
+
+def _targets(frm, mode):
+    base = list(PAIRS.get(frm, ()))
+    if mode == "LEGACY":
+        base += LEGACY_ONLY_PAIRS.get(frm, ())
+    return base
+
+
+def _spark_batch(spark, frm, targets, mode):
+    vals = VALUES[frm]
+    rows_sql = ", ".join(f"({i}, {s})" for i, (s, _, _) in enumerate(vals))
+    fn = "try_cast" if mode == "TRY" else "cast"
+
+    def col(i, t):
+        # temporal results are rendered to string IN the engine: Python
+        # datetime can't hold e.g. the year-32768 date Spark parses
+        # from '32768', and the rendered form is what users see anyway
+        if t in TEMPORAL:
+            return f"cast({fn}(x AS {t}) AS string) AS c{i}"
+        return f"{fn}(x AS {t}) AS c{i}"
+
+    cols = ", ".join(col(i, t) for i, t in enumerate(targets))
+    sql = f"SELECT ix, {cols} FROM (VALUES {rows_sql}) AS t(ix, x)"
+    saved = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set(
+        "spark.sql.ansi.enabled", "false" if mode == "LEGACY" else saved
+    )
+    try:
+        rows = sorted(spark.sql(sql).collect(), key=lambda r: r["ix"])
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", saved)
+    return [
+        [_canon(rows[r][f"c{i}"]) for r in range(len(vals))]
+        for i, t in enumerate(targets)
+    ]
+
+
+def _duck_value(con, duck_lit, to):
+    expr = f"TRY_CAST(x AS {DUCK_TYPE[to]})"
+    if to in TEMPORAL:
+        expr = f"CAST({expr} AS VARCHAR)"
+    try:
+        r = con.execute(
+            f"SELECT {expr} FROM (VALUES ({duck_lit})) AS t(x)"
+        ).fetchone()
+        return _canon(r[0])
+    except Exception:
+        return _DUCK_ERROR
+
+
+@pytest.fixture(scope="module")
+def duck():
+    return duckdb.connect()
+
+
+def _sweep(spark, duck, mode):
+    report = []
+    n_pairs = 0
+    for frm in VALUES:
+        targets = _targets(frm, mode)
+        if not targets:
+            continue
+        results = _spark_batch(spark, frm, targets, mode)
+        for t_idx, to in enumerate(targets):
+            n_pairs += 1
+            for v_idx, (slit, dlit, py) in enumerate(VALUES[frm]):
+                got = results[t_idx][v_idx]
+                want = _expected(frm, to, mode, py)
+                src = "pin"
+                if want is _USE_DUCK:
+                    want, src = _duck_value(duck, dlit, to), "duck"
+                    if want is _DUCK_ERROR:
+                        report.append(
+                            f"DUCKERR ({frm}->{to},{mode}) {slit}: "
+                            f"spark={got!r} needs a pin"
+                        )
+                        continue
+                if not _eq(got, want):
+                    report.append(
+                        f"DIFF ({frm}->{to},{mode}) {slit}: "
+                        f"spark={got!r} {src}={want!r}"
+                    )
+    return n_pairs, report
+
+
+def test_cast_matrix_try(spark, duck):
+    n, report = _sweep(spark, duck, "TRY")
+    assert not report, f"{len(report)} diffs:\n" + "\n".join(report[:60])
+    assert n >= 100, n
+
+
+def test_cast_matrix_legacy(spark, duck):
+    n, report = _sweep(spark, duck, "LEGACY")
+    assert not report, f"{len(report)} diffs:\n" + "\n".join(report[:60])
+    assert n >= 100, n
+
+
+def test_cast_matrix_ansi(spark):
+    """ANSI mode, per (pair, value): where try_cast returns non-NULL,
+    ANSI cast must agree; where try_cast nulls a NON-null input, ANSI
+    cast must raise (CAST_INVALID_INPUT / CAST_OVERFLOW /
+    ArithmeticException)."""
+    n_checked = n_raises = 0
+    raise_cases = []
+    for frm in VALUES:
+        targets = PAIRS[frm]
+        try_res = _spark_batch(spark, frm, targets, "TRY")
+        ok_cols, ok_want = [], []
+        for t_idx, to in enumerate(targets):
+            for v_idx, (slit, _, py) in enumerate(VALUES[frm]):
+                tv = try_res[t_idx][v_idx]
+                out_cast = f"cast({slit} AS {to})"
+                if to in TEMPORAL:
+                    out_cast = f"cast({out_cast} AS string)"
+                nan_inf_to_dec = (
+                    frm in FLOAT_FAMILY
+                    and to.startswith("decimal")
+                    and py is not None
+                    and (math.isnan(py) or math.isinf(py))
+                )
+                if tv is None and py is not None and not nan_inf_to_dec:
+                    raise_cases.append((frm, to, slit, out_cast))
+                else:
+                    # nan_inf_to_dec: Spark quirk — ANSI cast(NaN/±inf
+                    # AS decimal) returns NULL instead of raising
+                    # (Cast.scala castToDecimal nullOnOverflow path);
+                    # asserted here as ANSI==TRY==NULL
+                    ok_cols.append(f"{out_cast} AS c{len(ok_cols)}")
+                    ok_want.append((frm, to, slit, tv))
+        # one batched ANSI query per from-type for all value-preserving
+        # casts (ANSI result must equal the TRY result)
+        for lo in range(0, len(ok_cols), 150):
+            row = spark.sql(
+                "SELECT " + ", ".join(ok_cols[lo : lo + 150])
+            ).collect()[0]
+            for off, (frm2, to, slit, tv) in enumerate(
+                ok_want[lo : lo + 150]
+            ):
+                got = _canon(row[f"c{lo + off}"])
+                assert _eq(got, tv), (
+                    f"ANSI != TRY for ({frm2}->{to}) {slit}: "
+                    f"ansi={got!r} try={tv!r}"
+                )
+                n_checked += 1
+    # error-suppression cases: ANSI must raise where try_cast nulled a
+    # non-null input (quiet the expected CAST_INVALID_INPUT log storm)
+    spark.sparkContext.setLogLevel("FATAL")
+    try:
+        for frm, to, slit, out_cast in raise_cases:
+            with pytest.raises(Exception):
+                spark.sql(f"SELECT {out_cast}").collect()
+            n_raises += 1
+    finally:
+        spark.sparkContext.setLogLevel("WARN")
+    assert n_checked >= 400, n_checked
+    assert n_raises >= 50, n_raises
