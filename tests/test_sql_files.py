@@ -1,0 +1,232 @@
+"""SQL-file test corpus runner (round-3 verdict item 4).
+
+Rebuild of the reference's sqllogictest-like layer
+(reference: spark/src/test/scala/org/apache/comet/CometSqlFileTestSuite
+via docs/source/contributor-guide/sql-file-tests.md; corpus under
+spark/src/test/resources/sql-tests/expressions/** — 176 files).  The
+reference runs each query through Spark and Comet and diffs; here the
+second engine is DuckDB, so a `query` block is a differential check of
+the SAME SQL text on both engines.
+
+File format (tests/sql/**/*.sql), same shape as the reference's:
+
+  -- Config: spark.sql.ansi.enabled=false     (per-file Spark confs)
+  statement
+  CREATE TABLE t(i int, s string) USING parquet
+  statement
+  INSERT INTO t VALUES (1, 'a'), (NULL, NULL)
+  query [tolerance=1e-6] [spark_only]
+  SELECT sum(i) FROM t
+
+Blocks are separated by blank lines; `statement` blocks run on both
+engines (CREATE TABLE type names are rewritten for DuckDB: long →
+BIGINT, string → VARCHAR, binary → BLOB, `USING parquet` dropped);
+`query` blocks run on both and rows are compared order-insensitively
+unless the query has an ORDER BY (then order-sensitively).
+`tolerance=X` compares floats within X.  `spark_only` executes on
+Spark alone — for surface DuckDB can't express — and requires an
+`-- expect-rows: N` directive on the block so it still asserts
+something real.
+
+Adding coverage = dropping a .sql file in tests/sql/<category>/; no
+Python changes needed.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import re
+from decimal import Decimal
+from pathlib import Path
+
+import duckdb
+import pytest
+
+SQL_DIR = Path(__file__).parent / "sql"
+
+# Spark -> DuckDB type-name rewrites applied to `statement` blocks only
+_TYPE_REWRITES = [
+    (re.compile(r"\blong\b", re.I), "BIGINT"),
+    (re.compile(r"\bstring\b", re.I), "VARCHAR"),
+    (re.compile(r"\bbinary\b", re.I), "BLOB"),
+    (re.compile(r"\bUSING\s+parquet\b", re.I), ""),
+]
+
+
+def _duckify(stmt: str) -> str:
+    for pat, rep in _TYPE_REWRITES:
+        stmt = pat.sub(rep, stmt)
+    return stmt
+
+
+class Block:
+    def __init__(self, kind: str, sql: str, args: dict):
+        self.kind, self.sql, self.args = kind, sql, args
+
+
+def parse_sql_file(path: Path):
+    """Return (configs: dict, blocks: list[Block])."""
+    configs: dict[str, str] = {}
+    blocks: list[Block] = []
+    chunks = re.split(r"\n\s*\n", path.read_text())
+    for chunk in chunks:
+        lines = [ln for ln in chunk.splitlines() if ln.strip()]
+        if not lines:
+            continue
+        pending_expect = None
+        while lines and lines[0].lstrip().startswith("--"):
+            c = lines.pop(0).lstrip()[2:].strip()
+            m = re.match(r"Config:\s*([\w.]+)=(\S+)", c)
+            if m:
+                configs[m.group(1)] = m.group(2)
+            m = re.match(r"expect-rows:\s*(\d+)", c)
+            if m:
+                pending_expect = int(m.group(1))
+        if not lines:
+            continue
+        head = lines[0].strip().lower()
+        if head == "statement":
+            blocks.append(Block("statement", "\n".join(lines[1:]), {}))
+        elif head.startswith("query"):
+            args: dict = {}
+            for tok in head.split()[1:]:
+                if tok.startswith("tolerance="):
+                    args["tolerance"] = float(tok.split("=", 1)[1])
+                elif tok == "spark_only":
+                    args["spark_only"] = True
+            if pending_expect is not None:
+                args["expect_rows"] = pending_expect
+            blocks.append(Block("query", "\n".join(lines[1:]), args))
+        # anything else in a chunk (pure comments) is ignored
+    return configs, blocks
+
+
+def _canon(v):
+    if isinstance(v, (bytes, bytearray)):
+        return bytes(v)
+    if isinstance(v, Decimal):
+        return v
+    return v
+
+
+def _row_key(row):
+    return tuple(
+        (x is None, type(x).__name__, str(x)) for x in row
+    )
+
+
+def _rows_equal(a, b, tol: float | None) -> bool:
+    if len(a) != len(b):
+        return False
+    for x, y in zip(a, b):
+        if x is None or y is None:
+            if x is not None or y is not None:
+                return False
+            continue
+        fx = isinstance(x, (float, int, Decimal)) and not isinstance(
+            x, bool
+        )
+        fy = isinstance(y, (float, int, Decimal)) and not isinstance(
+            y, bool
+        )
+        if fx and fy:
+            xf, yf = float(x), float(y)
+            if math.isnan(xf) or math.isnan(yf):
+                if not (math.isnan(xf) and math.isnan(yf)):
+                    return False
+                continue
+            t = tol if tol is not None else 1e-9
+            if not math.isclose(xf, yf, rel_tol=t, abs_tol=t):
+                return False
+        elif _canon(x) != _canon(y):
+            return False
+    return True
+
+
+def _tables_in(stmt: str) -> list[str]:
+    return re.findall(
+        r"CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?([\w.]+)", stmt, re.I
+    )
+
+
+_FILES = sorted(SQL_DIR.rglob("*.sql")) if SQL_DIR.exists() else []
+
+
+@pytest.fixture(scope="module")
+def duck():
+    return duckdb.connect()
+
+
+@pytest.mark.parametrize(
+    "path", _FILES, ids=[str(p.relative_to(SQL_DIR)) for p in _FILES]
+)
+def test_sql_file(spark, duck, path):
+    configs, blocks = parse_sql_file(path)
+    saved = {}
+    tables: list[str] = []
+    for k, v in configs.items():
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+        spark.conf.set(k, v)
+    try:
+        n_queries = 0
+        for blk in blocks:
+            if blk.kind == "statement":
+                tables.extend(_tables_in(blk.sql))
+                spark.sql(blk.sql)
+                duck.execute(_duckify(blk.sql))
+                continue
+            n_queries += 1
+            srows = [
+                tuple(_canon(v) for v in r)
+                for r in spark.sql(blk.sql).collect()
+            ]
+            if blk.args.get("spark_only"):
+                exp = blk.args.get("expect_rows")
+                assert exp is not None, (
+                    f"{path.name}: spark_only query needs -- expect-rows"
+                )
+                assert len(srows) == exp, (
+                    f"{path.name}: expected {exp} rows, got {len(srows)}"
+                )
+                continue
+            orows = [
+                tuple(_canon(v) for v in r)
+                for r in duck.execute(blk.sql).fetchall()
+            ]
+            ordered = re.search(r"\border\s+by\b", blk.sql, re.I)
+            if not ordered:
+                srows = sorted(srows, key=_row_key)
+                orows = sorted(orows, key=_row_key)
+            assert len(srows) == len(orows), (
+                f"{path.name}: row count {len(srows)} vs {len(orows)}\n"
+                f"query: {blk.sql}"
+            )
+            tol = blk.args.get("tolerance")
+            for i, (sr, orow) in enumerate(zip(srows, orows)):
+                assert _rows_equal(sr, orow, tol), (
+                    f"{path.name} row {i}: spark={sr!r} duck={orow!r}\n"
+                    f"query: {blk.sql}"
+                )
+        assert n_queries > 0, f"{path.name}: no query blocks"
+    finally:
+        for t in tables:
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+            try:
+                duck.execute(f"DROP TABLE IF EXISTS {t}")
+            except Exception:
+                pass
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+def test_corpus_is_seeded():
+    """The corpus must hold at least the 20 seed files the round-3
+    plan calls for; discovery failure -> loud, not silently green."""
+    assert len(_FILES) >= 20, [str(p) for p in _FILES]
