@@ -2483,3 +2483,277 @@ def quality_scorer_weight_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# --------------------------------------------------------------------------
+# Round 3 additions: sub-document dedup, snapshot diffing, boilerplate
+# removal — the remaining curation passes a production corpus pipeline
+# runs between crawl and tokenizer.
+# --------------------------------------------------------------------------
+@register(
+    "dedup_paragraph_reassemble",
+    oracle="""
+WITH words AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+),
+chunks AS (
+  SELECT doc_id, gs AS pos,
+         array_to_string(list_slice(w, (gs - 1) * 12 + 1, gs * 12), ' ')
+           AS chunk
+  FROM words, unnest(generate_series(
+         1, CAST(ceil(len(w) / 12.0) AS INT))) AS t(gs)
+),
+winners AS (
+  SELECT doc_id, pos, chunk,
+         row_number() OVER (PARTITION BY chunk
+                            ORDER BY doc_id, pos) AS rn
+  FROM chunks
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       md5(coalesce(string_agg(CASE WHEN rn = 1 THEN chunk END, ' '
+                               ORDER BY pos), '')) AS kept_md5
+FROM winners
+WHERE doc_id < 300
+GROUP BY doc_id
+ORDER BY doc_id
+""",
+    tags=("datapipe", "dedup", "paragraph"),
+)
+def dedup_paragraph_reassemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SUB-document dedup (C4/RefinedWeb-style paragraph dedup): split
+    every doc into fixed 12-word chunks, dedup chunks GLOBALLY (first
+    occurrence by (doc_id, pos) wins), then reassemble each doc from
+    its surviving chunks in order.  Catches boilerplate shared across
+    different documents that whole-doc fingerprints can't see.
+
+    Scale shape: the chunker is scan-side (split + slice + posexplode,
+    no Python); exchange 1 shuffles chunk fingerprints for the
+    winner-per-chunk window (partitioned BY chunk — parallel);
+    exchange 2 shuffles survivors back to doc_id for reassembly.  Two
+    keyed exchanges total, both over chunk-sized rows; the reassembled
+    text is emitted as md5 so the result stays scalar-only."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    w = F.split(F.col("text"), " ")
+    n_chunks = F.ceil(F.size(w) / F.lit(12.0)).cast("int")
+    chunks = (
+        docs.select("doc_id", w.alias("w"), n_chunks.alias("nc"))
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(1), F.col("nc"))).alias("pos"),
+            F.col("w"),
+        )
+        .select(
+            "doc_id",
+            "pos",
+            F.array_join(
+                F.slice(F.col("w"), (F.col("pos") - 1) * 12 + 1, 12), " "
+            ).alias("chunk"),
+        )
+    )
+    win = W.partitionBy("chunk").orderBy("doc_id", "pos")
+    marked = chunks.withColumn("rn", F.row_number().over(win))
+    kept_sorted = F.transform(
+        F.array_sort(
+            F.collect_list(
+                F.when(
+                    F.col("rn") == 1, F.struct("pos", "chunk")
+                )
+            )
+        ),
+        lambda s: s["chunk"],
+    )
+    return (
+        marked.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+            F.sum(F.when(F.col("rn") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_kept"),
+            F.md5(F.array_join(kept_sorted, " ").cast("binary")).alias(
+                "kept_md5"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "corpus_snapshot_diff",
+    oracle="""
+WITH snap_a AS (
+  SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 10 <> 0
+),
+snap_b AS (
+  SELECT doc_id,
+         md5(CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END) AS h
+  FROM documents WHERE doc_id % 7 <> 0
+)
+SELECT CASE WHEN a.doc_id IS NULL THEN 'added'
+            WHEN b.doc_id IS NULL THEN 'removed'
+            WHEN a.h <> b.h       THEN 'changed'
+            ELSE 'unchanged' END AS status,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(min(coalesce(a.doc_id, b.doc_id)) AS BIGINT) AS min_id,
+       CAST(max(coalesce(a.doc_id, b.doc_id)) AS BIGINT) AS max_id
+FROM snap_a a FULL OUTER JOIN snap_b b ON a.doc_id = b.doc_id
+GROUP BY 1
+ORDER BY status
+""",
+    tags=("datapipe", "incremental", "diff"),
+)
+def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-to-snapshot corpus diff — the audit step before an
+    incremental retrain: classify every doc as added / removed /
+    changed / unchanged between two corpus generations by comparing
+    content hashes under a full-outer join on the document key.
+
+    Scale shape: hashes are computed at scan time (each side carries
+    16 bytes + key into the join, never the text); the full-outer join
+    shuffles both sides ONCE on doc_id — at 100 TB both snapshots
+    would be bucketed on doc_id and the exchange disappears entirely
+    (the same layout `sort_merge_bucketed` pins).  Classification is a
+    scan-side CASE over the join output; the rollup is map-side
+    partial.  Snapshots are derived deterministically from the corpus
+    (mod-key membership, mod-5 'edits') so the oracle sees identical
+    inputs."""
+    docs = _t(spark, sf_dir, "documents")
+    snap_a = docs.filter(F.col("doc_id") % 10 != 0).select(
+        F.col("doc_id").alias("a_id"),
+        F.md5(F.col("text").cast("binary")).alias("a_h"),
+    )
+    snap_b = docs.filter(F.col("doc_id") % 7 != 0).select(
+        F.col("doc_id").alias("b_id"),
+        F.md5(
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(F.col("text"), F.lit(" v2")),
+            )
+            .otherwise(F.col("text"))
+            .cast("binary")
+        ).alias("b_h"),
+    )
+    joined = snap_a.join(
+        snap_b, snap_a.a_id == snap_b.b_id, "full_outer"
+    )
+    status = (
+        F.when(F.col("a_id").isNull(), "added")
+        .when(F.col("b_id").isNull(), "removed")
+        .when(F.col("a_h") != F.col("b_h"), "changed")
+        .otherwise("unchanged")
+    )
+    key = F.coalesce(F.col("a_id"), F.col("b_id"))
+    return (
+        joined.select(status.alias("status"), key.alias("k"))
+        .groupBy("status")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.min("k").cast("bigint").alias("min_id"),
+            F.max("k").cast("bigint").alias("max_id"),
+        )
+        .orderBy("status")
+    )
+
+
+@register(
+    "boilerplate_prefix_strip",
+    oracle="""
+WITH keyed AS (
+  SELECT doc_id, source, text,
+         array_to_string(list_slice(string_split(text, ' '), 1, 6), ' ')
+           AS prefix
+  FROM documents
+),
+src AS (SELECT source, count(*) AS n_src FROM keyed GROUP BY source),
+boiler AS (
+  SELECT k.source, k.prefix, count(*) AS n_pref
+  FROM keyed k
+  GROUP BY k.source, k.prefix
+  HAVING count(*) >= 3
+),
+flagged AS (
+  SELECT k.doc_id, k.source, length(k.text) AS len_full,
+         CASE WHEN b.prefix IS NOT NULL
+              AND b.n_pref * 5 >= s.n_src
+              THEN length(k.prefix) + 1 ELSE 0 END AS len_cut
+  FROM keyed k
+  JOIN src s ON k.source = s.source
+  LEFT JOIN boiler b ON k.source = b.source AND k.prefix = b.prefix
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN len_cut > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_stripped,
+       CAST(sum(len_cut) AS BIGINT) AS chars_saved,
+       CAST(sum(len_full - len_cut) AS BIGINT) AS chars_kept
+FROM flagged
+GROUP BY source
+ORDER BY source
+""",
+    tags=("datapipe", "boilerplate", "quality"),
+)
+def boilerplate_prefix_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate removal: a 6-word document PREFIX that repeats
+    across ≥3 docs AND ≥20% of its source is crawl boilerplate
+    (cookie banners, site headers) and is stripped.  The archetypal
+    source-local cleanup every web corpus runs.
+
+    Scale shape: the prefix key is scan-side; per-source totals and
+    per-(source, prefix) counts are two aggregates over the SAME
+    scan (cheap — prefix rows, not documents); the boilerplate set —
+    tiny by construction, it only holds prefixes repeated ≥3 times —
+    broadcasts back onto the corpus, so the documents themselves are
+    never shuffled.  The 20% threshold compares counts carried ON the
+    broadcast rows (n_pref * 5 >= n_src), keeping the predicate
+    scan-side."""
+    docs = _t(spark, sf_dir, "documents")
+    prefix = F.array_join(
+        F.slice(F.split(F.col("text"), " "), 1, 6), " "
+    )
+    keyed = docs.select(
+        "doc_id", "source", F.length("text").alias("len_full"),
+        prefix.alias("prefix"),
+    )
+    src_totals = keyed.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_src")
+    )
+    boiler = (
+        keyed.groupBy("source", "prefix")
+        .agg(F.count(F.lit(1)).alias("n_pref"))
+        .filter(F.col("n_pref") >= 3)
+        .join(F.broadcast(src_totals), "source")
+        .filter(F.col("n_pref") * 5 >= F.col("n_src"))
+        .select(
+            F.col("source").alias("b_source"),
+            F.col("prefix").alias("b_prefix"),
+        )
+    )
+    flagged = keyed.join(
+        F.broadcast(boiler),
+        (keyed.source == F.col("b_source"))
+        & (keyed.prefix == F.col("b_prefix")),
+        "left",
+    ).select(
+        keyed.source.alias("source"),
+        "len_full",
+        F.when(
+            F.col("b_prefix").isNotNull(), F.length("prefix") + 1
+        )
+        .otherwise(0)
+        .alias("len_cut"),
+    )
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.when(F.col("len_cut") > 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_stripped"),
+            F.sum("len_cut").cast("bigint").alias("chars_saved"),
+            F.sum(F.col("len_full") - F.col("len_cut"))
+            .cast("bigint")
+            .alias("chars_kept"),
+        )
+        .orderBy("source")
+    )

@@ -467,6 +467,100 @@ def parquet_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "parquet_field_id_matching",
+    oracle="""
+SELECT nation_id, nation_name, region_id
+FROM (
+  SELECT n_nationkey AS nation_id, n_name AS nation_name,
+         n_regionkey AS region_id
+  FROM nation
+)
+ORDER BY nation_id
+""",
+    tags=("source", "parquet", "field-id"),
+)
+def parquet_field_id_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet FIELD-ID column matching (round-3 verdict item 5;
+    reference: operator.proto:99-132 `case_sensitive`/field-id scan
+    options, native/core/src/execution/planner.rs:1246-1373): columns
+    are resolved by the parquet field_id physical annotation, not by
+    name, so a reader-side RENAME still binds to the right data.
+
+    Generation 1 writes nation with field ids 1/2/3 stamped on
+    (n_nationkey, n_name, n_regionkey) via Spark's
+    ``parquet.field.id`` column metadata
+    (spark.sql.parquet.fieldId.write.enabled).  The read schema uses
+    NEW names (nation_id, nation_name, region_id) carrying the SAME
+    ids; with fieldId.read.enabled the scan matches on id and the
+    rename is free — the mechanism that lets a 100 TB lakehouse table
+    rename columns without rewriting a single file.  (Parquet modular
+    encryption, the other scan-option depth item, is env-blocked: the
+    container's parquet-hadoop ships PropertiesDrivenCryptoFactory but
+    no concrete KmsClient implementation — see COVERAGE.md.)"""
+    import os
+
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    nation = _t(spark, sf_dir, "nation")
+    path = scratch_dir(sf_dir, "nation_field_ids")
+    # field ids ride on column metadata (Column.alias(metadata=...));
+    # no RDD round-trip needed
+    stamped = nation.select(
+        F.col("n_nationkey").alias(
+            "n_nationkey", metadata={"parquet.field.id": 1}
+        ),
+        F.col("n_name").alias("n_name", metadata={"parquet.field.id": 2}),
+        F.col("n_regionkey").alias(
+            "n_regionkey", metadata={"parquet.field.id": 3}
+        ),
+    )
+    read_schema = StructType(
+        [
+            StructField(
+                "nation_id", LongType(), True,
+                metadata={"parquet.field.id": 1},
+            ),
+            StructField(
+                "nation_name", StringType(), True,
+                metadata={"parquet.field.id": 2},
+            ),
+            StructField(
+                "region_id", LongType(), True,
+                metadata={"parquet.field.id": 3},
+            ),
+        ]
+    )
+    saved_w = spark.conf.get("spark.sql.parquet.fieldId.write.enabled")
+    saved_r = spark.conf.get("spark.sql.parquet.fieldId.read.enabled")
+    spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+    spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+    try:
+        stamped.write.mode("overwrite").parquet(path)
+        # the scan must run while fieldId.read is on — the file's
+        # physical names (n_*) never match the renamed read schema, so
+        # any row coming back proves id-based binding; materialize and
+        # pin the result so the returned plan is conf-independent
+        rows = (
+            spark.read.schema(read_schema)
+            .parquet(path)
+            .orderBy("nation_id")
+            .collect()
+        )
+    finally:
+        spark.conf.set("spark.sql.parquet.fieldId.write.enabled", saved_w)
+        spark.conf.set("spark.sql.parquet.fieldId.read.enabled", saved_r)
+    assert rows and rows[0]["nation_name"] is not None, (
+        "field-id matching returned no data — id binding failed"
+    )
+    return spark.createDataFrame(rows, read_schema).orderBy("nation_id")
+
+
+@register(
     "parquet_dynamic_partition_overwrite",
     oracle="""
 WITH final AS (

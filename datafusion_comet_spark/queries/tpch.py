@@ -1299,7 +1299,16 @@ def q21_scale_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     reference accelerates the three-join plan as-is
     (docs/source/contributor-guide/benchmark-results/tpc-h.md); a
     logical rewrite is out of its scope — here it is ~2x fewer
-    shuffled bytes."""
+    shuffled bytes.
+
+    MEASURED (round 3, min-of-5 at sf0.1/local[32]): this rewrite runs
+    1.46x SLOWER than the literal form — the per-order collect_list/
+    array_sort work costs more than the three narrow (orderkey,
+    suppkey, shipdate) self-join shuffles save at this fact width.
+    The literal form is therefore the bench headline; this one stays
+    registered as the fewer-shuffled-bytes alternative for wide facts
+    or shuffle-bound clusters, where the trade can invert.  The lesson
+    is recorded in SCALE.md ("q21: measured rewrite trade")."""
     supp = _t(spark, sf_dir, "supplier")
     orders_f = (
         _t(spark, sf_dir, "orders")
