@@ -715,11 +715,13 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan note: the SQL (and oracle) spell the revenue view twice —
     once joined, once under max() — and executed literally that is
     TWO lineitem aggregations (branch pruning defeats reuse).  The
-    single-pass form is rank() over the aggregated revenue
-    (ties = all max rows, exactly the WHERE = max semantics);
-    rank()==1 plans a WindowGroupLimit, so the unpartitioned window
-    sees at most one candidate per upstream partition, not the full
-    supplier list."""
+    engine's form re-aggregates the per-supplier AGGREGATE to the
+    1-row max and broadcasts it back (the q11 pattern): ReuseExchange
+    runs the fact aggregation once, ties survive via the equality
+    filter (identical to rank()==1 semantics), and no window — not
+    even a WindowGroupLimit-protected one — funnels rows through a
+    single reducer.  (Round 3 replaced the earlier rank() spelling;
+    bench no longer logs WindowExec single-partition warnings.)"""
     li = _t(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= _ts("1997-01-01 00:00:00"))
         & (F.col("l_shipdate") < _ts("1997-04-01 00:00:00"))
@@ -727,15 +729,11 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
         _sum_rev_money().alias("total_revenue")
     )
-    from pyspark.sql import Window as _W
-
+    max_rev = revenue.agg(F.max("total_revenue").alias("max_revenue"))
     top = (
-        revenue.withColumn(
-            "rk",
-            F.rank().over(_W.orderBy(F.col("total_revenue").desc())),
-        )
-        .filter(F.col("rk") == 1)
-        .drop("rk")
+        revenue.join(F.broadcast(max_rev))
+        .filter(F.col("total_revenue") == F.col("max_revenue"))
+        .drop("max_revenue")
     )
     supp = _t(spark, sf_dir, "supplier")
     return (

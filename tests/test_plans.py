@@ -523,7 +523,10 @@ TPCH_EXCHANGE_BUDGET = {
     "q12_late_shipments": 2,
     "q13_customer_distribution": 3,
     "q14_promo_revenue": 0,
-    "q15_top_supplier": 2,
+    # q15: like q11, the per-supplier aggregate exchange shows in both
+    # the detail and 1-row-max branches (ReuseExchange collapses them
+    # at runtime) + the final sort
+    "q15_top_supplier": 3,
     "q16_parts_supplier": 3,
     "q17_small_quantity": 1,
     "q18_large_volume": 2,
@@ -622,7 +625,9 @@ def test_no_unpartitioned_window_over_unbounded_input(spark, sf_dir):
     ``Exchange SinglePartition``.  Exemptions:
       * a ``WindowGroupLimit`` between the Window and the exchange —
         rank()<=k pruning sends each upstream partition's top-k only
-        (e.g. q15_top_supplier);
+        (no current query needs it — q15's protected rank was
+        retired for a broadcast-max in round 3 — but any future
+        rank()<=k top-k stays legal);
       * the ``_SINGLE_WINDOW_BOUNDED`` allowlist, where the windowed
         relation is bounded by construction (schema domain, query
         constant, or |partitions|) with a written justification.
