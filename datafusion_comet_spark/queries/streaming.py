@@ -548,3 +548,132 @@ def stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "stream_stream_full_outer",
+    oracle="""
+SELECT CAST(sum(CASE WHEN c_ts IS NOT NULL AND p_ts IS NOT NULL
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+       CAST(sum(CASE WHEN p_ts IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_click_only,
+       CAST(sum(CASE WHEN c_ts IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_purchase_only
+FROM (SELECT user_id, ts AS c_ts FROM events
+      WHERE event_type = 'click') c
+FULL JOIN (SELECT user_id AS p_user, ts AS p_ts FROM events
+           WHERE event_type = 'purchase') p
+  ON p.p_user = c.user_id
+ AND p.p_ts >  c.c_ts
+ AND p.p_ts <= c.c_ts + INTERVAL '1 hour'
+""",
+    tags=("streaming", "stream-stream-join", "outer", "full"),
+)
+def stream_stream_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream FULL OUTER join — both sides emit
+    null-extended rows only when the watermark proves no future match
+    can arrive, so BOTH sides' state eviction is answer emission.
+    Same chunked-replay + sentinel-flush machinery as
+    ``stream_stream_left_outer`` (the sentinel pair advances the
+    watermark past the final hour and runs the cleanup batch, draining
+    unmatched state on the click AND purchase sides); with the flush,
+    the streamed result equals the batch FULL JOIN the oracle spells.
+    State per key stays bounded by watermark + join range regardless
+    of stream length."""
+    import os
+    import shutil
+    import tempfile
+
+    src_dir = os.path.join(
+        tempfile.gettempdir(),
+        "dcs_io",
+        os.path.basename(sf_dir.rstrip("/")),
+        "sstream_fullouter_src",
+    )
+    shutil.rmtree(src_dir, ignore_errors=True)
+    os.makedirs(src_dir)
+
+    from ..catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_type"
+    )
+    mn, mx = ev.agg(F.min("ts"), F.max("ts")).first()
+    span_us = int((mx - mn).total_seconds() * 1_000_000) + 1
+    step_us = span_us // 4 + 1
+    for i in range(4):
+        lo = F.lit(mn) + F.expr(f"INTERVAL {i * step_us} MICROSECOND")
+        hi = F.lit(mn) + F.expr(
+            f"INTERVAL {(i + 1) * step_us} MICROSECOND"
+        )
+        chunk = ev.filter((F.col("ts") >= lo) & (F.col("ts") < hi))
+        tmp = os.path.join(src_dir, f"_tmp{i}")
+        chunk.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+        os.rename(
+            os.path.join(tmp, part),
+            os.path.join(src_dir, f"chunk-{i:02d}.parquet"),
+        )
+        shutil.rmtree(tmp)
+    sentinel = spark.createDataFrame(
+        [(-1, None, "click"), (-1, None, "purchase")],
+        "user_id BIGINT, ts TIMESTAMP, event_type STRING",
+    ).withColumn("ts", F.lit(mx) + F.expr("INTERVAL 3 HOURS"))
+    for j in (4, 5):
+        tmp = os.path.join(src_dir, f"_tmp{j}")
+        sentinel.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+        os.rename(
+            os.path.join(tmp, part),
+            os.path.join(src_dir, f"chunk-{j:02d}.parquet"),
+        )
+        shutil.rmtree(tmp)
+
+    stream = (
+        spark.readStream.schema(
+            "user_id BIGINT, ts TIMESTAMP, event_type STRING"
+        )
+        .format("parquet")
+        .option("maxFilesPerTrigger", "1")
+        .load(src_dir)
+    )
+    clicks = (
+        stream.filter(F.col("event_type") == "click")
+        .select("user_id", F.col("ts").alias("c_ts"))
+        .withWatermark("c_ts", "1 hour")
+    )
+    purchases = (
+        stream.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    pairs = clicks.join(
+        purchases,
+        (F.col("p_user") == F.col("user_id"))
+        & (F.col("p_ts") > F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 1 HOUR")),
+        "full_outer",
+    )
+    out = run_to_memory(
+        pairs.select("user_id", "p_user", "c_ts", "p_ts"),
+        "stream_stream_fullouter_sink",
+        "append",
+    )
+    live = out.filter(
+        (F.coalesce(F.col("user_id"), F.col("p_user")) >= 0)
+    )  # drop the sentinel key from either side
+    return live.agg(
+        F.sum(
+            F.when(
+                F.col("c_ts").isNotNull() & F.col("p_ts").isNotNull(), 1
+            ).otherwise(0)
+        ).cast("long").alias("n_matched"),
+        F.sum(F.when(F.col("p_ts").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_click_only"),
+        F.sum(F.when(F.col("c_ts").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_purchase_only"),
+    )

@@ -1012,3 +1012,87 @@ def test_no_oracle_queries_are_rerun_deterministic(spark, sf_dir):
         a = sorted(map(tuple, fn(spark, sf_dir).collect()))
         b = sorted(map(tuple, fn(spark, sf_dir).collect()))
         assert a == b and len(a) > 0, name
+
+
+def test_rocksdb_state_store_provider_matches_default(spark, sf_dir):
+    """State-store provider swap (round 3): the same watermarked
+    windowed aggregation must produce identical results under the
+    RocksDB state store (`RocksDBStateStoreProvider`, the provider a
+    100 TB deployment runs — state spills to disk instead of living in
+    executor heap) as under the default HDFS-backed in-memory one.
+    The container ships rocksdbjni, so this runs for real; results
+    are also checked against the batch aggregation oracle."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("user_id", F.col("ts").cast("timestamp").alias("ts"))
+    )
+    batch = {
+        (r["w"], r["n"])
+        for r in ev.groupBy(
+            F.date_trunc("hour", "ts").alias("w")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+
+    def run_stream(provider: str | None):
+        saved = spark.conf.get(
+            "spark.sql.streaming.stateStore.providerClass", None
+        )
+        if provider:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", provider
+            )
+        try:
+            stream = (
+                spark.readStream.schema(ev.schema)
+                .format("parquet")
+                .option("pathGlobFilter", "events.parquet")
+                .load(sf_dir)
+                .select(
+                    "user_id", F.col("ts").cast("timestamp").alias("ts")
+                )
+                .withWatermark("ts", "1 hour")
+                .groupBy(F.window("ts", "1 hour").alias("win"))
+                .agg(F.count(F.lit(1)).alias("n"))
+                .select(F.col("win.start").alias("w"), "n")
+            )
+            name = f"rocksdb_pin_{'rdb' if provider else 'dflt'}"
+            ckpt = tempfile.mkdtemp(prefix=f"dcs_ckpt_{name}_")
+            q = (
+                stream.writeStream.format("memory")
+                .queryName(name)
+                .outputMode("complete")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            assert q.awaitTermination(120), "stream did not finish"
+            return {
+                (r["w"], r["n"]) for r in spark.table(name).collect()
+            }
+        finally:
+            if provider:
+                if saved is None:
+                    spark.conf.unset(
+                        "spark.sql.streaming.stateStore.providerClass"
+                    )
+                else:
+                    spark.conf.set(
+                        "spark.sql.streaming.stateStore.providerClass",
+                        saved,
+                    )
+
+    rocks = run_stream(
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
+    )
+    default = run_stream(None)
+    assert rocks == default == batch, (
+        f"provider divergence: rocks={len(rocks)} default={len(default)} "
+        f"batch={len(batch)}"
+    )
