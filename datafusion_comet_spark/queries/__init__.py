@@ -74,6 +74,7 @@ def load_all() -> dict[str, Query]:
     from . import tpch  # noqa: F401
     from . import tpcds_style  # noqa: F401
     from . import tpcds_style2  # noqa: F401
+    from . import tpcds_style3  # noqa: F401
     from . import relational  # noqa: F401
     from . import expressions  # noqa: F401
     from . import aggregates  # noqa: F401
