@@ -154,3 +154,63 @@ def sample_frames(frames: DataFrame, stride: int = 4) -> DataFrame:
             F.md5(F.col("frame").cast("binary")).alias("frame_md5"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Round 3: REAL decode for uncompressed formats.  The compressed-codec
+# stub above exists because no JPEG/PNG library ships in this
+# container — but PPM (P6) needs nothing beyond numpy, so the
+# encode → Arrow transfer → parse → pixel-statistics path runs for
+# real here, exercising every part of the decode plumbing the stub
+# can only shape-check.
+# --------------------------------------------------------------------------
+def encode_ppm_p6(width: int, height: int, c_top: int, c_bottom: int) -> bytes:
+    """Binary PPM (P6): ASCII header + raw RGB bytes.  The synthetic
+    image is two horizontal bands of constant gray (top `height // 2`
+    rows at c_top, the rest at c_bottom) so every pixel statistic has
+    a closed form an SQL oracle can compute."""
+    header = f"P6\n{width} {height}\n255\n".encode("ascii")
+    top_rows = height // 2
+    row_top = bytes([c_top]) * (3 * width)
+    row_bot = bytes([c_bottom]) * (3 * width)
+    return header + row_top * top_rows + row_bot * (height - top_rows)
+
+
+def decode_ppm_p6(payload: bytes) -> dict:
+    """Parse a binary PPM (P6) payload into real pixel statistics —
+    pure numpy, no codec library.  Raises ValueError on malformed
+    input (magic, dims, or byte-count mismatch)."""
+    import numpy as np
+
+    if not payload.startswith(b"P6"):
+        raise ValueError("not a P6 ppm")
+    # header: magic, width, height, maxval — whitespace separated,
+    # then a single whitespace byte before the raster
+    parts = []
+    i = 2
+    while len(parts) < 3:
+        while i < len(payload) and payload[i : i + 1].isspace():
+            i += 1
+        j = i
+        while j < len(payload) and not payload[j : j + 1].isspace():
+            j += 1
+        parts.append(int(payload[i:j]))
+        i = j
+    i += 1  # the single whitespace after maxval
+    width, height, maxval = parts
+    if maxval != 255:
+        raise ValueError(f"unsupported maxval {maxval}")
+    raster = payload[i:]
+    if len(raster) != 3 * width * height:
+        raise ValueError(
+            f"raster size {len(raster)} != 3*{width}*{height}"
+        )
+    px = np.frombuffer(raster, dtype=np.uint8).reshape(height, width, 3)
+    return {
+        "width": width,
+        "height": height,
+        "n_pixels": int(width * height),
+        "sum_pixels": int(px.sum(dtype=np.int64)),
+        "max_byte": int(px.max()),
+        "min_byte": int(px.min()),
+    }

@@ -2,11 +2,12 @@
 
 North-star pipeline operators (BASELINE.json): media handling at
 100 TB keeps payloads opaque (binary column / object-store pointer),
-metadata typed, and decode in Arrow-batched Python.  The decode codec
-itself is stubbed (no image libs in this container — see
-operators/multimodal.py), but everything Spark-side — schema,
-explode fan-out, mapInPandas batch shape, aggregation — is real and
-oracle-checked where the fake decode is SQL-expressible.
+metadata typed, and decode in Arrow-batched Python.  Compressed
+codecs (JPEG/PNG) are stubbed (no image libs in this container — see
+operators/multimodal.py), but round 3 added a REAL decode path for
+uncompressed PPM (pure numpy, ``multimodal_ppm_real_decode``), and
+everything Spark-side — schema, explode fan-out, mapInPandas batch
+shape, aggregation — is real and oracle-checked throughout.
 """
 
 from __future__ import annotations
@@ -347,3 +348,93 @@ def multimodal_audio_framing(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "multimodal_ppm_real_decode",
+    oracle="""
+SELECT doc_id,
+       CAST(8 + doc_id % 8 AS INT)  AS width,
+       CAST(6 + doc_id % 6 AS INT)  AS height,
+       CAST((8 + doc_id % 8) * (6 + doc_id % 6) AS BIGINT) AS n_pixels,
+       CAST(3 * (8 + doc_id % 8) *
+            (((6 + doc_id % 6) // 2) * (doc_id % 256) +
+             ((6 + doc_id % 6) - (6 + doc_id % 6) // 2)
+               * ((doc_id * 7 + 13) % 256)) AS BIGINT) AS sum_pixels,
+       CAST(greatest(doc_id % 256, (doc_id * 7 + 13) % 256) AS BIGINT)
+         AS max_byte
+FROM documents
+WHERE doc_id < 400
+ORDER BY doc_id
+""",
+    tags=("multimodal", "decode", "real"),
+)
+def multimodal_ppm_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode end-to-end (round 3): binary PPM (P6)
+    payloads are encoded per doc, cross the Arrow boundary as a
+    binary column, and are PARSED BACK — header text parse + numpy
+    frombuffer/reshape — into pixel statistics inside a second
+    mapInPandas stage.  No codec library involved (PPM is raw RGB),
+    so unlike ``multimodal_decode_stub`` nothing here is faked; the
+    compressed-codec stub remains for JPEG/PNG by environment
+    necessity.
+
+    The synthetic image is two constant-gray bands, so every decoded
+    statistic has a closed form the DuckDB oracle computes from
+    doc_id alone — the decode path is verified value-exactly, not
+    just shape-checked.  Scale shape: both Python stages are
+    Arrow-batched and partition-local (zero shuffles before the final
+    sort); payload bytes never enter the JVM row format."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    from ..operators.multimodal import decode_ppm_p6, encode_ppm_p6
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") < 400)
+    )
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["doc_id"]
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "payload": [
+                        encode_ppm_p6(
+                            8 + int(d) % 8,
+                            6 + int(d) % 6,
+                            int(d) % 256,
+                            (int(d) * 7 + 13) % 256,
+                        )
+                        for d in ids
+                    ],
+                }
+            )
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            stats = [decode_ppm_p6(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": [s["width"] for s in stats],
+                    "height": [s["height"] for s in stats],
+                    "n_pixels": [s["n_pixels"] for s in stats],
+                    "sum_pixels": [s["sum_pixels"] for s in stats],
+                    "max_byte": [s["max_byte"] for s in stats],
+                }
+            )
+
+    encoded = docs.mapInPandas(encode, schema="doc_id long, payload binary")
+    decoded = encoded.mapInPandas(
+        decode,
+        schema=(
+            "doc_id long, width int, height int, n_pixels long, "
+            "sum_pixels long, max_byte long"
+        ),
+    )
+    return decoded.orderBy("doc_id")
