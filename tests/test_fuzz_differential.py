@@ -339,3 +339,52 @@ def semi_anti_query(draw) -> str:
 def test_random_semi_anti_matches_duckdb(views, sf_dir, sql):
     df = views.sql(sql)
     compare_to_oracle(df, sql, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# Family 9 (round 3): random CAST CHAINS — compositions of casts over
+# in-range values, the same SQL on both engines.  The per-pair edge
+# matrix (overflow, NaN, truncate-vs-round, rendering) lives in
+# tests/test_cast_pairs.py with explicit pins; this family checks that
+# COMPOSITIONS of the duck-compatible subset stay identical — the
+# chained-cast shapes real queries produce (key % N AS SMALLINT,
+# price AS DECIMAL AS DOUBLE, date round-trips through VARCHAR).
+# Chains are constructed overflow-free so ANSI mode never raises.
+# ---------------------------------------------------------------------------
+_CAST_CHAINS = [
+    ("l_linenumber", ["TINYINT", "SMALLINT", "INT", "BIGINT"]),
+    ("l_suppkey % 120", ["SMALLINT", "INT", "STRING", "INT"]),
+    ("l_quantity", ["INT", "DOUBLE", "DECIMAL(10,2)", "STRING"]),
+    ("l_partkey", ["BIGINT", "STRING", "BIGINT"]),
+    ("l_extendedprice", ["DECIMAL(12,2)", "DECIMAL(18,6)", "DOUBLE"]),
+    ("l_shipdate", ["DATE", "STRING", "DATE", "TIMESTAMP"]),
+]
+
+
+@st.composite
+def cast_chain_query(draw) -> str:
+    src, chain = draw(st.sampled_from(_CAST_CHAINS))
+    k = draw(st.integers(2, len(chain)))
+    expr = src
+    for t in chain[:k]:
+        expr = f"CAST({expr} AS {t})"
+    key_lit = draw(st.integers(5000, 50000))
+    return (
+        f"SELECT l_returnflag AS k, count(x) AS n, "
+        f"CAST(min(x) AS STRING) AS mn, CAST(max(x) AS STRING) AS mx "
+        f"FROM (SELECT l_returnflag, {expr} AS x FROM lineitem "
+        f"WHERE l_orderkey < {key_lit}) t "
+        f"GROUP BY l_returnflag ORDER BY k"
+    )
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(sql=cast_chain_query())
+def test_random_cast_chain_matches_duckdb(views, sf_dir, sql):
+    df = views.sql(sql)
+    compare_to_oracle(df, sql, sf_dir)
