@@ -6,6 +6,18 @@ Modeled on the reference's tpcbench.py methodology (reference:
 benchmarks/tpc/tpcbench.py; results format benchmarks/results/0.16.0/*.json):
 per-query wall-clock seconds, min-of-iterations semantics collapsed to a
 single warm run after a JVM/catalyst warmup query.
+
+Reading the numbers: this box is co-tenant; round-over-round totals
+move +/-25% with ambient load (round 3 measured the same commit at
+11.9-14.9s across runs).  Per-query A/B decisions therefore use
+min-of-N same-process head-to-heads (see SCALE.md "q21: measured
+rewrite trade"), never two bench runs.  Scan parallelism at sf0.1 is
+capped by the testdata's single parquet row group per table (a split
+can't subdivide a row group), which bounds q1-style single-table
+scans to one core regardless of spark.sql.files.maxPartitionBytes —
+measured: 512KB splits move q1 only 1.29s -> 1.14s.  At 100 TB this
+inverts: files carry many row groups and the 128MB default gives
+~800k well-parallelized tasks.
 """
 
 from __future__ import annotations
