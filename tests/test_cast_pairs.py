@@ -56,6 +56,7 @@ DUCK_TYPE = {
     "decimal(10,2)": "DECIMAL(10,2)",
     "decimal(20,10)": "DECIMAL(20,10)",
     "decimal(5,1)": "DECIMAL(5,1)",
+    "decimal(38,18)": "DECIMAL(38,18)",
     "string": "VARCHAR",
     "binary": "BLOB",
     "date": "DATE",
@@ -135,6 +136,14 @@ VALUES = {
         _v("CAST('-Infinity' AS DOUBLE)", -_INF),
         _v("CAST(NULL AS DOUBLE)", None),
     ],
+    "decimal(38,18)": [
+        _v("CAST('-1.234567890123456789' AS DECIMAL(38,18))",
+           Decimal("-1.234567890123456789")),
+        _v("CAST('0' AS DECIMAL(38,18))", Decimal(0).scaleb(-18)),
+        _v("CAST('12345678901234567890.5' AS DECIMAL(38,18))",
+           Decimal("12345678901234567890.5")),
+        _v("CAST(NULL AS DECIMAL(38,18))", None),
+    ],
     "decimal(10,2)": [
         _v("CAST('-99999999.99' AS DECIMAL(10,2))", Decimal("-99999999.99")),
         _v("CAST('-1.99' AS DECIMAL(10,2))", Decimal("-1.99")),
@@ -163,6 +172,9 @@ VALUES = {
         _v("'f'", "f"),
         _v("'yes'", "yes"),
         _v("'NaN'", "NaN"),
+        _v("'007'", "007"),
+        _v("'+5'", "+5"),
+        _v("'   '", "   "),
         _v("'2026-08-14'", "2026-08-14"),
         _v("'2026-8-4'", "2026-8-4"),
         _v("'2026-08-14 01:02:03'", "2026-08-14 01:02:03"),
@@ -227,6 +239,8 @@ PAIRS = {
     "decimal(10,2)": ["boolean", "tinyint", "smallint", "int", "bigint",
                       "float", "double", "decimal(20,10)", "decimal(5,1)",
                       "string"],
+    "decimal(38,18)": ["double", "float", "bigint", "decimal(10,2)",
+                       "string"],
     "string": ["boolean", "tinyint", "smallint", "int", "bigint", "float",
                "double", "decimal(10,2)", "decimal(20,10)", "decimal(5,1)",
                "binary", "date", "timestamp", "timestamp_ntz"],
@@ -444,6 +458,20 @@ VALUE_PINS = {
             "TRY": "+32768-01-01 00:00:00",
         },
     },
+    ("decimal(38,18)", "string"): {
+        # LEGACY renders via Java BigDecimal.toString — scientific
+        # notation when the adjusted exponent < -6, so zero at scale
+        # 18 is '0E-18'; TRY/ANSI use the plain form.  This is the
+        # exact mode split the reference documents for its
+        # cast_decimal128_to_utf8 kernel (CometCast.scala:260-266:
+        # "LEGACY ... replicates Java BigDecimal.toString ...; TRY
+        # and ANSI fall through to ... plain-notation cast, which
+        # matches Spark").  DuckDB always prints plain.
+        Decimal("0E-18"): {
+            "LEGACY": "0E-18",
+            "TRY": "0.000000000000000000",
+        },
+    },
 }
 
 
@@ -461,8 +489,15 @@ def _expected(frm, to, mode, py):
         return _USE_DUCK
     if frm in FLOAT_FAMILY and to in INT_FAMILY:
         return _pin_float_to_int(py, to, mode)
-    if frm == "decimal(10,2)" and to in INT_FAMILY:
+    if frm.startswith("decimal") and to in INT_FAMILY:
         return _pin_dec_to_int(py, to, mode)
+    if frm.startswith("decimal") and to == "float":
+        # Spark: decimal -> double -> IEEE float32 narrowing (correct
+        # nearest); DuckDB scales through float arithmetic and loses
+        # more bits at high precision
+        if py is None:
+            return None
+        return struct.unpack("f", struct.pack("f", float(py)))[0]
     if frm in FLOAT_FAMILY and to == "string":
         return _pin_float_to_string(py, mode)
     if frm in FLOAT_FAMILY and to.startswith("decimal"):
