@@ -388,3 +388,116 @@ def cast_chain_query(draw) -> str:
 def test_random_cast_chain_matches_duckdb(views, sf_dir, sql):
     df = views.sql(sql)
     compare_to_oracle(df, sql, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# Family 10 (round 3): random STRING-FUNCTION CHAINS — compositions of
+# the duck-compatible string subset (upper/lower/trim/reverse/substr/
+# replace/left/right/split_part/instr/length) applied to lineitem text
+# columns.  The reference's string kernel is its second-largest compat
+# surface after cast (native/spark-expr string functions;
+# docs compatibility/expressions/*string*.md); compositions are where
+# argument-order and NULL/empty-string conventions actually bite.
+# regexp_* stays out (Spark replaces all occurrences, DuckDB only the
+# first — pinned in tests/sql/string/regexp_extract_replace.sql).
+# Runs over documents (the testdata's only free-text table).
+# ---------------------------------------------------------------------------
+_STR_COLS = ("text", "lang", "source")
+_STR_UNARY = (
+    "upper({0})",
+    "lower({0})",
+    "trim({0})",
+    "reverse({0})",
+    "substr({0}, 2, 6)",
+    "replace({0}, 'a', '_')",
+    "left({0}, 5)",
+    "right({0}, 4)",
+    "split_part({0}, ' ', 1)",
+)
+_STR_FINAL = (
+    "length({0})",
+    "instr({0}, 'e')",
+    "{0}",
+)
+
+
+@st.composite
+def string_chain_query(draw) -> str:
+    col = draw(st.sampled_from(_STR_COLS))
+    expr = col
+    for _ in range(draw(st.integers(1, 3))):
+        expr = draw(st.sampled_from(_STR_UNARY)).format(expr)
+    expr = draw(st.sampled_from(_STR_FINAL)).format(expr)
+    key_lit = draw(st.integers(500, 5000))
+    return (
+        f"SELECT lang AS k, count(x) AS n, "
+        f"count(DISTINCT x) AS nd, "
+        f"CAST(min(x) AS STRING) AS mn, CAST(max(x) AS STRING) AS mx "
+        f"FROM (SELECT lang, {expr} AS x FROM documents "
+        f"WHERE doc_id < {key_lit}) t "
+        f"GROUP BY lang ORDER BY k"
+    )
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(sql=string_chain_query())
+def test_random_string_chain_matches_duckdb(views, sf_dir, sql):
+    df = views.sql(sql)
+    compare_to_oracle(df, sql, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# Family 11 (round 3): random DATE-EXPRESSION CHAINS — truncation,
+# interval shifts, last_day, and field extraction composed over
+# l_shipdate.  Interval addition is CAST back to DATE because DuckDB
+# widens date + INTERVAL to TIMESTAMP while Spark stays DATE — the
+# composition is otherwise identical.
+# ---------------------------------------------------------------------------
+_DATE_STEPS = (
+    "date_trunc('month', {0})",
+    "date_trunc('quarter', {0})",
+    "date_trunc('year', {0})",
+    "last_day(CAST({0} AS DATE))",
+    "CAST({0} AS DATE) + INTERVAL '7' DAY",
+    "CAST({0} AS DATE) - INTERVAL '30' DAY",
+)
+_DATE_FINAL = (
+    "year(CAST({0} AS DATE))",
+    "month(CAST({0} AS DATE))",
+    "dayofmonth(CAST({0} AS DATE))",
+    "CAST(CAST({0} AS DATE) AS STRING)",
+)
+
+
+@st.composite
+def date_chain_query(draw) -> str:
+    expr = "l_shipdate"
+    for _ in range(draw(st.integers(1, 3))):
+        expr = draw(st.sampled_from(_DATE_STEPS)).format(expr)
+    expr = draw(st.sampled_from(_DATE_FINAL)).format(expr)
+    key_lit = draw(st.integers(5000, 50000))
+    return (
+        f"SELECT l_returnflag AS k, count(x) AS n, "
+        f"count(DISTINCT x) AS nd, "
+        f"CAST(min(x) AS STRING) AS mn, CAST(max(x) AS STRING) AS mx "
+        f"FROM (SELECT l_returnflag, {expr} AS x FROM lineitem "
+        f"WHERE l_orderkey < {key_lit}) t "
+        f"GROUP BY l_returnflag ORDER BY k"
+    )
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(sql=date_chain_query())
+def test_random_date_chain_matches_duckdb(views, sf_dir, sql):
+    df = views.sql(sql)
+    compare_to_oracle(df, sql, sf_dir)
