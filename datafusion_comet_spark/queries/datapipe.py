@@ -2757,3 +2757,100 @@ def boilerplate_prefix_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# Temperature-based source mixing — count^alpha proportional sampling
+# --------------------------------------------------------------------------
+@register(
+    "sample_temperature_mixture",
+    oracle="""
+WITH counts AS (
+  SELECT source, count(*) AS n FROM documents GROUP BY source
+), w AS (
+  SELECT source, n, CAST(floor(sqrt(n)) AS BIGINT) AS isq FROM counts
+), tot AS (
+  SELECT sum(isq) AS tot_isq FROM w
+), tgt AS (
+  SELECT source, n, isq,
+         greatest(1, least(n, (2000 * isq) // tot_isq)) AS target
+  FROM w, tot
+), ranked AS (
+  SELECT source, doc_id,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY md5(CAST(doc_id AS VARCHAR) || ':temp-mix'), doc_id
+         ) AS rn
+  FROM documents
+)
+SELECT r.source,
+       CAST(max(t.n) AS BIGINT) AS n_total,
+       CAST(max(t.target) AS BIGINT) AS target,
+       count(*) AS n_selected,
+       CAST(sum(r.doc_id) AS BIGINT) AS id_checksum
+FROM ranked r JOIN tgt t ON r.source = t.source
+WHERE r.rn <= t.target
+GROUP BY r.source
+ORDER BY r.source
+""",
+    tags=("datapipe", "sample", "temperature"),
+)
+def sample_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based source mixing: sample each source proportional
+    to count^alpha (alpha=0.5) against a global budget K=2000 — the
+    standard move for flattening a skewed source distribution when
+    assembling a training mix (big sources are deflated, small sources
+    inflated, every source keeps >= 1 doc).
+
+    Determinism across engines is engineered, not hoped for: the only
+    float op is sqrt(n), immediately floored to an integer weight
+    (IEEE-754 sqrt is correctly rounded, so floor(sqrt(n)) is exact for
+    any count < 2^52); shares, budgets and the final threshold are pure
+    integer arithmetic after that, so Spark and the oracle cannot drift
+    at a rounding boundary.  Selection within a source is salted-hash
+    order (same carve-out pattern as `sample_stratified_exact_k`).
+
+    Scale shape: the per-source count and weight table is a tiny
+    aggregate (|sources| rows) joined back via broadcast, so the corpus
+    is touched twice — once for counts (partial-agg, narrow), once for
+    the ranked selection (one hash exchange on source + per-source
+    top-target).  The rank filter is a conjunction with the literal
+    budget bound (rn <= K AND rn <= target), so the window planner can
+    prune per-partition at K before the exact per-source threshold
+    applies.  A rate-based variant with no window at all exists as
+    `sample_weighted_mixture` for when exact counts aren't required."""
+    docs = _t(spark, sf_dir, "documents")
+    budget = 2000
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    w = counts.withColumn(
+        "isq", F.floor(F.sqrt(F.col("n"))).cast("bigint")
+    )
+    tot = w.agg(F.sum("isq").alias("tot_isq"))
+    tgt = w.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n",
+        F.greatest(
+            F.lit(1).cast("bigint"),
+            F.least(
+                F.col("n").cast("bigint"),
+                F.expr(f"({budget} * isq) div tot_isq"),
+            ),
+        ).alias("target"),
+    )
+    key = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":temp-mix")))
+    rn = F.row_number().over(W.partitionBy("source").orderBy(key, "doc_id"))
+    ranked = docs.select("source", "doc_id", rn.alias("rn")).filter(
+        F.col("rn") <= budget
+    )
+    return (
+        ranked.join(F.broadcast(tgt), "source")
+        .filter(F.col("rn") <= F.col("target"))
+        .groupBy("source")
+        .agg(
+            F.max("n").cast("bigint").alias("n_total"),
+            F.max("target").cast("bigint").alias("target"),
+            F.count(F.lit(1)).alias("n_selected"),
+            F.sum("doc_id").cast("bigint").alias("id_checksum"),
+        )
+        .orderBy("source")
+    )
