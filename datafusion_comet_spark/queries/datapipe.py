@@ -2854,3 +2854,98 @@ def sample_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# Epoch repetition — per-source fractional repeat factors as data
+# --------------------------------------------------------------------------
+@register(
+    "corpus_epoch_repetition",
+    oracle="""
+WITH c AS (
+  SELECT source, doc_id,
+         CAST(substr(source, 4) AS INT) % 4 AS b,
+         substr(md5(CAST(doc_id AS VARCHAR) || ':epoch'), 1, 4) AS h
+  FROM documents
+), n AS (
+  SELECT source, doc_id,
+         (CASE b WHEN 0 THEN 0 WHEN 1 THEN 1 WHEN 2 THEN 1 ELSE 2 END
+          + CASE WHEN h < CASE b WHEN 0 THEN '8000' WHEN 1 THEN '0000'
+                              WHEN 2 THEN '8000' ELSE '4000' END
+                 THEN 1 ELSE 0 END) AS k
+  FROM c
+)
+SELECT source,
+       count(*) AS n_docs,
+       CAST(sum(k) AS BIGINT) AS n_emitted,
+       CAST(sum(CASE WHEN k > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_docs_emitted,
+       CAST(sum(doc_id * (k * (k + 1) // 2)) AS BIGINT) AS copy_checksum
+FROM n GROUP BY source ORDER BY source
+""",
+    tags=("datapipe", "sample", "epochs"),
+)
+def corpus_epoch_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source epoch weighting: emit each document floor(e) times
+    plus one extra copy for a deterministic hash-fraction of docs, so a
+    source with repeat factor e=1.5 contributes each doc once and half
+    the docs twice — how a training mix runs some domains for 2.25
+    epochs and others for 0.5 without a driver-side loop.  The factor
+    table here derives from the source id (buckets -> 0.5 / 1.0 / 1.5 /
+    2.25 epochs) with exact-hex fraction thresholds ('8000'/'4000'),
+    keeping both engines integer/string-exact.
+
+    Scale shape: the repeat plan is per-row arithmetic at the scan
+    (no config shuffle — a real deployment broadcast-joins a tiny
+    factor table), the fan-out is a map-side explode(sequence(1, k))
+    that never materializes the corpus driver-side, and the only
+    exchange is the final per-source rollup over partial aggregates.
+    The copy checksum sums doc_id * copy_index over the exploded rows,
+    pinning the emitted copy indices (not just counts) to the oracle's
+    closed form doc_id * k(k+1)/2."""
+    docs = _t(spark, sf_dir, "documents")
+    b = F.expr("CAST(substr(source, 4) AS INT) % 4")
+    full = (
+        F.when(b == 0, 0).when(b == 1, 1).when(b == 2, 1).otherwise(2)
+    )
+    thr = (
+        F.when(b == 0, "8000").when(b == 1, "0000")
+        .when(b == 2, "8000").otherwise("4000")
+    )
+    h = F.substring(
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":epoch"))), 1, 4
+    )
+    k = (full + (h < thr).cast("int")).alias("k")
+    planned = docs.select("source", "doc_id", k)
+    # plan-side accounting needs no fan-out: one partial agg over k
+    plan_agg = planned.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("k").cast("bigint").alias("n_emitted"),
+        F.sum((F.col("k") > 0).cast("int")).cast("bigint")
+        .alias("n_docs_emitted"),
+    )
+    # the emitted stream itself: map-side explode, aggregated per source
+    emit_agg = (
+        planned.filter(F.col("k") > 0)
+        .withColumn("copy", F.explode(F.sequence(F.lit(1), F.col("k"))))
+        .groupBy("source")
+        .agg(
+            F.sum(F.col("doc_id") * F.col("copy"))
+            .cast("bigint")
+            .alias("copy_checksum")
+        )
+    )
+    # both sides are |sources| rows after their partial aggs; the join
+    # is broadcast-tiny, so the corpus is never shuffled by doc_id
+    return (
+        plan_agg.join(F.broadcast(emit_agg), "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            "n_emitted",
+            "n_docs_emitted",
+            F.coalesce("copy_checksum", F.lit(0).cast("bigint"))
+            .alias("copy_checksum"),
+        )
+        .orderBy("source")
+    )
