@@ -214,3 +214,83 @@ def decode_ppm_p6(payload: bytes) -> dict:
         "max_byte": int(px.max()),
         "min_byte": int(px.min()),
     }
+
+
+# --------------------------------------------------------------------------
+# Round 3: REAL audio decode for uncompressed WAV (PCM16).  Same
+# rationale as PPM above — RIFF/WAVE with PCM needs nothing beyond
+# struct + numpy, so the encode → Arrow transfer → chunk-walk parse →
+# sample-statistics path runs for real, no codec library involved.
+# --------------------------------------------------------------------------
+def encode_wav_pcm16(
+    n_frames: int, channels: int, sample_rate: int, a1: int, a2: int
+) -> bytes:
+    """Minimal canonical RIFF/WAVE: 'fmt ' (PCM, 16-bit) + 'data'.
+    The synthetic waveform is a two-level step — the first
+    ``n_frames // 2`` frames at amplitude a1, the rest at a2, identical
+    on every channel — so every sample statistic has a closed form an
+    SQL oracle can compute."""
+    import struct
+
+    import numpy as np
+
+    h1 = n_frames // 2
+    wave = np.empty(n_frames * channels, dtype=np.int16)
+    wave[: h1 * channels] = a1
+    wave[h1 * channels :] = a2
+    data = wave.tobytes()
+    byte_rate = sample_rate * channels * 2
+    block_align = channels * 2
+    fmt = struct.pack(
+        "<HHIIHH", 1, channels, sample_rate, byte_rate, block_align, 16
+    )
+    out = (
+        b"RIFF"
+        + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+    return out
+
+
+def decode_wav_pcm16(payload: bytes) -> dict:
+    """Parse a RIFF/WAVE payload into real sample statistics — a
+    proper chunk walk (not fixed offsets), pure struct + numpy.
+    Raises ValueError on malformed input (magic, missing chunks,
+    non-PCM format, odd sizes)."""
+    import struct
+
+    import numpy as np
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", payload, pos + 4)
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_format, channels, sample_rate, _, _, bits = fmt
+    if audio_format != 1 or bits != 16:
+        raise ValueError(f"not PCM16 (format={audio_format}, bits={bits})")
+    if len(data) % (channels * 2):
+        raise ValueError("data chunk not frame-aligned")
+    samples = np.frombuffer(data, dtype=np.int16)
+    return {
+        "channels": channels,
+        "sample_rate": sample_rate,
+        "n_frames": len(samples) // channels,
+        "sum_samples": int(samples.astype(np.int64).sum()),
+        "peak": int(np.abs(samples.astype(np.int32)).max()),
+    }

@@ -438,3 +438,95 @@ def multimodal_ppm_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return decoded.orderBy("doc_id")
+
+
+@register(
+    "multimodal_wav_real_decode",
+    oracle="""
+SELECT doc_id,
+       CAST(1 + doc_id % 2 AS INT) AS channels,
+       CAST(8000 + (doc_id % 4) * 4000 AS INT) AS sample_rate,
+       CAST(64 + doc_id % 64 AS BIGINT) AS n_frames,
+       CAST((1 + doc_id % 2) *
+            (((64 + doc_id % 64) // 2) * (doc_id % 1000)
+             - ((64 + doc_id % 64) - (64 + doc_id % 64) // 2)
+               * ((doc_id * 3) % 1000)) AS BIGINT) AS sum_samples,
+       CAST(greatest(doc_id % 1000, (doc_id * 3) % 1000) AS BIGINT) AS peak
+FROM documents
+WHERE doc_id < 400
+ORDER BY doc_id
+""",
+    tags=("multimodal", "decode", "audio", "real"),
+)
+def multimodal_wav_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode end-to-end: RIFF/WAVE PCM16 payloads are
+    encoded per doc, cross the Arrow boundary as a binary column, and
+    are parsed back — a proper chunk walk (fmt /data discovery, word
+    alignment) + numpy frombuffer — into sample statistics inside a
+    second mapInPandas stage.  The audio sibling of
+    ``multimodal_ppm_real_decode``: WAV/PCM needs no codec library, so
+    nothing here is faked; compressed codecs (MP3/FLAC) remain
+    stubbed by environment necessity (operators/multimodal.py).
+
+    The synthetic waveform is a two-level step identical on every
+    channel, so channels/sample_rate/n_frames/sum/peak all have
+    closed forms the DuckDB oracle computes from doc_id alone — the
+    decode path is verified value-exactly, including the stereo
+    interleave (the sum doubles with the channel count).  Scale
+    shape: both Python stages are Arrow-batched and partition-local
+    (zero shuffles before the final sort); payload bytes never enter
+    the JVM row format."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    from ..operators.multimodal import decode_wav_pcm16, encode_wav_pcm16
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") < 400)
+    )
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["doc_id"]
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "payload": [
+                        encode_wav_pcm16(
+                            64 + int(d) % 64,
+                            1 + int(d) % 2,
+                            8000 + (int(d) % 4) * 4000,
+                            int(d) % 1000,
+                            -((int(d) * 3) % 1000),
+                        )
+                        for d in ids
+                    ],
+                }
+            )
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            stats = [decode_wav_pcm16(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "channels": [s["channels"] for s in stats],
+                    "sample_rate": [s["sample_rate"] for s in stats],
+                    "n_frames": [s["n_frames"] for s in stats],
+                    "sum_samples": [s["sum_samples"] for s in stats],
+                    "peak": [s["peak"] for s in stats],
+                }
+            )
+
+    encoded = docs.mapInPandas(encode, schema="doc_id long, payload binary")
+    decoded = encoded.mapInPandas(
+        decode,
+        schema=(
+            "doc_id long, channels int, sample_rate int, n_frames long, "
+            "sum_samples long, peak long"
+        ),
+    )
+    return decoded.orderBy("doc_id")
