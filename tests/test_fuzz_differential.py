@@ -501,3 +501,44 @@ def date_chain_query(draw) -> str:
 def test_random_date_chain_matches_duckdb(views, sf_dir, sql):
     df = views.sql(sql)
     compare_to_oracle(df, sql, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# Family 12 (round 3): random ORDERED-SET AGGREGATES — percentile_cont
+# / percentile_disc / mode / median drawn over random fractions,
+# columns, predicates and group keys.  Safe to fuzz differentially
+# because percentile interpolation is computed from the SORTED values
+# (deterministic), unlike variance-family floats whose partial-agg
+# addition order shifts low bits.
+# ---------------------------------------------------------------------------
+_OSA_FRACS = (0.1, 0.25, 0.5, 0.75, 0.9)
+
+
+@st.composite
+def ordered_set_query(draw) -> str:
+    col = draw(st.sampled_from(NUM_COLS + INT_COLS))
+    f1 = draw(st.sampled_from(_OSA_FRACS))
+    f2 = draw(st.sampled_from(_OSA_FRACS))
+    pred = draw(predicate())
+    key = draw(st.sampled_from(KEY_COLS))
+    return (
+        f"SELECT {key} AS k, "
+        f"round(CAST(percentile_cont({f1}) WITHIN GROUP (ORDER BY {col}) AS DOUBLE), 6) AS pc, "
+        f"CAST(percentile_disc({f2}) WITHIN GROUP (ORDER BY {col}) AS DOUBLE) AS pd, "
+        f"round(CAST(median({col}) AS DOUBLE), 6) AS med, "
+        f"CAST(mode() WITHIN GROUP (ORDER BY {col}) AS DOUBLE) AS md "
+        f"FROM lineitem WHERE {pred} "
+        f"GROUP BY {key} ORDER BY k"
+    )
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(sql=ordered_set_query())
+def test_random_ordered_set_matches_duckdb(views, sf_dir, sql):
+    df = views.sql(sql)
+    compare_to_oracle(df, sql, sf_dir)
