@@ -2811,10 +2811,13 @@ def sample_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     order (same carve-out pattern as `sample_stratified_exact_k`).
 
     Scale shape: the per-source count and weight table is a tiny
-    aggregate (|sources| rows) joined back via broadcast, so the corpus
-    is touched twice — once for counts (partial-agg, narrow), once for
-    the ranked selection (one hash exchange on source + per-source
-    top-target).  The rank filter is a conjunction with the literal
+    aggregate (|sources| rows) normalized in place by a bounded window
+    sum and joined back via broadcast, so the corpus is touched exactly
+    twice — once for counts (partial-agg, narrow), once for the ranked
+    selection (one hash exchange on source + per-source top-target);
+    plan-asserted in tests/test_plans.py::
+    test_temperature_mixture_shuffle_budget.
+    The rank filter is a conjunction with the literal
     budget bound (rn <= K AND rn <= target), so the window planner can
     prune per-partition at K before the exact per-source threshold
     applies.  A rate-based variant with no window at all exists as
@@ -2825,8 +2828,16 @@ def sample_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = counts.withColumn(
         "isq", F.floor(F.sqrt(F.col("n"))).cast("bigint")
     )
-    tot = w.agg(F.sum("isq").alias("tot_isq"))
-    tgt = w.crossJoin(F.broadcast(tot)).select(
+    # the normalizer is a window sum over the |sources|-row aggregate:
+    # referencing `w` once keeps ONE corpus count pass in the plan (a
+    # scalar-subquery/crossJoin spelling duplicates the whole count
+    # subtree — the branches differ by a join-null filter, so
+    # ReuseExchange can't merge them; measured, not guessed).  The
+    # unpartitioned window is bounded by |sources| — allowlisted with
+    # justification in tests/test_plans.py::_SINGLE_WINDOW_BOUNDED.
+    tgt = w.withColumn(
+        "tot_isq", F.sum("isq").over(W.partitionBy())
+    ).select(
         "source",
         "n",
         F.greatest(

@@ -613,6 +613,11 @@ _SINGLE_WINDOW_BOUNDED = {
         "window input is the per-partition count rollup — |partitions| "
         "rows (distributed zipWithIndex idiom)"
     ),
+    "sample_temperature_mixture": (
+        "window input is the per-source count aggregate — |sources| "
+        "rows; windowing it (vs a scalar-subquery crossJoin) keeps a "
+        "single corpus count pass in the plan"
+    ),
 }
 
 
@@ -684,3 +689,40 @@ def test_q11_threshold_reuses_fact_exchange(spark, sf_dir):
     plan = buf.getvalue()
     assert "ReusedExchange" in plan, plan[:3000]
     assert "Window" not in plan, plan[:3000]
+
+
+def test_temperature_mixture_shuffle_budget(spark, sf_dir):
+    """sample_temperature_mixture promises: exactly TWO corpus passes
+    (one narrow count scan, one ranked-selection scan) and at most 4
+    non-broadcast exchanges — counts hash, the |sources|-row single
+    partition for the bounded normalizer window, the ranked-selection
+    hash, the final orderBy range — with the target table riding a
+    BroadcastExchange.  Guards against the scalar-subquery spelling
+    that duplicates the whole count subtree (its branches differ by a
+    join-null filter, so ReuseExchange cannot merge them)."""
+    df = REGISTRY["sample_temperature_mixture"].fn(spark, sf_dir)
+    plan = plan_string(df, "simple")
+    n_exchange = sum(
+        1
+        for ln in plan.splitlines()
+        if "Exchange" in ln and "BroadcastExchange" not in ln
+        and "Reused" not in ln
+    )
+    assert n_exchange <= 4, f"{n_exchange} exchanges:\n{plan[:3000]}"
+    assert "BroadcastExchange" in plan, plan[:3000]
+    n_scans = plan.count("FileScan parquet")
+    assert n_scans <= 2, f"{n_scans} corpus scans:\n{plan[:3000]}"
+
+
+def test_epoch_repetition_never_shuffles_by_doc_id(spark, sf_dir):
+    """corpus_epoch_repetition promises the corpus is never exchanged
+    on doc_id: every hash exchange must be keyed on source only, and
+    the two per-source aggregates meet in a broadcast join."""
+    df = REGISTRY["corpus_epoch_repetition"].fn(spark, sf_dir)
+    plan = plan_string(df, "simple")
+    for ln in plan.splitlines():
+        if "Exchange hashpartitioning" in ln and "Reused" not in ln:
+            assert "doc_id" not in ln, f"doc_id exchange: {ln}"
+    assert "BroadcastExchange" in plan, plan[:3000]
+    # the fan-out is a Generate (explode) node, map-side
+    assert "Generate" in plan, plan[:3000]
