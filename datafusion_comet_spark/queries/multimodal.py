@@ -530,3 +530,112 @@ def multimodal_wav_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return decoded.orderBy("doc_id")
+
+
+@register(
+    "multimodal_format_sniff",
+    oracle="""
+SELECT CASE WHEN doc_id % 3 = 0 THEN 'ppm'
+            WHEN doc_id % 3 = 1 THEN 'wav'
+            ELSE 'unknown' END AS fmt,
+       count(*) AS n,
+       CAST(sum(CASE WHEN doc_id % 3 = 0
+                     THEN 3 * (8 + doc_id % 8) * (6 + doc_id % 6)
+                     WHEN doc_id % 3 = 1
+                     THEN 2 * (1 + doc_id % 2) * (64 + doc_id % 64)
+                     ELSE 16 END) AS BIGINT) AS payload_bytes
+FROM documents
+WHERE doc_id < 400
+GROUP BY 1
+ORDER BY fmt
+""",
+    tags=("multimodal", "sniff", "dispatch"),
+)
+def multimodal_format_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Container-format dispatch by magic bytes: a mixed binary column
+    (PPM images, WAV audio, opaque blobs) is classified from its first
+    bytes — `P6` vs `RIFF....WAVE` vs unknown — the routing step every
+    real multimodal ingest runs before choosing a decoder, here over
+    the same real encoders the decode ops use.  Classification is pure
+    JVM expression work on a binary prefix (substring on binary +
+    decode), no Python in the sniff path: payloads are produced by one
+    Arrow-batched encode stage, and the dispatch itself is a codegen
+    CASE over the first bytes.  The per-format byte accounting
+    (raster = 3wh for PPM, data chunk = 2·channels·frames for WAV) has
+    closed forms the oracle computes from doc_id alone.
+
+    Scale shape: one encode pass + scan-side classification + one
+    partial-agg rollup to |formats| rows; payloads never shuffle."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    from ..operators.multimodal import encode_ppm_p6, encode_wav_pcm16
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") < 400)
+    )
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                if d % 3 == 0:
+                    payloads.append(
+                        encode_ppm_p6(
+                            8 + d % 8, 6 + d % 6, d % 256, (d * 7 + 13) % 256
+                        )
+                    )
+                elif d % 3 == 1:
+                    payloads.append(
+                        encode_wav_pcm16(
+                            64 + d % 64, 1 + d % 2,
+                            8000 + (d % 4) * 4000, d % 1000,
+                            -((d * 3) % 1000),
+                        )
+                    )
+                else:
+                    payloads.append(bytes([d % 256]) * 16)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    encoded = docs.mapInPandas(encode, schema="doc_id long, payload binary")
+    # binary-literal comparison — decode(UTF-8) would raise on the
+    # opaque blobs' invalid byte sequences under ANSI
+    magic_ppm = F.expr("substring(payload, 1, 2) = X'5036'")  # 'P6'
+    magic_riff = F.expr("substring(payload, 1, 4) = X'52494646'")  # 'RIFF'
+    magic_wave = F.expr("substring(payload, 9, 4) = X'57415645'")  # 'WAVE'
+    fmt = (
+        F.when(magic_ppm, "ppm")
+        .when(magic_riff & magic_wave, "wav")
+        .otherwise("unknown")
+    )
+    # payload accounting: PPM raster bytes after the text header;
+    # WAV data-chunk bytes (total minus the 44-byte canonical header);
+    # opaque blobs count whole
+    plen = F.length("payload")
+    header_ppm = F.length(
+        F.concat(
+            F.lit("P6\n"),
+            (F.lit(8) + F.col("doc_id") % 8).cast("string"),
+            F.lit(" "),
+            (F.lit(6) + F.col("doc_id") % 6).cast("string"),
+            F.lit("\n255\n"),
+        )
+    )
+    body = (
+        F.when(fmt == "ppm", plen - header_ppm)
+        .when(fmt == "wav", plen - 44)
+        .otherwise(plen)
+    )
+    return (
+        encoded.select(fmt.alias("fmt"), body.alias("body"))
+        .groupBy("fmt")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("body").cast("bigint").alias("payload_bytes"),
+        )
+        .orderBy("fmt")
+    )
