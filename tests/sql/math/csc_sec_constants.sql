@@ -5,6 +5,7 @@
 query spark_only
 SELECT 1 AS ok WHERE abs(csc(1.0) * sin(1.0) - 1.0) < 1e-12
   AND abs(sec(1.0) * cos(1.0) - 1.0) < 1e-12
+  AND abs(cot(1.0) * tan(1.0) - 1.0) < 1e-12
 
 -- expect-rows: 1
 query spark_only
