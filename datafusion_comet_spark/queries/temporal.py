@@ -857,3 +857,119 @@ def rollup_incremental_update(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return merged.orderBy("event_type", "hr")
+
+
+@register(
+    "join_asof_forward_tolerance",
+    oracle="""
+WITH u AS (
+  SELECT user_id,
+         CAST(ts AS TIMESTAMP) AS t,
+         0 AS marker,
+         event_id AS click_id,
+         NULL::BIGINT AS purchase_id
+  FROM events WHERE event_type = 'click'
+  UNION ALL
+  SELECT user_id,
+         CAST(ts AS TIMESTAMP) AS t,
+         1 AS marker,
+         NULL::BIGINT AS click_id,
+         event_id AS purchase_id
+  FROM events WHERE event_type = 'purchase'
+), carried AS (
+  SELECT user_id, t, marker, click_id,
+         last_value(purchase_id IGNORE NULLS)
+           OVER (PARTITION BY user_id
+                 ORDER BY t DESC, marker DESC, purchase_id DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS next_purchase_id,
+         last_value(CASE WHEN marker = 1 THEN t END IGNORE NULLS)
+           OVER (PARTITION BY user_id
+                 ORDER BY t DESC, marker DESC, purchase_id DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS next_purchase_t
+  FROM u
+)
+SELECT click_id, user_id,
+       CASE WHEN next_purchase_t IS NOT NULL
+                 AND epoch_us(next_purchase_t) - epoch_us(t)
+                     <= CAST(604800000000 AS BIGINT)
+            THEN next_purchase_id END AS purchase_id,
+       CASE WHEN next_purchase_t IS NOT NULL
+                 AND epoch_us(next_purchase_t) - epoch_us(t)
+                     <= CAST(604800000000 AS BIGINT)
+            THEN epoch_us(next_purchase_t) - epoch_us(t) END AS lag_us
+FROM carried
+WHERE marker = 0
+ORDER BY click_id
+""",
+    tags=("temporal", "join"),
+)
+def join_asof_forward_tolerance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Forward as-of join with a tolerance bound: each click attributed
+    to the user's NEXT purchase at-or-after it, but only within a
+    7-day attribution window — the pandas ``merge_asof(direction=
+    'forward', tolerance=...)`` semantics, completing the direction
+    matrix with `join_asof` (backward).  Ties at identical timestamps
+    resolve to the purchase, then the highest purchase_id, pinned by
+    the window ordering so both engines agree.
+
+    Same scale shape as the backward form: ONE union + ONE per-user
+    window (the forward direction is just the reverse sort order —
+    no self-join, no range explosion); the tolerance is a post-window
+    filter, so widening the window changes no exchange.  At 100 TB
+    this is one hash exchange on user_id regardless of direction or
+    tolerance."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts").alias("t"),
+        F.lit(0).alias("marker"),
+        F.col("event_id").alias("click_id"),
+        F.lit(None).cast("bigint").alias("purchase_id"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("t"),
+        F.lit(1).alias("marker"),
+        F.lit(None).cast("bigint").alias("click_id"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(
+            F.col("t").desc(),
+            F.col("marker").desc(),
+            F.col("purchase_id").desc(),
+        )
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = clicks.unionByName(purchases).select(
+        "click_id",
+        "user_id",
+        "marker",
+        "t",
+        F.last("purchase_id", ignorenulls=True).over(w)
+        .alias("next_purchase_id"),
+        F.last(
+            F.when(F.col("marker") == 1, F.col("t")), ignorenulls=True
+        )
+        .over(w)
+        .alias("next_purchase_t"),
+    )
+    lag = F.unix_micros("next_purchase_t") - F.unix_micros("t")
+    within = F.col("next_purchase_t").isNotNull() & (
+        lag <= 7 * 86400 * 1_000_000
+    )
+    return (
+        carried.filter(F.col("marker") == 0)
+        .select(
+            "click_id",
+            "user_id",
+            F.when(within, F.col("next_purchase_id")).alias("purchase_id"),
+            F.when(within, lag).alias("lag_us"),
+        )
+        .orderBy("click_id")
+    )
