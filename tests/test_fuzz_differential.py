@@ -542,3 +542,42 @@ def ordered_set_query(draw) -> str:
 def test_random_ordered_set_matches_duckdb(views, sf_dir, sql):
     df = views.sql(sql)
     compare_to_oracle(df, sql, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# Family 13 (round 3): random CORRELATED SCALAR SUBQUERIES — per-row
+# lookups in the SELECT list over random aggregates, correlation
+# predicates and outer filters.  Stresses the decorrelation rewrite
+# (subquery -> left outer aggregate join) both planners perform; a
+# multiplicity or NULL-on-empty bug diverges immediately.  COUNT is
+# the sharp edge: an empty correlated group must yield 0 (not NULL).
+# ---------------------------------------------------------------------------
+@st.composite
+def correlated_scalar_query(draw) -> str:
+    agg = draw(st.sampled_from(["count(*)", "min(l_quantity)", "max(l_linenumber)"]))
+    o_pred = draw(st.sampled_from([
+        "o_totalprice > 100000", "o_orderstatus = 'O'",
+        "o_orderpriority = '1-URGENT'", "o_custkey % 7 = 0",
+    ]))
+    l_pred = draw(predicate())
+    o_lit = draw(st.integers(1000, 30000))
+    return (
+        f"SELECT o_orderkey, "
+        f"(SELECT {agg} FROM lineitem l "
+        f" WHERE l.l_orderkey = o.o_orderkey AND {l_pred}) AS sub "
+        f"FROM orders o "
+        f"WHERE {o_pred} AND o_orderkey < {o_lit} "
+        f"ORDER BY o_orderkey"
+    )
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(sql=correlated_scalar_query())
+def test_random_correlated_scalar_matches_duckdb(views, sf_dir, sql):
+    df = views.sql(sql)
+    compare_to_oracle(df, sql, sf_dir)
