@@ -2960,3 +2960,62 @@ def corpus_epoch_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# Per-language top-p quality cut — exact discrete-percentile threshold
+# --------------------------------------------------------------------------
+@register(
+    "quality_topp_per_language",
+    oracle="""
+WITH cut AS (
+  SELECT lang,
+         percentile_disc(0.3) WITHIN GROUP (ORDER BY n_chars) AS c
+  FROM documents GROUP BY lang
+)
+SELECT d.lang,
+       count(*) AS n_kept,
+       CAST(min(d.n_chars) AS BIGINT) AS min_kept_chars,
+       CAST(max(t.c) AS BIGINT) AS cutoff,
+       CAST(sum(d.doc_id) AS BIGINT) AS id_checksum
+FROM documents d JOIN cut t ON d.lang = t.lang
+WHERE d.n_chars >= t.c
+GROUP BY d.lang
+ORDER BY d.lang
+""",
+    tags=("datapipe", "quality", "topp"),
+)
+def quality_topp_per_language(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language top-p quality cut: keep the best ~70% of documents
+    WITHIN each language, so low-resource languages aren't wiped out by
+    a global threshold — the balanced-curation move after any scored
+    quality pass (here the score is n_chars; swap in any scorer
+    column).  The cutoff is percentile_disc, NOT percentile_cont:
+    the discrete form picks an actual data value, so both engines
+    compute bit-identical thresholds, while continuous interpolation
+    drifts in float space and can flip boundary documents (measured:
+    Spark 3.0999999999999996 vs DuckDB 3.0 on the same input — the
+    reason this op pins the disc form).
+
+    Scale shape: the per-language cutoff is one tiny ordered-set
+    aggregate (|langs| rows) broadcast back; the corpus is scanned
+    twice (cutoff pass, filter pass), never shuffled by doc —
+    the same two-pass envelope as `sample_temperature_mixture`."""
+    docs = _t(spark, sf_dir, "documents")
+    cut = docs.groupBy("lang").agg(
+        F.expr(
+            "percentile_disc(0.3) WITHIN GROUP (ORDER BY n_chars)"
+        ).alias("c")
+    )
+    return (
+        docs.join(F.broadcast(cut), "lang")
+        .filter(F.col("n_chars") >= F.col("c"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.min("n_chars").cast("bigint").alias("min_kept_chars"),
+            F.max("c").cast("bigint").alias("cutoff"),
+            F.sum("doc_id").cast("bigint").alias("id_checksum"),
+        )
+        .orderBy("lang")
+    )
