@@ -3019,3 +3019,123 @@ def quality_topp_per_language(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# --------------------------------------------------------------------------
+# Composed mixture-assembly pipeline — topp quality -> temperature
+# targets -> epoch plan, one declared plan
+# --------------------------------------------------------------------------
+@register(
+    "pipeline_mixture_assembly",
+    oracle="""
+WITH cut AS (
+  SELECT lang,
+         percentile_disc(0.3) WITHIN GROUP (ORDER BY n_chars) AS c
+  FROM documents GROUP BY lang
+), kept AS (
+  SELECT d.doc_id, d.source
+  FROM documents d JOIN cut t ON d.lang = t.lang
+  WHERE d.n_chars >= t.c
+), counts AS (
+  SELECT source, count(*) AS n,
+         CAST(floor(sqrt(count(*))) AS BIGINT) AS isq
+  FROM kept GROUP BY source
+), tot AS (
+  SELECT sum(isq) AS tot_isq FROM counts
+), tgt AS (
+  SELECT source, n,
+         greatest(1, least(n, (1000 * isq) // tot_isq)) AS target
+  FROM counts, tot
+), ranked AS (
+  SELECT source, doc_id,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY md5(CAST(doc_id AS VARCHAR) || ':mix-v1'), doc_id
+         ) AS rn
+  FROM kept
+), selected AS (
+  SELECT r.source, r.doc_id
+  FROM ranked r JOIN tgt t ON r.source = t.source
+  WHERE r.rn <= t.target
+)
+SELECT s.source,
+       CAST(max(t.n) AS BIGINT) AS n_quality,
+       CAST(max(t.target) AS BIGINT) AS target,
+       count(*) AS n_selected,
+       CAST(sum(CASE WHEN s.doc_id % 2 = 0 THEN 2 ELSE 1 END)
+            AS BIGINT) AS n_emitted,
+       CAST(sum(s.doc_id) AS BIGINT) AS id_checksum
+FROM selected s JOIN tgt t ON s.source = t.source
+GROUP BY s.source
+ORDER BY s.source
+""",
+    tags=("datapipe", "pipeline", "mixture"),
+)
+def pipeline_mixture_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mixture-assembly layer composed into ONE declared plan:
+    per-language top-p quality cut (percentile_disc thresholds,
+    broadcast) → per-source temperature targets over the SURVIVORS
+    (count^0.5 against a 1000-doc budget, integer-exact) → salted-hash
+    exact-target selection → a 2-epochs-for-even-docs repeat plan
+    accounted per source.  Each stage is the standalone op
+    (`quality_topp_per_language`, `sample_temperature_mixture`,
+    `corpus_epoch_repetition`) — the point of this query is that the
+    composition stays a single Catalyst plan: the quality cut's
+    broadcast feeds the count pass without materialization, and the
+    temperature targets ride a second broadcast into the ranked
+    selection.
+
+    Scale shape: corpus scanned three times (cutoff, counts, ranked
+    selection) with every inter-stage table at |langs| or |sources|
+    rows riding broadcasts; the only corpus-cardinality exchange is
+    the one source-keyed window, same envelope as the standalone
+    temperature op."""
+    docs = _t(spark, sf_dir, "documents")
+    budget = 1000
+    cut = docs.groupBy("lang").agg(
+        F.expr(
+            "percentile_disc(0.3) WITHIN GROUP (ORDER BY n_chars)"
+        ).alias("c")
+    )
+    kept = (
+        docs.join(F.broadcast(cut), "lang")
+        .filter(F.col("n_chars") >= F.col("c"))
+        .select("doc_id", "source")
+    )
+    counts = kept.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    w = counts.withColumn(
+        "isq", F.floor(F.sqrt(F.col("n"))).cast("bigint")
+    )
+    tgt = w.withColumn(
+        "tot_isq", F.sum("isq").over(W.partitionBy())
+    ).select(
+        "source",
+        "n",
+        F.greatest(
+            F.lit(1).cast("bigint"),
+            F.least(
+                F.col("n").cast("bigint"),
+                F.expr(f"({budget} * isq) div tot_isq"),
+            ),
+        ).alias("target"),
+    )
+    key = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":mix-v1")))
+    rn = F.row_number().over(W.partitionBy("source").orderBy(key, "doc_id"))
+    ranked = kept.select("source", "doc_id", rn.alias("rn")).filter(
+        F.col("rn") <= budget
+    )
+    selected = ranked.join(F.broadcast(tgt), "source").filter(
+        F.col("rn") <= F.col("target")
+    )
+    epochs = F.when(F.col("doc_id") % 2 == 0, 2).otherwise(1)
+    return (
+        selected.groupBy("source")
+        .agg(
+            F.max("n").cast("bigint").alias("n_quality"),
+            F.max("target").cast("bigint").alias("target"),
+            F.count(F.lit(1)).alias("n_selected"),
+            F.sum(epochs).cast("bigint").alias("n_emitted"),
+            F.sum("doc_id").cast("bigint").alias("id_checksum"),
+        )
+        .orderBy("source")
+    )

@@ -618,6 +618,11 @@ _SINGLE_WINDOW_BOUNDED = {
         "rows; windowing it (vs a scalar-subquery crossJoin) keeps a "
         "single corpus count pass in the plan"
     ),
+    "pipeline_mixture_assembly": (
+        "same bounded normalizer window as sample_temperature_mixture "
+        "(per-source count aggregate, |sources| rows), composed into "
+        "the assembly pipeline"
+    ),
 }
 
 
