@@ -873,9 +873,20 @@ def test_minhash_ml_pairs_match_exact_jaccard(spark, sf_dir):
         if a < b
     }
     assert dup_pairs, "fixture should contain exact duplicates"
-    assert len(dup_pairs) < 1000, "dup count exceeds the query's top-k"
-    missed = dup_pairs - set(reported)
-    assert not missed, f"exact-duplicate pairs missed by LSH: {missed}"
+    if len(dup_pairs) < 1000:
+        # below the query's top-k cap: full exact-dup recall assertable
+        missed = dup_pairs - set(reported)
+        assert not missed, f"exact-duplicate pairs missed by LSH: {missed}"
+    else:
+        # sf0.1 regime: more exact-dup pairs exist than the query's
+        # distance-ordered top-1000 can emit, so per-pair recall is not
+        # assertable — but the cap must then be FILLED entirely with
+        # zero-distance pairs (any nonzero distance in the top-k would
+        # mean a missed exact dup ranked below it)
+        assert len(reported) == 1000, len(reported)
+        assert all(d < 1e-9 for d in reported.values()), (
+            max(reported.values())
+        )
 
 
 def test_ignore_corrupt_files_skips_bad_parquet(spark, sf_dir, tmp_path):
