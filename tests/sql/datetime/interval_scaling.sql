@@ -21,3 +21,13 @@ SELECT '2020-03-05'::DATE AS colon_cast, '42'::INT AS colon_int
 -- expect-rows: 1
 query spark_only
 SELECT CAST(INTERVAL '90' MINUTE AS STRING) AS istr WHERE CAST(INTERVAL '90' MINUTE AS STRING) = "INTERVAL '90' MINUTE"
+
+-- compound interval qualifiers (DAY TO SECOND / HOUR TO MINUTE) are
+-- Spark grammar; DuckDB only accepts single-unit INTERVAL literals
+-- expect-rows: 1
+query spark_only
+SELECT TIMESTAMP '2020-01-01 00:00:00' + INTERVAL '1 02:03:04' DAY TO SECOND AS shifted WHERE TIMESTAMP '2020-01-01 00:00:00' + INTERVAL '1 02:03:04' DAY TO SECOND = TIMESTAMP '2020-01-02 02:03:04'
+
+-- boolean casts to numerics are shared and exact
+query
+SELECT CAST(true AS INT) AS b2i, CAST(false AS DOUBLE) AS b2d, CAST(1 AS BOOLEAN) AS i2b
