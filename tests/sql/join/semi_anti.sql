@@ -15,3 +15,11 @@ SELECT id, v FROM t_sl WHERE id IN (SELECT id FROM t_sr) ORDER BY id
 
 query
 SELECT id, v FROM t_sl WHERE NOT EXISTS (SELECT 1 FROM t_sr WHERE t_sr.id = t_sl.id) ORDER BY id
+
+-- explicit SEMI / ANTI JOIN grammar (both engines accept the bare
+-- forms; Spark also spells LEFT SEMI / LEFT ANTI)
+query
+SELECT l.id FROM t_sl l SEMI JOIN t_sr r ON r.id = l.id ORDER BY l.id
+
+query
+SELECT l.id FROM t_sl l ANTI JOIN t_sr r ON r.id = l.id ORDER BY l.id
