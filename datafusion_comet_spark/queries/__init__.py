@@ -61,23 +61,25 @@ def load_all() -> dict[str, Query]:
     Import order IS registry order, and the round driver samples a
     prefix of it for CORRECTNESS_r{N}.json — so the order rotates
     between rounds to keep the sample honest across families
-    (rounds 1-2 led with TPC-H/TPC-DS; round 3 leads with the
-    datapipe/similarity/sources/streaming families).  All 240+
-    oracles run locally every round regardless
-    (tests/test_queries_oracle.py)."""
+    (rounds 1-2 led with TPC-H/TPC-DS; round 3 led with
+    datapipe/similarity; round 4 leads with the never-driver-sampled
+    windows/temporal/multimodal/aggregates families plus the fast
+    streaming representative).  All 260+ oracles run locally every
+    round regardless (tests/test_queries_oracle.py)."""
+    from . import windows  # noqa: F401
+    from . import streaming_fast  # noqa: F401
+    from . import temporal  # noqa: F401
+    from . import multimodal  # noqa: F401
+    from . import aggregates  # noqa: F401
+    from . import expressions  # noqa: F401
     from . import datapipe  # noqa: F401
     from . import similarity  # noqa: F401
     from . import sources  # noqa: F401
-    from . import temporal  # noqa: F401
-    from . import multimodal  # noqa: F401
     from . import tpch  # noqa: F401
     from . import tpcds_style  # noqa: F401
     from . import tpcds_style2  # noqa: F401
     from . import tpcds_style3  # noqa: F401
     from . import relational  # noqa: F401
-    from . import expressions  # noqa: F401
-    from . import aggregates  # noqa: F401
-    from . import windows  # noqa: F401
     # streaming last: each stream_* query executes a full availableNow
     # run (~5-20s) — keeping them out of any prefix-sampled set
     from . import streaming  # noqa: F401

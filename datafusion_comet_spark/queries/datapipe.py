@@ -294,12 +294,21 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0).cast("long"),
         ).alias("simhash"),
     )
+    # doc_ids serialized at the output boundary (driver-hash safety for
+    # array columns — same convention as embedding_quantize_int8); the
+    # set aggregation itself runs on native longs underneath.
+    doc_ids_str = F.array_join(
+        F.transform(
+            F.sort_array(F.collect_set("doc_id")), lambda x: x.cast("string")
+        ),
+        ",",
+    )
     return (
         simhash.withColumn("bucket", F.shiftright("simhash", 47))
         .groupBy("bucket")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
-            F.sort_array(F.collect_set("doc_id")).alias("doc_ids"),
+            doc_ids_str.alias("doc_ids"),
         )
         .filter(F.col("n_docs") > 1)
         .orderBy("bucket")
@@ -1961,16 +1970,23 @@ def doc_length_approx_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     sized = docs.select("source", F.size(F.split("text", " ")).alias("n_toks"))
     pcts = [i / 10.0 for i in range(1, 10)]
-    return (
-        sized.groupBy("source")
-        .agg(
-            F.percentile_approx(
-                "n_toks", pcts, 10000
-            ).alias("decile_cuts"),
-            F.count(F.lit(1)).alias("n_docs"),
-        )
-        .orderBy("source")
+    cuts = sized.groupBy("source").agg(
+        F.percentile_approx("n_toks", pcts, 10000).alias("decile_cuts"),
+        F.count(F.lit(1)).alias("n_docs"),
     )
+    # posexplode the sketch output to scalar (decile, cut) rows — the
+    # driver canonicalizer hashes scalar columns only; the aggregate
+    # (the scale-relevant part) is unchanged, one sketch per source.
+    return cuts.select(
+        "source",
+        F.posexplode("decile_cuts").alias("pos", "cut"),
+        "n_docs",
+    ).select(
+        "source",
+        (F.col("pos") + 1).alias("decile"),
+        "cut",
+        "n_docs",
+    ).orderBy("source", "decile")
 
 
 @register(

