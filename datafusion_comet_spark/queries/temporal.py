@@ -913,8 +913,10 @@ def join_asof_forward_tolerance(
     7-day attribution window — the pandas ``merge_asof(direction=
     'forward', tolerance=...)`` semantics, completing the direction
     matrix with `join_asof` (backward).  Ties at identical timestamps
-    resolve to the purchase, then the highest purchase_id, pinned by
-    the window ordering so both engines agree.
+    resolve to the purchase, then the LOWEST purchase_id: the window
+    scans t DESC with purchase_id DESC, so the last purchase row in
+    frame order at a tied timestamp is the smallest id — pinned by the
+    identical window ordering in both engines.
 
     Same scale shape as the backward form: ONE union + ONE per-user
     window (the forward direction is just the reverse sort order —

@@ -206,13 +206,22 @@ WITH freq_parts AS (
   GROUP BY l_partkey HAVING count(DISTINCT l_orderkey) >= 4
 ),
 cust_spend AS (
-  SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS spend
+  SELECT o_custkey,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+           AS spend_cents
   FROM orders GROUP BY o_custkey
 ),
+totals AS (
+  SELECT CAST(sum(spend_cents) AS BIGINT) AS total_cents,
+         CAST(count(*) AS BIGINT) AS n_cust
+  FROM cust_spend
+),
 best_customers AS (
-  SELECT o_custkey FROM cust_spend
-  WHERE spend > (SELECT CAST(avg(spend) AS DECIMAL(18,2)) * 1.5
-                 FROM cust_spend)
+  -- spend > 1.5 * avg spelled as integer-cents cross-multiplication
+  -- (spend*2*n > total*3): exact in both engines — a double-valued
+  -- avg would let half-cent-boundary customers flip membership
+  SELECT o_custkey FROM cust_spend, totals
+  WHERE spend_cents * 2 * n_cust > total_cents * 3
 )
 SELECT CAST(count(*) AS BIGINT) AS n_lines,
        CAST(round(sum({SQL_REV}), 2) AS DOUBLE) AS revenue,
@@ -256,15 +265,23 @@ def tpcds_frequent_best_combo(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_partkey")
     )
     cust_spend = orders.groupBy("o_custkey").agg(
-        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("spend")
+        (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+        .cast("bigint")
+        .alias("spend_cents")
     )
-    threshold = cust_spend.agg(
-        (F.avg("spend").cast("decimal(18,2)") * F.lit("1.5").cast("decimal(2,1)"))
-        .alias("cut")
+    # 1.5x-average threshold as integer-cents cross-multiplication
+    # (spend*2*n > total*3): exact and engine-identical — avg() would
+    # round at decimal/double scale and flip boundary customers
+    totals = cust_spend.agg(
+        F.sum("spend_cents").cast("bigint").alias("total_cents"),
+        F.count(F.lit(1)).alias("n_cust"),
     )
     best_customers = (
-        cust_spend.join(F.broadcast(threshold))
-        .filter(F.col("spend") > F.col("cut"))
+        cust_spend.join(F.broadcast(totals))
+        .filter(
+            F.col("spend_cents") * 2 * F.col("n_cust")
+            > F.col("total_cents") * 3
+        )
         .select("o_custkey")
     )
     joined = (

@@ -649,6 +649,11 @@ def test_no_unpartitioned_window_over_unbounded_input(spark, sf_dir):
     """
     import re
 
+    def _indent(ln: str) -> int:
+        # chars before the operator name: spaces plus the tree-drawing
+        # ':', '+', '-' rail characters
+        return len(re.match(r"^[\s:+-]*", ln).group(0))
+
     offenders = []
     for name, q in REGISTRY.items():
         plan = plan_string(q.fn(spark, sf_dir), "simple")
@@ -656,11 +661,29 @@ def test_no_unpartitioned_window_over_unbounded_input(spark, sf_dir):
         for i, ln in enumerate(lines):
             if "WindowGroupLimit" in ln or not re.search(r"\bWindow\b", ln):
                 continue
-            ctx = lines[i : i + 4]
-            if not any("SinglePartition" in c for c in ctx):
+            # Walk the Window's direct input spine: consecutive lines of
+            # strictly increasing indent (each unary child one level
+            # deeper) until the first Exchange — that exchange, however
+            # many Project/Filter/Sort nodes away, is what feeds the
+            # Window.  The old 4-line text lookahead missed deeper
+            # exchanges and credited WindowGroupLimits belonging to
+            # adjacent operators.
+            spine: list[str] = []
+            prev = _indent(ln)
+            exchange_line = None
+            for nxt in lines[i + 1 :]:
+                d = _indent(nxt)
+                if d <= prev:
+                    break  # sibling branch — spine ends
+                prev = d
+                if "Exchange" in nxt:
+                    exchange_line = nxt
+                    break
+                spine.append(nxt)
+            if exchange_line is None or "SinglePartition" not in exchange_line:
                 continue
-            if any("WindowGroupLimit" in c for c in ctx):
-                continue  # rank-limit pruned: bounded per-partition feed
+            if any("WindowGroupLimit" in s for s in spine):
+                continue  # rank-limit pruned ON THE PATH: bounded feed
             if name in _SINGLE_WINDOW_BOUNDED:
                 continue
             offenders.append(name)

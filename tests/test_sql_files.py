@@ -55,9 +55,16 @@ _TYPE_REWRITES = [
 
 
 def _duckify(stmt: str) -> str:
-    for pat, rep in _TYPE_REWRITES:
-        stmt = pat.sub(rep, stmt)
-    return stmt
+    # Rewrite only OUTSIDE single-quoted string literals: a data value
+    # like 'a string value' in an INSERT must not become 'a VARCHAR
+    # value' on the DuckDB side.  Literals are split out first ('' is
+    # the SQL escape for a quote inside a literal, handled by the
+    # non-greedy pair match), rewrites apply to the code segments only.
+    parts = re.split(r"('(?:[^']|'')*')", stmt)
+    for i in range(0, len(parts), 2):  # even indexes = non-literal code
+        for pat, rep in _TYPE_REWRITES:
+            parts[i] = pat.sub(rep, parts[i])
+    return "".join(parts)
 
 
 class Block:
@@ -131,13 +138,26 @@ def _rows_equal(a, b, tol: float | None) -> bool:
             y, bool
         )
         if fx and fy:
+            # int/Decimal pairs compare EXACTLY on the native types —
+            # routing them through float() would equate any two values
+            # above 2^53 that round to the same double (factorials, bit
+            # aggregates, decimal(38,18) pins), masking exactly the
+            # divergence class this corpus exists to catch.  isclose
+            # applies only when a float is involved, and only with a
+            # nonzero tolerance when the query declares tolerance=X.
+            if not (isinstance(x, float) or isinstance(y, float)):
+                if x != y:
+                    return False
+                continue
             xf, yf = float(x), float(y)
             if math.isnan(xf) or math.isnan(yf):
                 if not (math.isnan(xf) and math.isnan(yf)):
                     return False
                 continue
-            t = tol if tol is not None else 1e-9
-            if not math.isclose(xf, yf, rel_tol=t, abs_tol=t):
+            if tol is not None:
+                if not math.isclose(xf, yf, rel_tol=tol, abs_tol=tol):
+                    return False
+            elif xf != yf:
                 return False
         elif _canon(x) != _canon(y):
             return False
