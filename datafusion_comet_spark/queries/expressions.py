@@ -473,8 +473,8 @@ SELECT p_partkey,
        TRY_CAST(p_size AS SMALLINT)                  AS size_i16,
        TRY_CAST(p_partkey * 1000000 AS INTEGER)      AS key_scaled_i32,
        TRY_CAST(floor(p_retailprice) AS BIGINT)      AS price_trunc,
-       TRY_CAST(CAST(p_retailprice AS DECIMAL(12,2))
-                AS DECIMAL(18,6))                    AS price_rescaled,
+       CAST(TRY_CAST(CAST(p_retailprice AS DECIMAL(12,2))
+                     AS DECIMAL(18,6)) AS DOUBLE)    AS price_rescaled,
        TRY_CAST(p_size AS DOUBLE)                    AS size_dbl,
        TRY_CAST(CAST(p_size AS DOUBLE) AS FLOAT)     AS size_f32
 FROM part
@@ -502,6 +502,7 @@ def expr_cast_narrowing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_retailprice")
         .cast("decimal(12,2)")
         .cast("decimal(18,6)")
+        .cast("double")
         .alias("price_rescaled"),
         F.col("p_size").cast("double").alias("size_dbl"),
         F.col("p_size").cast("double").cast("float").alias("size_f32"),
@@ -930,9 +931,12 @@ def expr_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
     "expr_decimal_arith",
     oracle="""
 SELECT l_orderkey, l_linenumber,
-       CAST(price_d * (1 - disc_d) AS DECIMAL(22, 4))   AS discounted,
-       CAST(price_d + tax_d AS DECIMAL(16, 2))          AS plus_tax,
-       CAST(round(price_d / 7, 4) AS DECIMAL(20, 4))    AS seventh,
+       CAST(CAST(price_d * (1 - disc_d) AS DECIMAL(22, 4)) AS DOUBLE)
+                                                        AS discounted,
+       CAST(CAST(price_d + tax_d AS DECIMAL(16, 2)) AS DOUBLE)
+                                                        AS plus_tax,
+       CAST(CAST(round(price_d / 7, 4) AS DECIMAL(20, 4)) AS DOUBLE)
+                                                        AS seventh,
        CAST(price_d AS DOUBLE)                          AS as_double
 FROM (
   SELECT l_orderkey, l_linenumber,
@@ -951,7 +955,11 @@ def expr_decimal_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
     largest kernel family (native/spark-expr/src/math_funcs/
     wide_decimal_binary_expr.rs, div.rs).  Spark and DuckDB infer
     different intermediate precision/scale, so every result is cast
-    to an explicit DECIMAL(p,s) on both sides (SURVEY.md §7.4 risk #1)."""
+    to an explicit DECIMAL(p,s) on both sides (SURVEY.md §7.4 risk #1).
+    The pinned decimals stay INTERNAL — the output boundary emits
+    double (one extra cast on both sides): raw decimal outputs render
+    differently through the two engines' pandas round-trips and are
+    banned registry-wide (test_queries_oracle.py)."""
     li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 200)
     price = F.col("l_extendedprice").cast("decimal(14,2)")
     disc = F.col("l_discount").cast("decimal(6,4)")
@@ -959,9 +967,15 @@ def expr_decimal_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.select(
         "l_orderkey",
         "l_linenumber",
-        (price * (F.lit(1) - disc)).cast("decimal(22,4)").alias("discounted"),
-        (price + tax).cast("decimal(16,2)").alias("plus_tax"),
-        F.round(price / 7, 4).cast("decimal(20,4)").alias("seventh"),
+        (price * (F.lit(1) - disc))
+        .cast("decimal(22,4)")
+        .cast("double")
+        .alias("discounted"),
+        (price + tax).cast("decimal(16,2)").cast("double").alias("plus_tax"),
+        F.round(price / 7, 4)
+        .cast("decimal(20,4)")
+        .cast("double")
+        .alias("seventh"),
         price.cast("double").alias("as_double"),
     ).orderBy("l_orderkey", "l_linenumber")
 

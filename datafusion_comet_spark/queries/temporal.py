@@ -689,7 +689,7 @@ WITH hourly AS (
 SELECT event_type,
        CAST(date_trunc('day', hr) AS DATE) AS day,
        CAST(sum(cnt) AS BIGINT) AS n_events,
-       CAST(sum(sum_value) AS DECIMAL(28,6)) AS total_value,
+       CAST(round(sum(sum_value), 6) AS DOUBLE) AS total_value,
        round(CAST(sum(sum_value) AS DOUBLE) / sum(cnt), 6) AS avg_value
 FROM hourly
 GROUP BY 1, 2
@@ -712,7 +712,11 @@ def rollup_reaggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
     dominated by pass 1, exactly once, and pass 1 is the thing an
     incremental pipeline materializes per arriving partition.  Sums
     are DECIMAL so the mergeable state is exact — the cascade's
-    result cannot depend on partial-aggregation order."""
+    result cannot depend on partial-aggregation order.  The exact
+    decimal stays INTERNAL: at the output boundary the total is
+    rounded once and emitted as double (tpch.py _money convention —
+    a raw DECIMAL(28,6) output is int128-backed and renders
+    differently through the two engines' pandas round-trips)."""
     ev = load_table(spark, sf_dir, "events")
     # DECIMAL sums: exact and associative, so the cascade's result is
     # independent of partial-aggregation order (a double sum rounds
@@ -729,7 +733,7 @@ def rollup_reaggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.sum("cnt").alias("n_events"),
-            F.sum("sum_value").cast("decimal(28,6)").alias("total_value"),
+            F.round(F.sum("sum_value"), 6).cast("double").alias("total_value"),
             F.round(
                 F.sum("sum_value").cast("double") / F.sum("cnt"), 6
             ).alias("avg_value"),
@@ -809,7 +813,8 @@ def cdc_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT event_type,
        date_trunc('hour', ts) AS hr,
        CAST(count(*) AS BIGINT) AS cnt,
-       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS sum_value
+       CAST(round(sum(CAST(value AS DECIMAL(18,6))), 6) AS DOUBLE)
+           AS sum_value
 FROM events
 GROUP BY 1, 2
 ORDER BY 1, 2
@@ -831,12 +836,23 @@ def rollup_incremental_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     note).  At 100 TB: the delta aggregate touches only the arriving
     partition, the merge re-aggregates |rollup| rows, and the fact
     table's history is NEVER rescanned — that is the entire point of
-    carrying mergeable states instead of finished ratios."""
+    carrying mergeable states instead of finished ratios.
+
+    The split cutoff is a broadcast scalar subquery (1-row min/max
+    agg cross-joined in), not a driver-side .first(): the whole
+    query stays one Catalyst plan.  The decimal state is internal;
+    the merged sum is rounded once and emitted as double at the
+    output boundary (tpch.py _money convention)."""
     ev = load_table(spark, sf_dir, "events")
-    mid = ev.agg(
-        F.min("ts").alias("mn"), F.max("ts").alias("mx")
-    ).first()
-    cutoff = mid.mn + (mid.mx - mid.mn) / 2
+    bounds = ev.agg(
+        F.timestamp_micros(
+            (
+                (F.unix_micros(F.min("ts")) + F.unix_micros(F.max("ts")))
+                / F.lit(2)
+            ).cast("long")
+        ).alias("cutoff")
+    )
+    ev = ev.crossJoin(F.broadcast(bounds))
 
     def hourly(df: DataFrame) -> DataFrame:
         return df.groupBy(
@@ -846,14 +862,14 @@ def rollup_incremental_update(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("value").cast("decimal(18,6)")).alias("sum_value"),
         )
 
-    existing = hourly(ev.filter(F.col("ts") < F.lit(cutoff)))
-    delta = hourly(ev.filter(F.col("ts") >= F.lit(cutoff)))
+    existing = hourly(ev.filter(F.col("ts") < F.col("cutoff")))
+    delta = hourly(ev.filter(F.col("ts") >= F.col("cutoff")))
     merged = (
         existing.unionByName(delta)
         .groupBy("event_type", "hr")
         .agg(
             F.sum("cnt").cast("bigint").alias("cnt"),
-            F.sum("sum_value").cast("decimal(28,6)").alias("sum_value"),
+            F.round(F.sum("sum_value"), 6).cast("double").alias("sum_value"),
         )
     )
     return merged.orderBy("event_type", "hr")

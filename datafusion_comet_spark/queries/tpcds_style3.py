@@ -219,9 +219,14 @@ totals AS (
 best_customers AS (
   -- spend > 1.5 * avg spelled as integer-cents cross-multiplication
   -- (spend*2*n > total*3): exact in both engines — a double-valued
-  -- avg would let half-cent-boundary customers flip membership
+  -- avg would let half-cent-boundary customers flip membership.
+  -- Both sides widened to int128/DECIMAL(38,0) before multiplying:
+  -- spend_cents*2*n_cust can exceed int64 at large SF (per-customer
+  -- cents ~1e9 x 2 x n_cust ~1e10), where BIGINT would raise here
+  -- and wrap silently in Spark
   SELECT o_custkey FROM cust_spend, totals
-  WHERE spend_cents * 2 * n_cust > total_cents * 3
+  WHERE CAST(spend_cents AS HUGEINT) * 2 * n_cust
+        > CAST(total_cents AS HUGEINT) * 3
 )
 SELECT CAST(count(*) AS BIGINT) AS n_lines,
        CAST(round(sum({SQL_REV}), 2) AS DOUBLE) AS revenue,
@@ -271,7 +276,10 @@ def tpcds_frequent_best_combo(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # 1.5x-average threshold as integer-cents cross-multiplication
     # (spend*2*n > total*3): exact and engine-identical — avg() would
-    # round at decimal/double scale and flip boundary customers
+    # round at decimal/double scale and flip boundary customers.
+    # Both sides widened to DECIMAL(38,0) (HUGEINT in the oracle)
+    # before multiplying: spend_cents*2*n_cust can exceed int64 at
+    # large SF, where non-ANSI Spark wraps silently and DuckDB raises
     totals = cust_spend.agg(
         F.sum("spend_cents").cast("bigint").alias("total_cents"),
         F.count(F.lit(1)).alias("n_cust"),
@@ -279,8 +287,8 @@ def tpcds_frequent_best_combo(spark: SparkSession, sf_dir: str) -> DataFrame:
     best_customers = (
         cust_spend.join(F.broadcast(totals))
         .filter(
-            F.col("spend_cents") * 2 * F.col("n_cust")
-            > F.col("total_cents") * 3
+            F.col("spend_cents").cast("decimal(38,0)") * 2 * F.col("n_cust")
+            > F.col("total_cents").cast("decimal(38,0)") * 3
         )
         .select("o_custkey")
     )

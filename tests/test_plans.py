@@ -667,7 +667,16 @@ def test_no_unpartitioned_window_over_unbounded_input(spark, sf_dir):
             # many Project/Filter/Sort nodes away, is what feeds the
             # Window.  The old 4-line text lookahead missed deeper
             # exchanges and credited WindowGroupLimits belonging to
-            # adjacent operators.
+            # adjacent operators.  The walk stops at the first BINARY
+            # operator: a join/union's left child also renders strictly
+            # deeper, so continuing would attribute an Exchange inside a
+            # join's left leg to the Window's feed (false offender for
+            # Window-over-join plans).  An Exchange below a binary node
+            # partitions only that node's input, not the Window's.
+            _binary = re.compile(
+                r"\b(SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin|"
+                r"BroadcastNestedLoopJoin|CartesianProduct|Union)\b"
+            )
             spine: list[str] = []
             prev = _indent(ln)
             exchange_line = None
@@ -676,6 +685,8 @@ def test_no_unpartitioned_window_over_unbounded_input(spark, sf_dir):
                 if d <= prev:
                     break  # sibling branch — spine ends
                 prev = d
+                if _binary.search(nxt):
+                    break  # binary node: its children are not the spine
                 if "Exchange" in nxt:
                     exchange_line = nxt
                     break

@@ -33,12 +33,16 @@ def test_query_runs(spark, sf_dir, name):
     assert df.count() >= 0
 
 
-def test_no_oracle_emits_hugeint(sf_dir):
+def test_no_oracle_emits_hugeint_or_decimal(sf_dir):
     """DuckDB widens sum(BIGINT) to HUGEINT (int128).  The driver's
     value-hash converts HUGEINT through pandas as float/object, so a
     value-equal result can still hash-mismatch (the round-1
     q12_late_shipments bug).  Every integer aggregate in an oracle must
-    therefore be CAST back to BIGINT.  DESCRIBE-only: no execution."""
+    therefore be CAST back to BIGINT.  DECIMAL oracle outputs are
+    banned for the same reason (the round-4 rollup reds: precision >18
+    is int128-backed, and even narrow decimals render differently
+    through the two pandas round-trips) — round once and CAST to
+    DOUBLE at the boundary.  DESCRIBE-only: no execution."""
     from datafusion_comet_spark.testing import duckdb_connection
 
     con = duckdb_connection(sf_dir)
@@ -46,19 +50,25 @@ def test_no_oracle_emits_hugeint(sf_dir):
     for name in WITH_ORACLE:
         desc = con.execute(f"DESCRIBE {REGISTRY[name].oracle}").fetchall()
         for col, typ, *_ in desc:
-            if "HUGEINT" in typ.upper():
+            if "HUGEINT" in typ.upper() or "DECIMAL" in typ.upper():
                 offenders.append((name, col, typ))
-    assert not offenders, f"uncast int128 oracle columns: {offenders}"
+    assert not offenders, f"int128/decimal oracle output columns: {offenders}"
 
 
 def test_oracle_queries_emit_only_scalar_columns(spark, sf_dir):
-    """Array/map/struct result columns are a driver-hash hazard: the
-    hasher round-trips rows through pandas, where a Spark array cell
-    (numpy ndarray) and a DuckDB list stringify differently even for
-    equal values — the generalization of the q12 int128 lesson.
-    Oracle-checked queries therefore serialize any collection at the
-    output boundary (array_join / '|'-joined casts); this guard keeps
-    the invariant.
+    """Array/map/struct/decimal result columns are a driver-hash
+    hazard: the hasher round-trips rows through pandas, where a Spark
+    array cell (numpy ndarray) and a DuckDB list stringify differently
+    even for equal values — the generalization of the q12 int128
+    lesson.  DECIMAL outputs are banned outright: Spark renders them
+    as ``decimal.Decimal`` while DuckDB's pandas conversion emits
+    float64 (and precision >18 is int128-backed on the DuckDB side) —
+    the round-4 rollup_reaggregate / rollup_incremental_update reds;
+    no raw decimal output has ever survived the driver hash.  Decimal
+    math stays internal; the boundary emits round(...)::double or
+    scaled-integer cents (tpch.py _money).  Oracle-checked queries
+    therefore serialize any collection at the output boundary
+    (array_join / '|'-joined casts); this guard keeps the invariant.
 
     The guard covers EVERY registry query, not just oracle-bearing
     ones: the driver canonicalizes the Spark result even for
@@ -77,6 +87,6 @@ def test_oracle_queries_emit_only_scalar_columns(spark, sf_dir):
         except Exception:
             continue  # runtime failures are the other tests' job
         for col, typ in dtypes:
-            if typ.startswith(("array", "map", "struct")):
+            if typ.startswith(("array", "map", "struct", "decimal")):
                 offenders.append((name, col, typ))
     assert not offenders, f"non-scalar registry outputs: {offenders}"

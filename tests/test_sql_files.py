@@ -38,6 +38,7 @@ import math
 import os
 import re
 from decimal import Decimal
+from fractions import Fraction
 from pathlib import Path
 
 import duckdb
@@ -157,8 +158,19 @@ def _rows_equal(a, b, tol: float | None) -> bool:
             if tol is not None:
                 if not math.isclose(xf, yf, rel_tol=tol, abs_tol=tol):
                     return False
-            elif xf != yf:
-                return False
+            else:
+                # Exactly one side is a float and no tolerance was
+                # declared: compare exactly as rationals (every finite
+                # float has an exact rational value) — float(int) on
+                # the other side would equate BIGINT 2**53+1 with
+                # double 2**53, reopening the >2^53 aliasing hole the
+                # exact int/Decimal path above closes.
+                if math.isinf(xf) or math.isinf(yf):
+                    if xf != yf:
+                        return False
+                    continue
+                if Fraction(x) != Fraction(y):
+                    return False
         elif _canon(x) != _canon(y):
             return False
     return True
