@@ -17,7 +17,11 @@ can't subdivide a row group), which bounds q1-style single-table
 scans to one core regardless of spark.sql.files.maxPartitionBytes —
 measured: 512KB splits move q1 only 1.29s -> 1.14s.  At 100 TB this
 inverts: files carry many row groups and the 128MB default gives
-~800k well-parallelized tasks.
+~800k well-parallelized tasks.  That claim is no longer prose-only:
+tests/test_multi_rowgroup_scan.py rewrites lineitem into 8 row groups
+and pins task count > 1, split-invariant aggregates, and row-group
+pruning (scan outputs one row group's rows under a narrow sorted-key
+predicate, 8000 of 60000).
 """
 
 from __future__ import annotations
