@@ -62,19 +62,23 @@ def load_all() -> dict[str, Query]:
     prefix of it for CORRECTNESS_r{N}.json — so the order rotates
     between rounds to keep the sample honest across families
     (rounds 1-2 led with TPC-H/TPC-DS; round 3 led with
-    datapipe/similarity; round 4 leads with the never-driver-sampled
-    windows/temporal/multimodal/aggregates families plus the fast
-    streaming representative).  All 260+ oracles run locally every
-    round regardless (tests/test_queries_oracle.py)."""
+    datapipe/similarity; round 4 led with windows/temporal/multimodal/
+    aggregates; round 5 leads with the never-driver-sampled
+    expressions family — including the two decimal-boundary fixes
+    expr_decimal_arith / expr_cast_narrowing — and re-samples temporal
+    so the round-4 hash-mismatch fixes rollup_reaggregate /
+    rollup_incremental_update land inside the prefix).  All 260+
+    oracles run locally every round regardless
+    (tests/test_queries_oracle.py)."""
+    from . import temporal  # noqa: F401
+    from . import expressions  # noqa: F401
+    from . import sources  # noqa: F401
     from . import windows  # noqa: F401
     from . import streaming_fast  # noqa: F401
-    from . import temporal  # noqa: F401
     from . import multimodal  # noqa: F401
     from . import aggregates  # noqa: F401
-    from . import expressions  # noqa: F401
     from . import datapipe  # noqa: F401
     from . import similarity  # noqa: F401
-    from . import sources  # noqa: F401
     from . import tpch  # noqa: F401
     from . import tpcds_style  # noqa: F401
     from . import tpcds_style2  # noqa: F401
