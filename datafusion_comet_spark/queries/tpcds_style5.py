@@ -23,6 +23,9 @@ Shapes in this batch:
 * q84  — dimension-chain row lookup: no aggregate at all, a 4-table
          join chain projecting attributes with ORDER + LIMIT
          (TakeOrderedAndProject over broadcast joins).
+* q72  — week-offset equality join (the benchmark's slowest query;
+         the reference pins it with a dedicated extended golden
+         file) with LEFT-join null-partitioned promo counts.
 """
 
 from __future__ import annotations
@@ -187,6 +190,9 @@ def tpcds_rollup_averages(spark: SparkSession, sf_dir: str) -> DataFrame:
     round(double, 4) was measured to flip one row's last digit
     between Spark's BigDecimal HALF_UP and DuckDB's rounding at a
     half-way quotient, so the averages are emitted as integer cents.
+    (Negative dividends — c_acctbal can be negative — are safe too:
+    Spark DIV and DuckDB // both truncate toward zero, verified
+    -7 DIV 2 = -7 // 2 = -3.)
     Plan: one Expand (3 grouping sets) over the joined slice, one
     hash aggregate — dimension joins broadcast."""
     orders = _t(spark, sf_dir, "orders")
@@ -424,4 +430,94 @@ def tpcds_dimension_chain_lookup(
         )
         .orderBy(F.col("acctbal").desc(), "c_custkey")
         .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+# q72 — week-offset equality join with promo/no-promo null partition
+# --------------------------------------------------------------------------
+@register(
+    "tpcds_week_offset_join",
+    oracle="""
+WITH ord AS (
+  SELECT o_orderkey,
+         (year(o_orderdate) - 1995) * 53 + weekofyear(o_orderdate)
+             AS ord_wk
+  FROM orders
+),
+promo AS (
+  SELECT p_partkey AS promo_key FROM part WHERE p_retailprice > 1500
+)
+SELECT p.p_brand,
+       CAST(count(*) FILTER (WHERE pr.promo_key IS NULL) AS BIGINT)
+           AS no_promo,
+       CAST(count(*) FILTER (WHERE pr.promo_key IS NOT NULL) AS BIGINT)
+           AS promo,
+       CAST(count(*) AS BIGINT) AS total_cnt
+FROM lineitem l
+JOIN ord o ON l.l_orderkey = o.o_orderkey
+JOIN part p ON l.l_partkey = p.p_partkey
+LEFT JOIN promo pr ON l.l_partkey = pr.promo_key
+WHERE (year(l.l_shipdate) - 1995) * 53 + weekofyear(l.l_shipdate)
+      = o.ord_wk + 2
+GROUP BY p.p_brand
+ORDER BY p.p_brand
+""",
+    tags=("tpcds", "offset-join", "left-join", "temporal"),
+)
+def tpcds_week_offset_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q72 shape (the benchmark's slowest query; the reference
+    pins it with a dedicated golden file,
+    spark/src/test/resources/tpcds-query-results/extended/q72.sql.out):
+    an EQUALITY join on a dimension-derived week sequence with a
+    constant OFFSET (inventory week = sales week + N), plus a LEFT
+    join whose null-ness partitions the counts (promo vs no_promo).
+    Port: lines shipped exactly two week-slots after their order's
+    week, promo proxied by a part price band.
+
+    The week sequence ((year-1995)*53 + weekofyear) is computed with
+    the same functions on both engines, so equality is engine-stable
+    even at ISO year boundaries where weekofyear(Jan 1) is 52/53.
+    Scale shape: the offset lands INSIDE the join predicate as an
+    equality on derived keys — Spark keys the l_orderkey shuffle for
+    the fact-to-orders join and evaluates the week filter post-join
+    (q72's literal plan does the same; the known q72 trap, a
+    broadcast nested-loop over the date dimension, cannot arise here
+    because the week arithmetic stays a scalar projection, not a
+    second join).  Promo set and part dim broadcast; counts are exact
+    ints."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+
+    def wk_seq(col: str):
+        return (F.year(col) - 1995) * 53 + F.weekofyear(col)
+
+    ord_wk = orders.select(
+        "o_orderkey", wk_seq("o_orderdate").alias("ord_wk")
+    )
+    promo = part.filter(F.col("p_retailprice") > 1500).select(
+        F.col("p_partkey").alias("promo_key")
+    )
+    joined = (
+        li.join(ord_wk, li.l_orderkey == ord_wk.o_orderkey)
+        .filter(wk_seq("l_shipdate") == F.col("ord_wk") + 2)
+        .join(
+            F.broadcast(part.select("p_partkey", "p_brand")),
+            li.l_partkey == F.col("p_partkey"),
+        )
+        .join(F.broadcast(promo), li.l_partkey == promo.promo_key, "left")
+    )
+    return (
+        joined.groupBy("p_brand")
+        .agg(
+            F.count(F.when(F.col("promo_key").isNull(), 1))
+            .cast("long")
+            .alias("no_promo"),
+            F.count(F.when(F.col("promo_key").isNotNull(), 1))
+            .cast("long")
+            .alias("promo"),
+            F.count(F.lit(1)).cast("long").alias("total_cnt"),
+        )
+        .orderBy("p_brand")
     )
