@@ -64,3 +64,58 @@ def stream_fast_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "stream_fast_window_agg",
+    oracle="""
+SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS hr,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS cents
+FROM events
+WHERE event_type IN ('click', 'purchase')
+GROUP BY 1, 2
+ORDER BY 1, 2
+""",
+    tags=("streaming", "fast", "stateful", "window"),
+)
+def stream_fast_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STATEFUL streaming in one fast pass: a tumbling 1-hour window
+    aggregation computed IN the stream (state store holds the open
+    windows), complete-mode memory sink, single availableNow
+    microbatch — the smallest shape that exercises streaming
+    aggregation state, complementing stream_fast_filter_project's
+    stateless row.  The batch oracle is the same rollup because a
+    1-hour tumbling window's start IS date_trunc('hour', ts).
+
+    At 100 TB the same plan runs with a watermark so state evicts
+    (the slow streaming family pins eviction); complete mode here
+    keeps the single-batch run deterministic.  The window START is
+    emitted as a string at hour granularity — never the raw ns
+    timestamp (TESTDATA.md ns-vs-us hazard)."""
+    ev = read_events_stream(spark, sf_dir).filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    agg = (
+        ev.groupBy(
+            F.window("ts", "1 hour").alias("w"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.floor(F.col("value") * 100).cast("bigint")
+            ).cast("bigint").alias("cents"),
+        )
+    )
+    out = run_to_memory(agg, "stream_fast_wa_sink", "complete")
+    return (
+        out.select(
+            F.col("w.start").cast("string").alias("hr"),
+            "event_type",
+            F.col("n").cast("long").alias("n"),
+            "cents",
+        )
+        .orderBy("hr", "event_type")
+    )
