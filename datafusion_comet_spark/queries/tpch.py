@@ -1348,3 +1348,46 @@ def q21_scale_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("numwait").desc(), "s_name")
         .limit(25)
     )
+
+
+# --------------------------------------------------------------------------
+# TPC-H extended q1 — the reference's extra benchmark query
+# --------------------------------------------------------------------------
+@register(
+    "tpch_extended_q1",
+    oracle="""
+SELECT CAST(sum(o_custkey) AS BIGINT) AS sum_custkey
+FROM orders
+WHERE o_orderpriority = '1-URGENT' OR o_orderpriority = '2-HIGH'
+GROUP BY o_orderkey
+ORDER BY sum_custkey
+""",
+    tags=("tpch", "extended", "aggregate"),
+)
+def tpch_extended_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's TPCH-EXTENDED q1, ported literally
+    (reference: spark/src/test/resources/tpch-extended/q1.sql, run by
+    CometTPCHQueriesList.scala:69 and the TPCH query benchmark):
+    sum(o_custkey) grouped by the TABLE KEY under an OR predicate.
+    Degenerate by design — each group is one order, so the "sum" is
+    the order's custkey — which is exactly what makes it a benchmark
+    kernel: a grouped aggregate whose group count EQUALS the row
+    count, the worst case for hash-aggregate memory (no map-side
+    reduction; every input row creates a group).  At 100 TB this is
+    the shape that decides spill behavior: partial aggregation is
+    pure overhead (AQE/codegen fall back to streaming the groups
+    through the exchange), and the predicate's OR of two priorities
+    prunes at the scan.  A deterministic ORDER BY is added for the
+    driver hash (the reference compares unsorted with sort=true
+    canonicalization)."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.filter(
+            (F.col("o_orderpriority") == "1-URGENT")
+            | (F.col("o_orderpriority") == "2-HIGH")
+        )
+        .groupBy("o_orderkey")
+        .agg(F.sum("o_custkey").cast("bigint").alias("sum_custkey"))
+        .select("sum_custkey")
+        .orderBy("sum_custkey")
+    )
