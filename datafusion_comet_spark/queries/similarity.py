@@ -546,3 +546,129 @@ def ann_quantized_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("qid", "vec_id", F.round("sim_raw", 6).alias("sim"), "rn")
         .orderBy("qid", "rn")
     )
+
+
+@register(
+    "ann_ivf_pq_adc",
+    oracle=None,  # k-means codebooks are engine-specific; pytest pins
+    # the PQ candidate stage's recall against the cell-exact IVF query.
+    tags=("similarity", "ann", "ivf", "pq"),
+)
+def ann_ivf_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ with asymmetric distance computation (ADC) — the
+    standard architecture for billion-vector ANN (Jegou et al.,
+    "Product Quantization for Nearest Neighbor Search", TPAMI 2011):
+
+      1. coarse quantizer (k-means, k=8) routes each vector to a cell
+         — identical to ann_ivf_kmeans;
+      2. PRODUCT quantizer: the 64-dim space splits into M=4
+         16-dim subspaces, each with its own 16-centroid codebook, so
+         a vector compresses to 4 one-byte codes (16x smaller than
+         float32 — at 100 TB the codes for 1e9 vectors fit in ~4 GB,
+         scannable in memory while the raw vectors stay in object
+         storage);
+      3. ADC: per query, a lookup table of |M| x 16 partial squared
+         distances (query subvector vs every codebook centroid) is
+         broadcast; a candidate's approximate distance is the SUM of
+         4 table lookups — no float vector is touched during the
+         candidate scan;
+      4. the ADC top-20 per query is reranked with EXACT cosine on
+         the full vectors (the only stage reading float vectors, 20
+         rows per query).
+
+    Scale shape: codebooks are driver-tiny (4 x 16 x 16 floats); the
+    candidate scan is an equi-join of the unpivoted code table
+    against the broadcast LUT restricted to the query's coarse cell,
+    then ONE (qid, vec_id) aggregate — never an all-pairs float
+    computation.  The recall dial vs ann_ivf_kmeans's full-cell exact
+    scan is the ADC candidate width (20 here)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    M, SUBDIM, CODES = 4, 16, 16
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double("embedding").alias("emb")
+    )
+    feats = emb.select(
+        "vec_id",
+        "emb",
+        array_to_vector("emb").alias("features"),
+        *[
+            array_to_vector(
+                F.slice("emb", m * SUBDIM + 1, SUBDIM)
+            ).alias(f"f{m}")
+            for m in range(M)
+        ],
+    )
+    coarse = KMeans(k=8, seed=42, maxIter=10).fit(feats.select("features"))
+    df = coarse.transform(feats).withColumnRenamed("prediction", "cell")
+    books = []
+    for m in range(M):
+        km = KMeans(
+            k=CODES, seed=42 + m, maxIter=10,
+            featuresCol=f"f{m}", predictionCol=f"c{m}",
+        ).fit(df.select(f"f{m}"))
+        df = km.transform(df)
+        books += [
+            (m, code, [float(x) for x in ctr])
+            for code, ctr in enumerate(km.clusterCenters())
+        ]
+    codebooks = spark.createDataFrame(
+        books, "m int, code int, ctr array<double>"
+    )
+    queries = df.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), F.col("emb").alias("q_emb"), "cell"
+    )
+    # ADC lookup table: |queries| x M x CODES partial squared distances
+    qsub = F.slice("q_emb", F.col("m") * SUBDIM + 1, F.lit(SUBDIM))
+    d2 = F.aggregate(
+        F.zip_with(qsub, F.col("ctr"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    lut = (
+        queries.crossJoin(F.broadcast(codebooks))
+        .select("qid", "cell", "m", "code", d2.alias("d2"))
+    )
+    # compressed-domain candidate scan: codes only, no float vectors
+    codes_long = df.select(
+        "vec_id",
+        "cell",
+        F.posexplode(F.array(*[f"c{m}" for m in range(M)])).alias(
+            "m", "code"
+        ),
+    )
+    adc = (
+        codes_long.join(F.broadcast(lut), ["cell", "m", "code"])
+        .filter(F.col("vec_id") != F.col("qid"))
+        .groupBy("qid", "vec_id")
+        .agg(F.sum("d2").alias("adc_d2"), F.count(F.lit(1)).alias("nm"))
+        .filter(F.col("nm") == M)  # all 4 subspace codes matched a LUT row
+    )
+    wc = W.partitionBy("qid").orderBy(F.col("adc_d2").asc(), F.col("vec_id"))
+    candidates = (
+        adc.select("qid", "vec_id", F.row_number().over(wc).alias("crn"))
+        .filter(F.col("crn") <= 20)
+        .select("qid", "vec_id")
+    )
+    # exact rerank: the only stage touching float vectors (20/query)
+    rer = (
+        candidates.join(emb, "vec_id")
+        .join(
+            F.broadcast(queries.select("qid", "q_emb")), "qid"
+        )
+        .select(
+            "qid", "vec_id", cosine(F.col("q_emb"), F.col("emb")).alias("sim_raw")
+        )
+    )
+    w = W.partitionBy("qid").orderBy(F.col("sim_raw").desc(), F.col("vec_id"))
+    return (
+        rer.select(
+            "qid",
+            "vec_id",
+            F.round("sim_raw", 6).alias("sim"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= 5)
+        .orderBy("qid", "rn")
+    )
