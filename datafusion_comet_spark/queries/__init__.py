@@ -85,6 +85,8 @@ def load_all() -> dict[str, Query]:
     from . import tpcds_style3  # noqa: F401
     from . import tpcds_style4  # noqa: F401
     from . import tpcds_style5  # noqa: F401
+    from . import tpcds_style6  # noqa: F401
+    from . import tpcds_style7  # noqa: F401
     from . import relational  # noqa: F401
     # streaming last: each stream_* query executes a full availableNow
     # run (~5-20s) — keeping them out of any prefix-sampled set
