@@ -1,8 +1,9 @@
 -- element_at / try_element_at / [] subscript edge matrix
 -- (reference: .../expressions/array/element_at.sql,
 -- element_at_ansi.sql, get_array_item.sql, get_array_item_ansi.sql).
--- Non-ANSI semantics here; the ANSI raise paths are covered by
--- tests/test_fixture_edges.py (the runner can't assert errors).
+-- Non-ANSI semantics here; the ANSI raise paths are pinned
+-- declaratively in element_access_ansi.sql (expect_error directive)
+-- and exercised on real parquet fixtures by tests/test_fixture_edges.py.
 
 -- Config: spark.sql.ansi.enabled=false
 

@@ -26,7 +26,11 @@ unless the query has an ORDER BY (then order-sensitively).
 `tolerance=X` compares floats within X.  `spark_only` executes on
 Spark alone — for surface DuckDB can't express — and requires an
 `-- expect-rows: N` directive on the block so it still asserts
-something real.
+something real.  `expect_error[=REGEX]` asserts the Spark-side
+execution RAISES (error message matching REGEX, case-insensitive) —
+the reference's `query expect_error(ERROR_CLASS)` directive from its
+`*_ansi.sql` files; Spark-only by construction since error classes
+are engine-specific.
 
 Adding coverage = dropping a .sql file in tests/sql/<category>/; no
 Python changes needed.
@@ -49,6 +53,7 @@ SQL_DIR = Path(__file__).parent / "sql"
 # Spark -> DuckDB type-name rewrites applied to `statement` blocks only
 _TYPE_REWRITES = [
     (re.compile(r"\blong\b", re.I), "BIGINT"),
+    (re.compile(r"\bshort\b", re.I), "SMALLINT"),
     (re.compile(r"\bstring\b", re.I), "VARCHAR"),
     (re.compile(r"\bbinary\b", re.I), "BLOB"),
     (re.compile(r"\bUSING\s+parquet\b", re.I), ""),
@@ -103,6 +108,16 @@ def parse_sql_file(path: Path):
                     args["tolerance"] = float(tok.split("=", 1)[1])
                 elif tok == "spark_only":
                     args["spark_only"] = True
+                elif tok.startswith("expect_error"):
+                    # `query expect_error[=REGEX]`: the Spark-side
+                    # execution must RAISE (optionally matching REGEX,
+                    # case-insensitive).  Spark-only by construction —
+                    # error classes/messages are engine-specific
+                    # (reference: sql-tests/expressions/math/
+                    # arithmetic_ansi.sql's `query expect_error(...)`).
+                    args["expect_error"] = (
+                        tok.split("=", 1)[1] if "=" in tok else ""
+                    )
             if pending_expect is not None:
                 args["expect_rows"] = pending_expect
             blocks.append(Block("query", "\n".join(lines[1:]), args))
@@ -212,6 +227,15 @@ def test_sql_file(spark, duck, path):
                 duck.execute(_duckify(blk.sql))
                 continue
             n_queries += 1
+            if "expect_error" in blk.args:
+                with pytest.raises(Exception) as ei:
+                    spark.sql(blk.sql).collect()
+                pat = blk.args["expect_error"]
+                assert not pat or re.search(pat, str(ei.value), re.I), (
+                    f"{path.name}: error did not match /{pat}/i:\n"
+                    f"{ei.value}\nquery: {blk.sql}"
+                )
+                continue
             srows = [
                 tuple(_canon(v) for v in r)
                 for r in spark.sql(blk.sql).collect()
