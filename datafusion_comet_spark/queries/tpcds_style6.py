@@ -1083,9 +1083,19 @@ def tpcds_date_intersect_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-DS q83 shape: return quantities restricted to a date set
     built as an INTERSECT chain (the literal intersects three
     week-sequence date subqueries), with each brand's share of the
-    restricted total.  The date sets are dimension-sized: the chain
-    computes off the fact path and broadcasts into the returns scan
-    as a semi-join.  The share denominator is a scalar re-aggregate
+    restricted total.  The literal's INTERSECT legs each scan
+    date_dim — a true dimension — but the only date source here is
+    `orders`, so a leg-per-priority spelling would pay THREE pruned
+    fact passes.  The chain therefore collapses to one scan: group
+    dates by day, count distinct priorities, keep days hitting all
+    3 — set-intersection as a count-distinct aggregate (the
+    INTERSECT operator itself stays pinned by
+    tpcds_customer_cohort_setops / tpcds_half_year_balance /
+    tpcds_cross_channel_rollup, where the legs are genuinely small).
+    The oracle keeps the literal INTERSECT chain, differentially
+    proving the collapse.  The dimension-sized result broadcasts into
+    the returns scan as a semi-join.  The share denominator is a
+    scalar re-aggregate
     of the ALREADY AGGREGATED brand rows (dimension-sized — not a
     second fact pass), broadcast back and emitted as exact
     basis-points via floor division."""
@@ -1093,17 +1103,17 @@ def tpcds_date_intersect_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
 
-    def dates_for(prio: str) -> DataFrame:
-        return (
-            orders.filter(F.col("o_orderpriority") == prio)
-            .select(F.col("o_orderdate").cast("date").alias("d"))
-            .distinct()
-        )
-
     dates = (
-        dates_for("1-URGENT")
-        .intersect(dates_for("2-HIGH"))
-        .intersect(dates_for("3-MEDIUM"))
+        orders.filter(
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH", "3-MEDIUM")
+        )
+        .select(
+            F.col("o_orderdate").cast("date").alias("d"), "o_orderpriority"
+        )
+        .groupBy("d")
+        .agg(F.count_distinct("o_orderpriority").alias("np"))
+        .filter(F.col("np") == 3)
+        .select("d")
     )
     ret = (
         li.filter(F.col("l_returnflag") == "R")

@@ -604,31 +604,32 @@ def tpcds_multi_supplier_returned(
     orders from ≥2 warehouses that WERE returned — and both spelled
     as IN-subqueries against a ws_wh CTE that the literal builds as a
     quadratic fact self-join (web_sales × web_sales on order number)
-    and references TWICE.  Here the CTE collapses to one
-    count-distinct per-order aggregate (`multi`, one keyed exchange —
-    the self-join would explode on skewed order numbers at 100 TB),
-    and the second IN (returned ∧ multi) is `multi` semi-joined from
-    the returned order keys.  Because returned∧multi ⊆ multi, the
-    first IN is subsumed — the Spark plan applies the single
-    ret_multi semi-join; the oracle keeps BOTH INs and the literal
-    self-join CTE, so the subsumption and the aggregate rewrite are
-    proved differentially in one go."""
+    and references TWICE.  Here BOTH tests collapse into ONE per-order
+    flag aggregate — exactly q94's shape with the returns flag flipped
+    positive: n_supp = count_distinct(suppkey) ≥ 2 covers the first
+    IN, max(returnflag='R') = 1 covers the second, and because
+    returned∧multi ⊆ multi one semi-join applies both.  That is one
+    fact scan + one keyed exchange for the membership set (the
+    literal's self-join would explode on skewed order numbers at
+    100 TB, and the earlier 3-scan spelling — multi, returned-distinct,
+    then semi — paid a full extra fact pass for nothing).  The oracle
+    keeps BOTH INs and the literal self-join CTE, so the subsumption
+    and the aggregate rewrite are proved differentially in one go."""
     li = _t(spark, sf_dir, "lineitem")
     orders = _t(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_orderpriority"
     )
     cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
-    multi = (
-        li.groupBy("l_orderkey")
-        .agg(F.count_distinct("l_suppkey").alias("n_supp"))
-        .filter(F.col("n_supp") >= 2)
-        .select(F.col("l_orderkey").alias("ok"))
-    )
     ret_multi = (
-        li.filter(F.col("l_returnflag") == "R")
+        li.groupBy("l_orderkey")
+        .agg(
+            F.count_distinct("l_suppkey").alias("n_supp"),
+            F.max(
+                F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+            ).alias("any_ret"),
+        )
+        .filter((F.col("n_supp") >= 2) & (F.col("any_ret") == 1))
         .select(F.col("l_orderkey").alias("rk"))
-        .distinct()
-        .join(multi, F.col("rk") == multi.ok, "semi")
     )
     lines = (
         li.filter(
