@@ -88,11 +88,13 @@ def tpcds_cross_channel_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan: the INTERSECT reduces to distinct key sets before a
     broadcast-able semi-join filter; the scalar threshold is a 1-row
     aggregate broadcast into the scan predicate; the rollup Expands
-    the filtered slice once.  At 100 TB: both channel key sets and
-    the 1-row threshold are dimension-sized, the fact is scanned once
-    for the report (plus once per channel for the key sets — each
-    pruned to two columns), and no exchange carries more than
-    |parts| rows except the final rollup's.
+    the filtered slice once.  At 100 TB: the channel key set and the
+    1-row threshold are dimension-sized, and the fact is scanned once
+    for the report, once (2-column-pruned) for the key set — the
+    per-channel INTERSECT legs are collapsed into one
+    count-distinct-channel pass — and once (1-column-pruned) for the
+    threshold; no exchange carries more than |parts| rows except the
+    final rollup's.
 
     grouping() flags disambiguate rollup levels (NULL brand in data
     vs NULL from Expand), mirroring tpcds_rollup_rank_hierarchy."""
@@ -102,18 +104,23 @@ def tpcds_cross_channel_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
 
-    def channel_parts(status: str) -> DataFrame:
-        return (
-            li.select("l_orderkey", "l_partkey")
-            .join(
-                orders.filter(F.col("o_orderstatus") == status),
-                F.col("l_orderkey") == F.col("o_orderkey"),
-            )
-            .select("l_partkey")
-            .distinct()
+    # items sold in BOTH channels: the literal's INTERSECT of two
+    # per-channel DISTINCT sets would scan the (pruned) fact once per
+    # channel; grouping by item and counting distinct channels builds
+    # the same set in ONE pass (oracle keeps the INTERSECT spelling,
+    # proving the collapse differentially — same move as
+    # tpcds_date_intersect_returns)
+    common = (
+        li.select("l_orderkey", "l_partkey")
+        .join(
+            orders.filter(F.col("o_orderstatus").isin("O", "F")),
+            F.col("l_orderkey") == F.col("o_orderkey"),
         )
-
-    common = channel_parts("O").intersect(channel_parts("F"))
+        .groupBy("l_partkey")
+        .agg(F.count_distinct("o_orderstatus").alias("nch"))
+        .filter(F.col("nch") == 2)
+        .select("l_partkey")
+    )
     # price > avg as exact integer cross-multiplication on cents,
     # widened to DECIMAL(38,0)/HUGEINT: a double avg differs in the
     # last ulp between engines' accumulation orders and can flip
