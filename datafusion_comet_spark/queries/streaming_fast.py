@@ -119,3 +119,105 @@ def stream_fast_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("hr", "event_type")
     )
+
+
+@register(
+    "stream_fast_dedup",
+    oracle="""
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_users
+FROM (SELECT DISTINCT user_id, event_type FROM events)
+GROUP BY event_type
+ORDER BY event_type
+""",
+    tags=("streaming", "fast", "stateful", "dedup"),
+)
+def stream_fast_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming deduplication state in one fast pass: dropDuplicates
+    over (user_id, event_type) IN the stream — the dedup state store
+    holds one entry per seen key, the third distinct stateful-operator
+    state format after aggregation (stream_fast_window_agg) and join
+    (stream_fast_stream_join).  Only the KEY columns are projected
+    before the dedup, so the output is deterministic (which physical
+    row survives per key is arrival-order dependent; the key set is
+    not) and equals batch SELECT DISTINCT.
+
+    This is the streaming face of the exact-dedup pipeline operator:
+    at 100 TB/day the same plan runs dropDuplicatesWithinWatermark so
+    key state evicts after the dedup horizon (the slow family's
+    stream_dedup_within_watermark pins eviction); unbounded-state
+    dedup here keeps the single-batch run oracle-comparable."""
+    ev = read_events_stream(spark, sf_dir)
+    deduped = ev.select("user_id", "event_type").dropDuplicates(
+        ["user_id", "event_type"]
+    )
+    out = run_to_memory(
+        deduped, "stream_fast_dd_sink", "append", shuffle_partitions=4
+    )
+    return (
+        out.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "stream_fast_stream_join",
+    oracle="""
+SELECT c.user_id, CAST(count(*) AS BIGINT) AS n_pairs
+FROM events c
+JOIN events p
+  ON p.user_id = c.user_id
+ AND c.event_type = 'click'
+ AND p.event_type = 'purchase'
+ AND c.user_id < 60
+ AND CAST(p.ts AS TIMESTAMP) >  CAST(c.ts AS TIMESTAMP)
+ AND CAST(p.ts AS TIMESTAMP) <= CAST(c.ts AS TIMESTAMP) + INTERVAL '15 minutes'
+GROUP BY c.user_id
+ORDER BY c.user_id
+""",
+    tags=("streaming", "fast", "stateful", "stream-stream-join"),
+)
+def stream_fast_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join in one fast pass: clicks matched to the
+    purchases that follow within 15 minutes, both sides watermarked so
+    join state evicts past the time-range bound — the JOIN state-store
+    path, complementing the aggregation-state and dedup-state fast
+    representatives.  The user_id < 60 slice is a plain pushdown
+    predicate that bounds the work at any scale factor (it reaches
+    both parquet scans before the state store), so the query stays
+    sub-3s while exercising exactly the plan a production
+    clicks×purchases attribution join runs: per-key state bounded by
+    watermark + range (15 min of stream per key), independent of
+    total stream length.  Single availableNow microbatch → every
+    match is emitted in-batch and the result equals the batch
+    time-range join oracle."""
+    clicks = (
+        read_events_stream(spark, sf_dir)
+        .filter((F.col("event_type") == "click") & (F.col("user_id") < 60))
+        .select("user_id", F.col("ts").alias("c_ts"))
+        .withWatermark("c_ts", "15 minutes")
+    )
+    purchases = (
+        read_events_stream(spark, sf_dir)
+        .filter((F.col("event_type") == "purchase") & (F.col("user_id") < 60))
+        .select(F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"))
+        .withWatermark("p_ts", "15 minutes")
+    )
+    pairs = clicks.join(
+        purchases,
+        (F.col("p_user") == F.col("user_id"))
+        & (F.col("p_ts") > F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 15 MINUTES")),
+        "inner",
+    )
+    out = run_to_memory(
+        pairs.select("user_id", "c_ts", "p_ts"),
+        "stream_fast_ssj_sink",
+        "append",
+        shuffle_partitions=4,
+    )
+    return (
+        out.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy("user_id")
+    )

@@ -70,21 +70,41 @@ def run_to_memory(
     df: DataFrame,
     name: str,
     output_mode: str,
+    shuffle_partitions: int | None = None,
 ) -> DataFrame:
     """Execute a streaming DataFrame to completion into a memory sink;
     return the sink contents as a batch DataFrame.
 
     A FRESH checkpoint dir per run makes the query reprocess the full
     input (a reused checkpoint would see zero new files and emit
-    nothing — the deterministic-replay analogue of exactly-once)."""
+    nothing — the deterministic-replay analogue of exactly-once).
+
+    ``shuffle_partitions`` pins the stateful-operator partition count
+    for THIS query (Structured Streaming bakes the value into the
+    checkpoint at first batch, so the setting binds at ``start()`` and
+    is restored immediately after).  Stateful microbatch cost is
+    dominated by per-partition state-store open/commit, not data
+    volume, at test scale — 32 partitions × N stores of fixed overhead
+    swamps a 10k-row batch.  In production the same dial is sized UP
+    to match state volume (state must fit per-executor memory); the
+    answer is partition-count invariant either way, which is exactly
+    what the oracle comparison proves."""
     ckpt = tempfile.mkdtemp(prefix=f"dcs_ckpt_{name}_")
-    q = (
-        df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return df.sparkSession.table(name)
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    if shuffle_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    try:
+        q = (
+            df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if shuffle_partitions is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.table(name)
