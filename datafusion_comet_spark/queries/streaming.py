@@ -58,7 +58,7 @@ def stream_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # complete mode: emit every window at termination (append would
     # hold back windows above the final watermark).
-    out = run_to_memory(agg, "stream_window_agg_sink", "complete")
+    out = run_to_memory(agg, "stream_window_agg_sink", "complete", shuffle_partitions=8)
     return (
         out.select(
             "event_type", F.col("win.start").alias("win_start"), "n", "sum_value"
@@ -85,7 +85,7 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation over the sink counts survivors per type."""
     ev = read_events_stream(spark, sf_dir)
     deduped = ev.withWatermark("ts", "1 hour").dropDuplicates(["event_id"])
-    out = run_to_memory(deduped, "stream_dedup_sink", "append")
+    out = run_to_memory(deduped, "stream_dedup_sink", "append", shuffle_partitions=8)
     return (
         out.groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("n_unique"))
@@ -133,7 +133,7 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id", F.session_window("ts", "30 minutes").alias("sw"))
         .agg(F.count(F.lit(1)).alias("n_events"))
     )
-    out = run_to_memory(sessions, "stream_session_sink", "complete")
+    out = run_to_memory(sessions, "stream_session_sink", "complete", shuffle_partitions=8)
     return (
         out.filter(F.col("user_id") < 40)
         .groupBy("user_id")
@@ -201,7 +201,7 @@ def stream_stateful_running(spark: SparkSession, sf_dir: str) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    out = run_to_memory(stats, "stream_stateful_sink", "update")
+    out = run_to_memory(stats, "stream_stateful_sink", "update", shuffle_partitions=8)
     # update mode may emit a row per key per batch; keep the final
     # (cumulative) emission per key.
     return (
@@ -251,6 +251,7 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         joined.select("event_id", "event_type", "n_nations"),
         "stream_static_sink",
         "append",
+        shuffle_partitions=8,
     )
     return (
         out.groupBy("event_type", "n_nations")
@@ -310,7 +311,10 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "inner",
     )
     out = run_to_memory(
-        pairs.select("user_id", "c_ts", "p_ts"), "stream_stream_sink", "append"
+        pairs.select("user_id", "c_ts", "p_ts"),
+        "stream_stream_sink",
+        "append",
+        shuffle_partitions=8,
     )
     return (
         out.groupBy("user_id")
@@ -401,7 +405,7 @@ def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame
     deduped = ev.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
         ["event_id"]
     )
-    out = run_to_memory(deduped, "stream_dedup_ww_sink", "append")
+    out = run_to_memory(deduped, "stream_dedup_ww_sink", "append", shuffle_partitions=8)
     return (
         out.groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("n_unique"))
@@ -533,6 +537,7 @@ def stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.select("user_id", "c_ts", "p_ts"),
         "stream_stream_outer_sink",
         "append",
+        shuffle_partitions=8,
     )
     return (
         out.filter(F.col("user_id") >= 0)  # drop the sentinel key
@@ -660,6 +665,7 @@ def stream_stream_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.select("user_id", "p_user", "c_ts", "p_ts"),
         "stream_stream_fullouter_sink",
         "append",
+        shuffle_partitions=8,
     )
     live = out.filter(
         (F.coalesce(F.col("user_id"), F.col("p_user")) >= 0)

@@ -1,12 +1,15 @@
 """Fast streaming representative (driver-prefix visible).
 
 The full streaming family (queries/streaming.py) registers LAST in
-load_all because every entry executes a 5-20s availableNow run with
-stateful operators (watermark state stores, session windows) — too
-slow for the driver's 50-query sampled prefix.  This module holds ONE
-deliberately fast, stateless representative (<2s end-to-end: no state
-store, one microbatch, memory sink) registered early in the prefix so
-the streaming capability gets a driver-checked CORRECTNESS row.
+load_all because every entry executes a multi-second availableNow run
+with stateful operators (watermark state stores, session windows) —
+too slow for the driver's 50-query sampled prefix.  This module holds
+deliberately FAST representatives (single microbatch, memory sink,
+pinned state partitions) registered early enough that the streaming
+capability gets driver-checked CORRECTNESS rows: one stateless
+(filter/project) plus one per stateful state-store format —
+aggregation (tumbling window), dedup (dropDuplicates), and join
+(watermarked time-range stream-stream join).
 
 Capability superset vs the reference, which rejects streaming plans
 outright (reference:
