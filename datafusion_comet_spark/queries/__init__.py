@@ -63,31 +63,32 @@ def load_all() -> dict[str, Query]:
     between rounds to keep the sample honest across families
     (rounds 1-2 led with TPC-H/TPC-DS; round 3 led with
     datapipe/similarity; round 4 led with windows/temporal/multimodal/
-    aggregates; round 5 leads with the never-driver-sampled
-    expressions family — including the two decimal-boundary fixes
-    expr_decimal_arith / expr_cast_narrowing — and re-samples temporal
-    so the round-4 hash-mismatch fixes rollup_reaggregate /
-    rollup_incremental_update land inside the prefix).  All 260+
-    oracles run locally every round regardless
-    (tests/test_queries_oracle.py)."""
-    from . import temporal  # noqa: F401
-    from . import expressions  # noqa: F401
+    aggregates; round 5 led with expressions + re-sampled temporal;
+    round 6 leads with the four families that have never had a driver
+    row — sources (18), the fast stateful streaming representatives
+    (streaming_fast, incl. the three round-5 state-store reps), and
+    TPC-DS batches 4/6/5 (the round-5 ports, incl. the
+    tpcds_or_band_averages sum_rev scale fix) — putting ~49 of the 50
+    sampled slots on never-sampled queries).  All 300+ oracles run
+    locally every round regardless (tests/test_queries_oracle.py)."""
     from . import sources  # noqa: F401
-    from . import windows  # noqa: F401
     from . import streaming_fast  # noqa: F401
-    from . import multimodal  # noqa: F401
-    from . import aggregates  # noqa: F401
-    from . import datapipe  # noqa: F401
-    from . import similarity  # noqa: F401
-    from . import tpch  # noqa: F401
-    from . import tpcds_style  # noqa: F401
+    from . import tpcds_style4  # noqa: F401
+    from . import tpcds_style6  # noqa: F401
+    from . import tpcds_style5  # noqa: F401
+    from . import tpcds_style7  # noqa: F401
     from . import tpcds_style2  # noqa: F401
     from . import tpcds_style3  # noqa: F401
-    from . import tpcds_style4  # noqa: F401
-    from . import tpcds_style5  # noqa: F401
-    from . import tpcds_style6  # noqa: F401
-    from . import tpcds_style7  # noqa: F401
     from . import relational  # noqa: F401
+    from . import similarity  # noqa: F401
+    from . import aggregates  # noqa: F401
+    from . import expressions  # noqa: F401
+    from . import temporal  # noqa: F401
+    from . import windows  # noqa: F401
+    from . import multimodal  # noqa: F401
+    from . import datapipe  # noqa: F401
+    from . import tpch  # noqa: F401
+    from . import tpcds_style  # noqa: F401
     # streaming last: each stream_* query executes a full availableNow
     # run (~5-20s) — keeping them out of any prefix-sampled set
     from . import streaming  # noqa: F401

@@ -447,7 +447,7 @@ SELECT CAST(count(*) AS BIGINT) AS n_lines,
             AS BIGINT) AS avg_price_c,
        CAST(round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
                       * (100 - CAST(round(l_discount * 100) AS BIGINT)))
-                  / 1000000.0, 2) AS DOUBLE) AS sum_rev
+                  / 10000.0, 2) AS DOUBLE) AS sum_rev
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -512,7 +512,7 @@ def tpcds_or_band_averages(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(
             "CAST(round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)"
             " * (100 - CAST(round(l_discount * 100) AS BIGINT)))"
-            " / 1000000.0, 2) AS DOUBLE)"
+            " / 10000.0, 2) AS DOUBLE)"
         ).alias("sum_rev"),
     )
 

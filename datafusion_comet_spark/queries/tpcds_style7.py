@@ -250,10 +250,10 @@ def tpcds_supplier_weekday_matrix(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 # --------------------------------------------------------------------------
-# q53/q63 — quarterly revenue vs the manufacturer's own average
+# q53/q63 — monthly revenue vs the manufacturer's own average
 # --------------------------------------------------------------------------
 @register(
-    "tpcds_mfgr_quarter_deviation",
+    "tpcds_mfgr_month_deviation",
     oracle="""
 WITH q AS (
   SELECT substr(p_brand, 1, 7) AS p_mfgr,
@@ -282,7 +282,7 @@ ORDER BY p_mfgr, mo
 """,
     tags=("tpcds", "window", "deviation", "disjunction"),
 )
-def tpcds_mfgr_quarter_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
+def tpcds_mfgr_month_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-DS q53/q63 shape: months where a manufacturer's revenue
     deviates more than 10% from its own average across the year — the
     literal computes avg(sum(...)) over (partition by manufacturer/

@@ -88,7 +88,16 @@ def run_to_memory(
     swamps a 10k-row batch.  In production the same dial is sized UP
     to match state volume (state must fit per-executor memory); the
     answer is partition-count invariant either way, which is exactly
-    what the oracle comparison proves."""
+    what the oracle comparison proves.
+
+    CONCURRENCY: the pin mutates session-global conf for the duration
+    of ``start()`` — safe under today's strictly sequential driver and
+    pytest run, but NOT safe if queries ever share the SparkSession
+    from multiple threads (another query planned inside the window
+    would silently inherit the pinned value).  If parallel execution
+    is introduced, scope the setting to a per-query session clone
+    (``spark.newSession()`` shares the SparkContext but isolates SQL
+    conf) instead of set/restore."""
     ckpt = tempfile.mkdtemp(prefix=f"dcs_ckpt_{name}_")
     spark = df.sparkSession
     prev = spark.conf.get("spark.sql.shuffle.partitions")

@@ -98,26 +98,35 @@ def parse_sql_file(path: Path):
                 pending_expect = int(m.group(1))
         if not lines:
             continue
-        head = lines[0].strip().lower()
+        raw_head = lines[0].strip()
+        head = raw_head.lower()
         if head == "statement":
             blocks.append(Block("statement", "\n".join(lines[1:]), {}))
         elif head.startswith("query"):
             args: dict = {}
+            # `query expect_error[=REGEX]`: the Spark-side execution
+            # must RAISE (optionally matching REGEX, case-insensitive).
+            # Spark-only by construction — error classes/messages are
+            # engine-specific (reference: sql-tests/expressions/math/
+            # arithmetic_ansi.sql's `query expect_error(...)`).
+            # Parsed from the RAW line (not the whitespace-split lowered
+            # tokens) so the regex may contain spaces and keeps its case.
+            m = re.search(
+                r"(?<![\w])expect_error(?:=(.*))?$", raw_head
+            )
             for tok in head.split()[1:]:
                 if tok.startswith("tolerance="):
                     args["tolerance"] = float(tok.split("=", 1)[1])
                 elif tok == "spark_only":
                     args["spark_only"] = True
                 elif tok.startswith("expect_error"):
-                    # `query expect_error[=REGEX]`: the Spark-side
-                    # execution must RAISE (optionally matching REGEX,
-                    # case-insensitive).  Spark-only by construction —
-                    # error classes/messages are engine-specific
-                    # (reference: sql-tests/expressions/math/
-                    # arithmetic_ansi.sql's `query expect_error(...)`).
-                    args["expect_error"] = (
-                        tok.split("=", 1)[1] if "=" in tok else ""
+                    assert m is not None, (
+                        f"{path.name}: malformed expect_error directive "
+                        f"(did you mean `expect_error` or "
+                        f"`expect_error=REGEX`?): {raw_head}"
                     )
+            if m is not None:
+                args["expect_error"] = (m.group(1) or "").strip()
             if pending_expect is not None:
                 args["expect_rows"] = pending_expect
             blocks.append(Block("query", "\n".join(lines[1:]), args))
@@ -231,10 +240,29 @@ def test_sql_file(spark, duck, path):
                 with pytest.raises(Exception) as ei:
                     spark.sql(blk.sql).collect()
                 pat = blk.args["expect_error"]
-                assert not pat or re.search(pat, str(ei.value), re.I), (
-                    f"{path.name}: error did not match /{pat}/i:\n"
-                    f"{ei.value}\nquery: {blk.sql}"
-                )
+                if pat:
+                    assert re.search(pat, str(ei.value), re.I), (
+                        f"{path.name}: error did not match /{pat}/i:\n"
+                        f"{ei.value}\nquery: {blk.sql}"
+                    )
+                else:
+                    # A bare `expect_error` accepts any RUNTIME error,
+                    # but a typo'd table/column or bad syntax must not
+                    # make the block pass for the wrong reason.
+                    unrelated = (
+                        "TABLE_OR_VIEW_NOT_FOUND",
+                        "UNRESOLVED_COLUMN",
+                        "UNRESOLVED_ROUTINE",
+                        "PARSE_SYNTAX_ERROR",
+                        "COLUMN_NOT_FOUND",
+                    )
+                    msg = str(ei.value)
+                    assert not any(u in msg for u in unrelated), (
+                        f"{path.name}: bare expect_error caught an "
+                        f"analysis/parse failure (fix the query or "
+                        f"give an explicit pattern):\n{msg}\n"
+                        f"query: {blk.sql}"
+                    )
                 continue
             srows = [
                 tuple(_canon(v) for v in r)
