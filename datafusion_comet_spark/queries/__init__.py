@@ -55,22 +55,91 @@ def register(
     return wrap
 
 
-def load_all() -> dict[str, Query]:
-    """Import every query module so REGISTRY is fully populated.
+# The round driver samples a PREFIX of queries() dict order for
+# CORRECTNESS_r{N}.json.  Rounds 1-6 controlled that order via import
+# order, which round 6 proved is fragile: `from .tpch import SQL_REV`
+# inside a batch module registered all 24 TPC-H queries ahead of the
+# intended rotation (round-6 verdict, "What's wrong #1"; shared helpers
+# now live in the registration-free queries/_shared.py).  The prefix is
+# now DECLARED here explicitly and enforced by reordering the registry
+# after all imports — immune to import side effects — and pytest-pinned
+# by tests/test_plans.py::test_sample_prefix.
+#
+# Round-7 rotation (per the round-6 verdict's "Next round #1"): lead
+# with the two 3-round-stale round-3 reds (fixed in r4, never
+# driver-re-proven — the reference re-proves after every fix,
+# CometTestBase.checkSparkAnswerAndOperator), then the never-sampled
+# TPC-DS batches 6/5/7/2(first 8)/3, one slow-streaming
+# watermark-eviction row, and the first six never-sampled relational
+# queries.  All 300+ oracles still run locally every round regardless
+# (tests/test_queries_oracle.py).
+SAMPLE_PREFIX: tuple[str, ...] = (
+    # 1-2: the round-3 reds (canonicalizer crashes, fixed r4)
+    "dedup_simhash",
+    "doc_length_approx_cuts",
+    # 3-18: tpcds_style6 (16, never sampled)
+    "tpcds_returner_nation_outlier",
+    "tpcds_channel_growth_compare",
+    "tpcds_pricey_item_buyers_per_nation",
+    "tpcds_segment_item_averages",
+    "tpcds_nation_set_revenue",
+    "tpcds_or_band_averages",
+    "tpcds_quantity_moment_stats",
+    "tpcds_cross_border_brand_revenue",
+    "tpcds_domestic_brand_share",
+    "tpcds_pivot_return_matrix",
+    "tpcds_brand_year_topk",
+    "tpcds_return_lag_histogram",
+    "tpcds_channel_exclusive_customers",
+    "tpcds_top_nations_rollup",
+    "tpcds_date_intersect_returns",
+    "tpcds_hour_band_count",
+    # 19-24: tpcds_style5 (6, never sampled)
+    "tpcds_cross_channel_rollup",
+    "tpcds_rollup_averages",
+    "tpcds_disjunct_subquery",
+    "tpcds_followon_revenue_histogram",
+    "tpcds_dimension_chain_lookup",
+    "tpcds_week_offset_join",
+    # 25-32: tpcds_style7 (8, never sampled)
+    "tpcds_mfgr_brand_december",
+    "tpcds_name_suffix_disjunct_revenue",
+    "tpcds_supplier_weekday_matrix",
+    "tpcds_mfgr_month_deviation",
+    "tpcds_meal_time_channel_revenue",
+    "tpcds_returns_demographic_loss",
+    "tpcds_multi_supplier_unreturned",
+    "tpcds_multi_supplier_returned",
+    # 33-40: tpcds_style2 first 8 (never sampled)
+    "tpcds_net_after_returns",
+    "tpcds_frequent_buyer_semi",
+    "tpcds_party_size_band",
+    "tpcds_return_ratio_rank",
+    "tpcds_rolling_brand_deviation",
+    "tpcds_class_revenue_ratio",
+    "tpcds_quarterly_share_growth",
+    "tpcds_weekday_pivot_ratio",
+    # 41-43: tpcds_style3 (3, never sampled)
+    "tpcds_repeat_purchase_chain",
+    "tpcds_buy_return_rebuy",
+    "tpcds_frequent_best_combo",
+    # 44: one slow-streaming watermark-eviction row (~1.6s post-pin,
+    # round-6 verdict "Next round #5")
+    "stream_dedup_within_watermark",
+    # 45-50: first six never-sampled relational queries
+    "udtf_lateral_tokenize",
+    "recursive_cte_month_spine",
+    "sql_pipe_syntax",
+    "join_theta_nested_loop",
+    "merge_upsert",
+    "sql_group_order_by_all",
+)
 
-    Import order IS registry order, and the round driver samples a
-    prefix of it for CORRECTNESS_r{N}.json — so the order rotates
-    between rounds to keep the sample honest across families
-    (rounds 1-2 led with TPC-H/TPC-DS; round 3 led with
-    datapipe/similarity; round 4 led with windows/temporal/multimodal/
-    aggregates; round 5 led with expressions + re-sampled temporal;
-    round 6 leads with the four families that have never had a driver
-    row — sources (18), the fast stateful streaming representatives
-    (streaming_fast, incl. the three round-5 state-store reps), and
-    TPC-DS batches 4/6/5 (the round-5 ports, incl. the
-    tpcds_or_band_averages sum_rev scale fix) — putting ~49 of the 50
-    sampled slots on never-sampled queries).  All 300+ oracles run
-    locally every round regardless (tests/test_queries_oracle.py)."""
+
+def load_all() -> dict[str, Query]:
+    """Import every query module, then reorder REGISTRY so that
+    ``SAMPLE_PREFIX`` comes first (the driver samples a prefix of
+    queries() order); remaining queries keep registration order."""
     from . import sources  # noqa: F401
     from . import streaming_fast  # noqa: F401
     from . import tpcds_style4  # noqa: F401
@@ -89,8 +158,16 @@ def load_all() -> dict[str, Query]:
     from . import datapipe  # noqa: F401
     from . import tpch  # noqa: F401
     from . import tpcds_style  # noqa: F401
-    # streaming last: each stream_* query executes a full availableNow
-    # run (~5-20s) — keeping them out of any prefix-sampled set
+    # streaming near-last: each stream_* query executes a full
+    # availableNow run (~1.5-20s) — only the one SAMPLE_PREFIX entry
+    # should land in any prefix-sampled set
     from . import streaming  # noqa: F401
 
+    missing = [n for n in SAMPLE_PREFIX if n not in REGISTRY]
+    if missing:
+        raise RuntimeError(f"SAMPLE_PREFIX names unknown queries: {missing}")
+    ordered = {n: REGISTRY[n] for n in SAMPLE_PREFIX}
+    ordered.update((n, q) for n, q in REGISTRY.items() if n not in ordered)
+    REGISTRY.clear()
+    REGISTRY.update(ordered)
     return REGISTRY

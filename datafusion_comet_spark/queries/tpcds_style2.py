@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from . import register
-from .tpch import SQL_REV, _dec, _drev, _money, _ts
+from ._shared import SQL_REV, _dec, _drev, _money, _ts
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

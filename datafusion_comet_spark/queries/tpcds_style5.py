@@ -35,7 +35,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from . import register
-from .tpch import SQL_REV, _drev
+from ._shared import SQL_REV, _drev
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

@@ -53,7 +53,7 @@ from pyspark.sql.window import Window
 
 from ..catalog import load_table
 from . import register
-from .tpch import SQL_REV, _drev, _money
+from ._shared import SQL_REV, _drev, _money
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

@@ -27,59 +27,24 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import load_table
 from . import register
 
-
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return load_table(spark, sf_dir, name)
-
-
-def _ts(s: str) -> Column:
-    return F.lit(s).cast("timestamp")
-
-
-def _dec(name: str, p: int = 18, s: int = 2) -> Column:
-    """Money column (2-dp double in the source) as an exact decimal."""
-    return F.col(name).cast(f"decimal({p},{s})")
-
-
-def _drev() -> Column:
-    """Exact-decimal TPC-H revenue: l_extendedprice * (1 - l_discount)."""
-    one = F.lit(1).cast("decimal(3,2)")
-    return _dec("l_extendedprice") * (one - _dec("l_discount", 4, 2))
-
-
-def _money(col: Column, n: int = 2) -> Column:
-    """Round an exact decimal aggregate and emit double for hashing."""
-    return F.round(col, n).cast("double")
-
-
-def _rev_cents() -> Column:
-    """Exact revenue as a 64-bit cents·1e2 product — the scaled-integer
-    kernel of q1 (see its docstring), reusable wherever a query's only
-    money aggregate is round(sum(revenue), 2)."""
-    pc = F.round(F.col("l_extendedprice") * 100).cast("long")
-    dc = F.round(F.col("l_discount") * 100).cast("long")
-    return pc * (100 - dc)
-
-
-def _sum_rev_money() -> Column:
-    """round(sum(revenue), 2) AS double via the scaled-integer kernel:
-    per-row products stay in codegen long registers; only the
-    accumulator is decimal(20,0) (exact at SF1000 where a long sum
-    would overflow and ANSI-raise).  Value-identical to
-    _money(F.sum(_drev()))."""
-    total = F.sum(_rev_cents().cast("decimal(20,0)"))
-    return F.round((total / 10000).cast("decimal(38,6)"), 2).cast("double")
-
-
-# SQL-side mirrors of the decimal expressions (DuckDB dialect).
-SQL_REV = (
-    "(CAST(l_extendedprice AS DECIMAL(18,2))"
-    " * (1 - CAST(l_discount AS DECIMAL(4,2))))"
+# Shared money/decimal helpers live in the registration-free _shared
+# module so TPC-DS batch files can import them WITHOUT importing this
+# module (importing tpch registers all 24 TPC-H queries as a side
+# effect, which round 6 proved corrupts the driver's sample-prefix
+# rotation — see queries/_shared.py docstring).
+from ._shared import (  # noqa: F401  (re-exported)
+    SQL_CHARGE,
+    SQL_REV,
+    _dec,
+    _drev,
+    _money,
+    _rev_cents,
+    _sum_rev_money,
+    _t,
+    _ts,
 )
-SQL_CHARGE = f"({SQL_REV} * (1 + CAST(l_tax AS DECIMAL(4,2))))"
 
 
 # --------------------------------------------------------------------------

@@ -765,3 +765,21 @@ def test_epoch_repetition_never_shuffles_by_doc_id(spark, sf_dir):
     assert "BroadcastExchange" in plan, plan[:3000]
     # the fan-out is a Generate (explode) node, map-side
     assert "Generate" in plan, plan[:3000]
+
+
+def test_sample_prefix():
+    """The round driver samples the first 50 entries of queries() dict
+    order.  Round 6's rotation was silently defeated by an import side
+    effect (`from .tpch import SQL_REV` registered all 24 TPC-H queries
+    ahead of the intended batches — round-6 verdict, What's wrong #1).
+    The prefix is now declared explicitly (queries.SAMPLE_PREFIX) and
+    enforced by a post-import reorder in load_all(); this pins the
+    REALIZED order so any future import-side-effect regression fails
+    loudly instead of burning the round's sample slots."""
+    from datafusion_comet_spark.queries import SAMPLE_PREFIX, load_all
+
+    realized = list(load_all())[: len(SAMPLE_PREFIX)]
+    assert realized == list(SAMPLE_PREFIX), realized
+    assert len(SAMPLE_PREFIX) == 50
+    # the prefix must not contain duplicates (each slot is one driver row)
+    assert len(set(SAMPLE_PREFIX)) == 50

@@ -112,9 +112,14 @@ def parse_sql_file(path: Path):
             # Parsed from the RAW line (not the whitespace-split lowered
             # tokens) so the regex may contain spaces and keeps its case.
             m = re.search(
-                r"(?<![\w])expect_error(?:=(.*))?$", raw_head
+                r"(?<![\w])expect_error(?:=(.*))?$", raw_head, re.I
             )
-            for tok in head.split()[1:]:
+            # Tokenize only the part BEFORE the expect_error directive:
+            # its REGEX payload may itself contain words like
+            # 'tolerance=' or 'spark_only' that must not be parsed as
+            # directives (ADVICE r6).
+            tok_head = (raw_head[: m.start()] if m else raw_head).lower()
+            for tok in tok_head.split()[1:]:
                 if tok.startswith("tolerance="):
                     args["tolerance"] = float(tok.split("=", 1)[1])
                 elif tok == "spark_only":
