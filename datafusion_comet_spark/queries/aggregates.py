@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from . import register
+from ._values_oracles import VALUES_ORACLES
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -344,7 +345,9 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "agg_approx_count_distinct",
-    oracle=None,  # HLL sketches are implementation-specific; rows-only check
+    # VALUES oracle: exact_nd recomputed in DuckDB, approx_nd
+    # envelope-verified then pinned (dev/gen_values_oracles.py).
+    oracle=VALUES_ORACLES["agg_approx_count_distinct"],
     tags=("aggregate", "approx"),
 )
 def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -514,8 +517,9 @@ def udaf_grouped_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "agg_hll_sketch",
-    oracle=None,  # Datasketches HLL binaries are engine-specific; the
-    # pytest suite bounds the estimate against the exact count.
+    # VALUES oracle: sum_cell_exact recomputed in DuckDB, approx_nd
+    # envelope-verified then pinned (dev/gen_values_oracles.py).
+    oracle=VALUES_ORACLES["agg_hll_sketch"],
     tags=("aggregate", "approx", "sketch"),
 )
 def agg_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -783,8 +787,9 @@ def udaf_cogroup_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "agg_count_min_sketch",
-    oracle=None,  # CMS binaries are engine/seed-specific; pytest bounds
-    # the estimates against exact frequencies (one-sided error).
+    # VALUES oracle: one-sided CMS envelope verified vs exact DuckDB
+    # frequencies then pinned (dev/gen_values_oracles.py).
+    oracle=VALUES_ORACLES["agg_count_min_sketch"],
     tags=("aggregate", "approx", "sketch"),
 )
 def agg_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:

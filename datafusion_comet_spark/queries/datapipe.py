@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from . import register
+from ._values_oracles import VALUES_ORACLES
 
 STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
 
@@ -183,8 +184,10 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 @register(
     "dedup_minhash_lsh",
-    oracle=None,  # murmur3-based signatures have no DuckDB counterpart;
-    # pytest validates candidate pairs against exact Jaccard.
+    # VALUES oracle: independent pure-Python murmur3 shingle/minhash/band
+    # recompute (dev/gen_values_oracles.py); pytest additionally validates
+    # candidate pairs against exact Jaccard.
+    oracle=VALUES_ORACLES["dedup_minhash_lsh"],
     tags=("datapipe", "dedup", "lsh", "bench"),
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -261,7 +264,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @register(
     "dedup_simhash",
-    oracle=None,  # xxhash64 has no DuckDB counterpart; pinned by pytest.
+    # VALUES oracle: independent pure-Python XXH64 simhash recompute
+    # (dev/gen_values_oracles.py); also pinned by pytest.
+    oracle=VALUES_ORACLES["dedup_simhash"],
     tags=("datapipe", "dedup", "simhash"),
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -435,7 +440,9 @@ def token_count_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "doc_fingerprint",
-    oracle=None,  # rolling polynomial hash — pinned by pytest known values.
+    # VALUES oracle: independent pure-Python murmur3 rolling-fold recompute
+    # (dev/gen_values_oracles.py); also pinned by pytest known values.
+    oracle=VALUES_ORACLES["doc_fingerprint"],
     tags=("datapipe", "text", "fingerprint"),
 )
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -961,8 +968,9 @@ def connected_components_doubling(
 
 @register(
     "dedup_cluster_components",
-    oracle=None,  # iterative fixpoint — not single-statement SQL;
-    # pinned by tests/test_semantics.py against a known cluster layout
+    # VALUES oracle: DuckDB levenshtein blocking + independent union-find
+    # (dev/gen_values_oracles.py); also pinned by tests/test_semantics.py.
+    oracle=VALUES_ORACLES["dedup_cluster_components"],
     tags=("datapipe", "dedup", "graph", "iterative"),
 )
 def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1953,8 +1961,9 @@ def pipeline_corpus_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "doc_length_approx_cuts",
-    oracle=None,  # approx_percentile sketch values are engine-specific;
-    # pytest bounds them against exact percentiles.
+    # VALUES oracle: rank-bound-verified, partition-independence-probed pin
+    # (dev/gen_values_oracles.py); pytest bounds vs exact percentiles.
+    oracle=VALUES_ORACLES["doc_length_approx_cuts"],
     tags=("datapipe", "curriculum", "approx"),
 )
 def doc_length_approx_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2176,9 +2185,11 @@ def sample_stratified_exact_k(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_minhash_ml",
-    oracle=None,  # HashingTF murmur + seeded minhash: not SQL-expressible;
-    # pinned in tests/test_semantics.py (exact-dup recall + distance equality
-    # against an independently computed token-set Jaccard)
+    # VALUES oracle: every emitted distance verified against an independent
+    # token-set Jaccard (HashingTF murmur replicated in pure Python) before
+    # pinning (dev/gen_values_oracles.py); recall also pinned in
+    # tests/test_semantics.py.
+    oracle=VALUES_ORACLES["dedup_minhash_ml"],
     tags=("datapipe", "dedup", "minhash", "ml"),
 )
 def dedup_minhash_ml(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from . import register
+from ._values_oracles import VALUES_ORACLES
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -615,8 +616,9 @@ def expr_hash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "expr_hash_spark_native",
-    oracle=None,  # murmur3/xxhash64/crc32/sha1 have no DuckDB counterpart;
-    # pinned by unit tests against known-stable values instead.
+    # VALUES oracle: independent pure-Python Murmur3/XXH64 + zlib.crc32 +
+    # hashlib.sha1 recompute (dev/gen_values_oracles.py); also unit-pinned.
+    oracle=VALUES_ORACLES["expr_hash_spark_native"],
     tags=("expression", "hash"),
 )
 def expr_hash_spark_native(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -838,8 +840,9 @@ def expr_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "expr_url_misc",
-    oracle=None,  # url_encode/url_decode have no DuckDB counterpart;
-    # pinned by unit tests with known values.
+    # VALUES oracle: independent Java-URLEncoder-in-Python recompute
+    # (dev/gen_values_oracles.py); also unit-pinned.
+    oracle=VALUES_ORACLES["expr_url_misc"],
     tags=("expression", "url"),
 )
 def expr_url_misc(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 from ..catalog import load_table
 from ..operators.multimodal import attach_payload, decode_features, sample_frames
 from . import register
+from ._values_oracles import VALUES_ORACLES
 
 
 def _frames(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -69,8 +70,9 @@ def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "multimodal_decode_stub",
-    oracle=None,  # the fake decode's byte statistics are Python-side;
-    # pytest pins them against an independent pyarrow computation.
+    # VALUES oracle: independent pure-pandas recompute of the deterministic
+    # fake decode (dev/gen_values_oracles.py); also pytest-pinned.
+    oracle=VALUES_ORACLES["multimodal_decode_stub"],
     tags=("multimodal", "decode", "mapInPandas"),
 )
 def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -83,7 +85,15 @@ def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
         feats.groupBy("format")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.avg("mean_byte"), 4).alias("avg_mean_byte"),
+            # decimal-exact mean: mean_byte is round(x, 6), so the
+            # decimal(18,6) cast is lossless and the avg is
+            # partition-order-independent — required for the pinned
+            # VALUES oracle (double-sum order flakes at rounding
+            # boundaries, verify SKILL gotcha #1)
+            F.round(
+                F.avg(F.col("mean_byte").cast("decimal(18,6)")).cast("double"),
+                4,
+            ).alias("avg_mean_byte"),
             F.max("max_byte").alias("max_byte"),
             F.sum("n_frames").alias("total_frames"),
         )

@@ -20,6 +20,13 @@ WITHOUT_ORACLE = sorted(n for n, q in REGISTRY.items() if q.oracle is None)
 @pytest.mark.parametrize("name", WITH_ORACLE)
 def test_query_matches_oracle(spark, sf_dir, name):
     q = REGISTRY[name]
+    if "gen_values_oracles" in q.oracle and not sf_dir.rstrip("/").endswith(
+        ("sf0.001", "sf0.01")
+    ):
+        pytest.skip(
+            "VALUES-literal oracle pinned for the sf0.001/sf0.01 gate "
+            "corpora only (scale-keyed on lineitem count)"
+        )
     df = q.fn(spark, sf_dir)
     compare_to_oracle(df, q.oracle, sf_dir)
 
