@@ -76,6 +76,16 @@ PINNED = [
     "tpcds_frequent_buyer_semi",    # two broadcast LeftSemi filter sets
     "tpcds_quarterly_share_growth", # one fact exchange + lead windows
     "tpcds_class_revenue_ratio",    # window-over-aggregate class share
+    # round 7: the fact-pass-collapse signatures (scan counts are also
+    # pinned in tests/test_plans.py) + the reference's dedicated q72
+    # extended golden (spark/src/test/resources/tpcds-query-results/
+    # extended/) and the q64-style repeat-purchase chain
+    "tpcds_week_offset_join",         # q72: dim-chain + week-offset join
+    "tpcds_cross_channel_rollup",     # q14: count-distinct-channel pass
+    "tpcds_date_intersect_returns",   # q83: single-pass INTERSECT legs
+    "tpcds_multi_supplier_returned",  # q95: one-pass flag aggregate
+    "tpcds_repeat_purchase_chain",    # q64-style self-chain
+    "tpcds_buy_return_rebuy",         # buy→return→rebuy chain
 ]
 
 REGEN = os.environ.get("SPARK_GRAFT_REGEN_GOLDENS") == "1"

@@ -783,3 +783,65 @@ def test_sample_prefix():
     assert len(SAMPLE_PREFIX) == 50
     # the prefix must not contain duplicates (each slot is one driver row)
     assert len(set(SAMPLE_PREFIX)) == 50
+
+
+def _table_scan_count(df, table: str, post_exec: bool = False) -> int:
+    """Count FileScan passes over one table in the FINAL physical plan.
+
+    The formatted explain of an executed AdaptiveSparkPlan prints the
+    Final Plan tree, then the Initial Plan tree, then one detail block
+    per node id from BOTH trees — so counting raw `Location:` lines
+    double-counts every scan.  Instead: collect scan node ids from the
+    Final Plan tree only, then resolve each id's table via its detail
+    block."""
+    import io
+    import re
+    from contextlib import redirect_stdout
+
+    if post_exec:
+        df.collect()
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain(mode="formatted")
+    text = buf.getvalue()
+    final_tree = text.split("== Initial Plan ==")[0]
+    ids = re.findall(r"Scan parquet\s*\((\d+)\)", final_tree)
+    count = 0
+    for block in text.split("\n\n"):
+        m = re.match(r"\((\d+)\) Scan parquet", block)
+        if m and m.group(1) in ids and f"{table}.parquet" in block:
+            count += 1
+    return count
+
+
+def test_date_intersect_returns_single_orders_pass(spark, sf_dir):
+    """tpcds_date_intersect_returns (q83 shape) promises ONE orders
+    pass: the naive three INTERSECT legs + share re-aggregate each
+    rescan orders; the rewrite collapses them (SCALE.md:788).
+    Post-execution explain so AQE's ReusedExchange materialization is
+    visible."""
+    df = REGISTRY["tpcds_date_intersect_returns"].fn(spark, sf_dir)
+    n = _table_scan_count(df, "orders", post_exec=True)
+    assert n == 1, f"{n} orders passes"
+
+
+def test_multi_supplier_returned_single_lineitem_pass(spark, sf_dir):
+    """tpcds_multi_supplier_returned (q95 shape): in the executed final
+    plan the q94-style one-pass flag aggregate AND the
+    returned-distinct leg resolve to ONE physical lineitem pass — AQE
+    ReusedExchange covers the second leg (better than the naive three
+    and than SCALE.md's original two-pass claim, corrected there)."""
+    df = REGISTRY["tpcds_multi_supplier_returned"].fn(spark, sf_dir)
+    n = _table_scan_count(df, "lineitem", post_exec=True)
+    assert n == 1, f"{n} lineitem passes"
+
+
+def test_cross_channel_rollup_two_lineitem_passes(spark, sf_dir):
+    """tpcds_cross_channel_rollup (q14 shape): the executed final plan
+    makes TWO physical lineitem passes — the count-distinct-channel
+    pass replacing the naive two channel legs, plus the report pass;
+    AQE ReusedExchange absorbs the threshold leg (better than
+    SCALE.md's original three-pass claim, corrected there)."""
+    df = REGISTRY["tpcds_cross_channel_rollup"].fn(spark, sf_dir)
+    n = _table_scan_count(df, "lineitem", post_exec=True)
+    assert n == 2, f"{n} lineitem passes"
