@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from . import register
+from ._values_oracles import VALUES_ORACLES
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -144,8 +145,10 @@ def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ann_lsh_bucketed",
-    oracle=None,  # hyperplane signs derive from murmur3 — no DuckDB
-    # counterpart; pytest validates recall against the brute-force query.
+    # VALUES oracle: independent pure-Python recompute (murmur3 hyperplane
+    # signs + sequential-fold cosine, dev/gen_values_oracles.py); pytest
+    # additionally validates recall against the brute-force query.
+    oracle=VALUES_ORACLES["ann_lsh_bucketed"],
     tags=("similarity", "ann", "lsh"),
 )
 def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -228,8 +231,10 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ann_ivf_kmeans",
-    oracle=None,  # k-means cell assignments have no DuckDB counterpart;
-    # pytest checks recall against the exact brute-force query.
+    oracle=None,  # NOT pinnable as a VALUES oracle: MLlib k-means centroid
+    # floats come from distributed partial sums, so cell assignments are
+    # partition-order-sensitive (unlike the seeded-hyperplane LSH family,
+    # which IS pinned).  pytest checks recall against brute force.
     tags=("similarity", "ann", "ivf"),
 )
 def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -279,7 +284,8 @@ def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ann_ivf_multiprobe",
-    oracle=None,  # k-means cells are engine-specific; pytest pins recall
+    oracle=None,  # k-means centroids are partition-order-sensitive (see
+    # ann_ivf_kmeans) — rows-only; pytest pins recall
     # >= the single-probe variant and against brute force.
     tags=("similarity", "ann", "ivf", "multiprobe"),
 )
@@ -402,9 +408,11 @@ def embedding_centroid_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ann_ml_random_projection",
-    oracle=None,  # seeded random hyperplanes: not SQL-expressible; pinned
-    # in tests/test_semantics.py (candidate distances exact + recall vs
-    # brute-force euclidean top-k)
+    # VALUES oracle: every emitted distance verified against the
+    # independent euclidean distance before pinning
+    # (dev/gen_values_oracles.py); recall also pinned in
+    # tests/test_semantics.py.
+    oracle=VALUES_ORACLES["ann_ml_random_projection"],
     tags=("similarity", "ann", "ml", "lsh"),
 )
 def ann_ml_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
