@@ -300,11 +300,19 @@ def tpcds_return_ratio_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     qty_ratio = F.round(
         F.col("ret_qty").cast("double") / F.col("tot_qty").cast("double"), 6
     )
+    # persist() the tiny aggregate output (|parts| rows, MEMORY_AND_DISK):
+    # WITHOUT it, per-branch column pruning specializes each consumer's
+    # aggregate subtree (amt-only / qty-only / both), ReuseExchange
+    # cannot merge the now-different subtrees, and the executed plan
+    # makes THREE physical fact passes (measured round 7).  With the
+    # cache the fact is scanned once and every branch reads the
+    # InMemoryRelation — 1.62x at sf0.1 (min-of-5), pinned by
+    # tests/test_plans.py::test_return_ratio_rank_single_fact_pass.
     cand = per_part.select(
         "l_partkey",
         amt_ratio.alias("amt_ratio"),
         qty_ratio.alias("qty_ratio"),
-    )
+    ).persist()
     # Scale shape: the naive spelling ranks ALL |parts| aggregate rows
     # through one unpartitioned WindowExec reducer (the OR'd rank
     # filter defeats WindowGroupLimit pruning).  Instead:
@@ -318,9 +326,10 @@ def tpcds_return_ratio_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     #      measure's possibly-large rank — as 1 + count(strictly
     #      greater), via a broadcast inequality join against the
     #      aggregate (rank() ≡ 1 + |{v : v > x}| under DESC order).
-    # Every branch re-reads per_part's shuffle via ReuseExchange; the
-    # fact is scanned once and no task ever holds more than its own
-    # aggregate partition.
+    # Every branch reads the persisted aggregate (see the persist()
+    # note above — exchange reuse alone does NOT survive per-branch
+    # column pruning here); the fact is scanned once and no task ever
+    # holds more than its own aggregate partition.
     th_amt = (
         cand.orderBy(F.col("amt_ratio").desc())
         .limit(10)
