@@ -110,15 +110,17 @@ SAMPLE_PREFIX: tuple[str, ...] = (
     "tpcds_returns_demographic_loss",
     "tpcds_multi_supplier_unreturned",
     "tpcds_multi_supplier_returned",
-    # 33-40: tpcds_style2 first 8 (never sampled)
-    "tpcds_net_after_returns",
-    "tpcds_frequent_buyer_semi",
-    "tpcds_party_size_band",
-    "tpcds_return_ratio_rank",
-    "tpcds_rolling_brand_deviation",
-    "tpcds_class_revenue_ratio",
-    "tpcds_quarterly_share_growth",
-    "tpcds_weekday_pivot_ratio",
+    # 33-40: the 8 never-sampled tpcds_style2 queries (the module's
+    # FIRST 8 registrations were already driver-green in round 2 —
+    # dev/sample_debt.py distinguishes the two sets)
+    "tpcds_price_band_distincts",
+    "tpcds_demand_variability",
+    "tpcds_best_worst_performers",
+    "tpcds_yoy_decline_net_returns",
+    "tpcds_union_channel_item_topk",
+    "tpcds_cross_nation_orders",
+    "tpcds_best_visit_per_customer",
+    "tpcds_active_part_band",
     # 41-43: tpcds_style3 (3, never sampled)
     "tpcds_repeat_purchase_chain",
     "tpcds_buy_return_rebuy",
