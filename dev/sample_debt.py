@@ -74,6 +74,32 @@ def main() -> None:
             status = f"last r{rnd} {'green' if green else 'RED'}"
         print(f"  {i:2d}. {name} [{status}]")
 
+    # Suggested NEXT-round prefix: stale reds first (re-prove after
+    # fix), then never-sampled queries — slow streaming capped at 2
+    # per round (each stream_* runs a full availableNow execution),
+    # then oldest-green rows to re-confirm.  Mechanical aid only; the
+    # builder still reviews before editing queries.SAMPLE_PREFIX.
+    sugg: list[str] = [n for n, _ in reds]
+    flat_never = [n for mod in sorted(never, key=lambda m: -len(never[m])) for n in never[mod]]
+    streams = 0
+    for n in flat_never:
+        if len(sugg) >= len(SAMPLE_PREFIX):
+            break
+        if n.startswith("stream_"):
+            if streams >= 2:
+                continue
+            streams += 1
+        sugg.append(n)
+    if len(sugg) < len(SAMPLE_PREFIX):
+        by_age = sorted(
+            (n for n in reg if n in last_row and n not in sugg),
+            key=lambda n: last_row[n][0],
+        )
+        sugg.extend(by_age[: len(SAMPLE_PREFIX) - len(sugg)])
+    print(f"\nsuggested next-round prefix ({len(sugg)} slots):")
+    for i, name in enumerate(sugg, 1):
+        print(f"  {i:2d}. \"{name}\",")
+
 
 if __name__ == "__main__":
     main()
