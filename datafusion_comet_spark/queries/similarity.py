@@ -229,37 +229,228 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.select("vec_id", q_str.alias("q")).orderBy("vec_id")
 
 
+def _sq_dist(vec_col, centroid_col) -> Column:
+    """Squared L2 as a sequential JVM fold — deterministic per row."""
+    return F.aggregate(
+        F.zip_with(vec_col, centroid_col, lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _nearest(vec_col, centroids: list[list[float]]) -> Column:
+    """0-based nearest-centroid id against LITERAL centroids — pure
+    map-side arithmetic (no join, no shuffle; the index fits in the
+    plan).  Ties break to the FIRST minimum via array_position, which
+    is deterministic."""
+    lit = F.array(*[F.array(*[F.lit(float(v)) for v in c]) for c in centroids])
+    dists = F.transform(lit, lambda c: _sq_dist(vec_col, c))
+    return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+
+
+_LLOYD_CACHE: dict[tuple, dict[int, list[list[float]]]] = {}
+
+
+def _lloyd_grouped(
+    df: DataFrame,
+    id_col: str,
+    gid_col: Column,
+    n_groups: int,
+    vec_col: str,
+    k: int,
+    iters: int,
+    seed: int,
+    cache_key: str | None = None,
+    init: str = "hash",
+) -> dict[int, list[list[float]]]:
+    """DETERMINISTIC distributed k-means (Lloyd), over ``n_groups``
+    independent vector spaces trained in lockstep (one exchange per
+    iteration TOTAL, not per group — at scale this is the difference
+    between M codebook fits and one).
+
+    Why this replaces pyspark.ml KMeans here: MLlib's M-step sums
+    float32 partials in partition order, so centroids — and therefore
+    cell assignments and final ANN answers — change with parallelism,
+    which is exactly what made the IVF family unpinnable (rounds 3-6
+    carried it as `oracle=None`).  This implementation is
+    partitioning-invariant end to end:
+
+    - init: ``"hash"`` takes the k vectors ranked first by
+      xxhash64(id, seed) per group — a seeded deterministic sample;
+      ``"farthest"`` is deterministic farthest-first traversal
+      (Gonzalez 1985): hash-min seed, then k-1 argmax-of-min-distance
+      picks with id tie-breaks.  Farthest-first costs k-1 extra tiny
+      jobs but spreads seeds — on the near-uniform test embeddings it
+      lifts single-probe IVF recall 0.067 → 0.33 at 500 vecs (measured
+      round 7), so the COARSE quantizer uses it; the PQ sub-codebooks
+      keep hash init (16 codes in a 16-dim subspace is init-robust and
+      the grouped build stays one job per step);
+    - E-step: map-side argmin against literal centroids
+      (first-minimum tie-break);
+    - M-step: per-(group, cell, dim) means with the sum taken over
+      DECIMAL(30,15)-cast values — decimal addition is EXACT, hence
+      commutative/associative in effect, so any partitioning yields
+      bit-identical new centroids (the same trick the decimal-exact
+      money aggregates use, SCALE.md round-5 contract);
+    - empty cells keep their previous centroid; early-stop when an
+      iteration changes nothing.
+
+    Centroids are driver-side by construction — they ARE the index,
+    k×dim floats, broadcast back as literals (reference predates any
+    vector-search operator; architecture per Jegou et al. TPAMI 2011).
+
+    ``cache_key`` memoizes the build per (SparkSession, key): the
+    three IVF queries share one coarse quantizer — the real-world
+    index-reuse pattern, and the output is a pure deterministic
+    function of the data+params so the cache cannot change answers.
+    The session's applicationId is part of the key so a fresh probe
+    session (the partition-independence gate) always recomputes."""
+    if cache_key is not None:
+        full_key = (df.sparkSession.sparkContext.applicationId, cache_key)
+        hit = _LLOYD_CACHE.get(full_key)
+        if hit is not None:
+            return hit
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        gid_col.cast("int").alias("_g"),
+        F.col(vec_col).alias("_v"),
+    )
+    cents: dict[int, list[list[float]]] = {g: [] for g in range(n_groups)}
+    if init == "farthest":
+        wi = W.partitionBy("_g").orderBy(
+            F.xxhash64(F.col("_id"), F.lit(seed)), F.col("_id")
+        )
+        first = (
+            base.select("_g", "_v", F.row_number().over(wi).alias("_r"))
+            .filter(F.col("_r") == 1)
+            .collect()
+        )
+        for r in first:
+            cents[r["_g"]].append([float(v) for v in r["_v"]])
+        for _ in range(k - 1):
+            books = F.array(
+                *[
+                    F.array(
+                        *[
+                            F.array(*[F.lit(float(v)) for v in c])
+                            for c in cents[g]
+                        ]
+                    )
+                    for g in range(n_groups)
+                ]
+            )
+            mind = F.array_min(
+                F.transform(
+                    F.element_at(books, F.col("_g") + 1),
+                    lambda c: _sq_dist(F.col("_v"), c),
+                )
+            )
+            wf = W.partitionBy("_g").orderBy(F.col("_d").desc(), F.col("_id"))
+            picks = (
+                base.select("_g", "_id", "_v", mind.alias("_d"))
+                .select("_g", "_v", F.row_number().over(wf).alias("_r"))
+                .filter(F.col("_r") == 1)
+                .collect()
+            )
+            for r in picks:
+                cents[r["_g"]].append([float(v) for v in r["_v"]])
+    else:
+        wi = W.partitionBy("_g").orderBy(
+            F.xxhash64(F.col("_id"), F.lit(seed)), F.col("_id")
+        )
+        rows0 = (
+            base.select("_g", "_v", F.row_number().over(wi).alias("_r"))
+            .filter(F.col("_r") <= k)
+            .collect()
+        )
+        for r in sorted(rows0, key=lambda r: (r["_g"], r["_r"])):
+            cents[r["_g"]].append([float(v) for v in r["_v"]])
+    for _ in range(iters):
+        books = F.array(
+            *[
+                F.array(
+                    *[
+                        F.array(*[F.lit(float(v)) for v in c])
+                        for c in cents[g]
+                    ]
+                )
+                for g in range(n_groups)
+            ]
+        )
+        dists = F.transform(
+            F.element_at(books, F.col("_g") + 1),
+            lambda c: _sq_dist(F.col("_v"), c),
+        )
+        cell = (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+        rows = (
+            base.select("_g", cell.alias("_c"), F.posexplode("_v").alias("_d", "_x"))
+            .groupBy("_g", "_c", "_d")
+            .agg(
+                (
+                    F.sum(F.col("_x").cast("decimal(30,15)"))
+                    / F.count(F.lit(1))
+                )
+                .cast("double")
+                .alias("_m")
+            )
+            .collect()
+        )
+        new = {g: [list(c) for c in cs] for g, cs in cents.items()}
+        for r in rows:
+            new[r["_g"]][r["_c"]][r["_d"]] = r["_m"]
+        if new == cents:
+            break
+        cents = new
+    if cache_key is not None:
+        _LLOYD_CACHE[full_key] = cents
+    return cents
+
+
+def _lloyd_centroids(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    iters: int,
+    seed: int,
+    cache_key: str | None = None,
+    init: str = "hash",
+) -> list[list[float]]:
+    """Single-space deterministic Lloyd (see _lloyd_grouped)."""
+    return _lloyd_grouped(
+        df, id_col, F.lit(0), 1, vec_col, k, iters, seed, cache_key, init
+    )[0]
+
+
 @register(
     "ann_ivf_kmeans",
-    oracle=None,  # NOT pinnable as a VALUES oracle: MLlib k-means centroid
-    # floats come from distributed partial sums, so cell assignments are
-    # partition-order-sensitive (unlike the seeded-hyperplane LSH family,
-    # which IS pinned).  pytest checks recall against brute force.
+    oracle=VALUES_ORACLES["ann_ivf_kmeans"],
     tags=("similarity", "ann", "ivf"),
 )
 def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-style ANN: a k-means coarse quantizer (pyspark.ml KMeans,
-    fixed seed) assigns every vector to a cell; each query searches
-    ONLY its own cell — the inverted-file structure that turns
-    brute-force O(n) per query into O(n/k).
+    """IVF-style ANN: a k-means coarse quantizer (deterministic
+    distributed Lloyd, see _lloyd_grouped) assigns every vector to a
+    cell; each query searches ONLY its own cell — the inverted-file
+    structure that turns brute-force O(n) per query into O(n/k).
 
-    Scale shape: the index build is one ML fit over a sample-sized
-    input (centroids are tiny and broadcast); assignment is a
-    map-side transform; search is an equi-join on cell id.  At 100 TB
-    the cell column is written back to the corpus as a partition key
-    so a query touches one partition per probed cell."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array
-
+    Scale shape: the index build is iters tiny keyed aggregates over
+    the corpus (centroids are k×dim floats, literal-broadcast);
+    assignment is pure map-side arithmetic; search is an equi-join on
+    cell id.  At 100 TB the cell column is written back to the corpus
+    as a partition key so a query touches one partition per probed
+    cell.  Round 7: replaced pyspark.ml KMeans — whose float partial
+    sums made centroids partition-order-sensitive and this family
+    unpinnable — with the decimal-exact Lloyd, making the output
+    constant and VALUES-oracle-checked."""
     emb = _t(spark, sf_dir, "embeddings").select(
         "vec_id", _as_double("embedding").alias("emb")
     )
-    feats = emb.select(
-        "vec_id", "emb", array_to_vector("emb").alias("features")
+    cents = _lloyd_centroids(
+        emb, "vec_id", "emb", k=8, iters=10, seed=42,
+        cache_key=f"{sf_dir}|coarse-8-10-42-ff", init="farthest",
     )
-    model = KMeans(k=8, seed=42, maxIter=10).fit(feats.select("features"))
-    assigned = model.transform(feats).select(
-        "vec_id", "emb", F.col("prediction").alias("cell")
+    assigned = emb.select(
+        "vec_id", "emb", _nearest(F.col("emb"), cents).alias("cell")
     )
     queries = assigned.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("qid"), F.col("emb").alias("q_emb"), "cell"
@@ -284,9 +475,7 @@ def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ann_ivf_multiprobe",
-    oracle=None,  # k-means centroids are partition-order-sensitive (see
-    # ann_ivf_kmeans) — rows-only; pytest pins recall
-    # >= the single-probe variant and against brute force.
+    oracle=VALUES_ORACLES["ann_ivf_multiprobe"],
     tags=("similarity", "ann", "ivf", "multiprobe"),
 )
 def ann_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -301,22 +490,21 @@ def ann_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     leaves executors.  Probe selection is a rank-2 window over the
     query×centroid cross (|queries|×k rows); candidate search is the
     same cell equi-join as single-probe, deduplicated by (qid,
-    vec_id) before ranking."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
+    vec_id) before ranking.  Deterministic Lloyd quantizer (round 7,
+    see _lloyd_grouped) — same build as ann_ivf_kmeans, so the two
+    variants share cells and the probe-count/recall trade is isolated."""
     emb = _t(spark, sf_dir, "embeddings").select(
         "vec_id", _as_double("embedding").alias("emb")
     )
-    feats = emb.select(
-        "vec_id", "emb", array_to_vector("emb").alias("features")
+    cents = _lloyd_centroids(
+        emb, "vec_id", "emb", k=8, iters=10, seed=42,
+        cache_key=f"{sf_dir}|coarse-8-10-42-ff", init="farthest",
     )
-    model = KMeans(k=8, seed=42, maxIter=10).fit(feats.select("features"))
-    assigned = model.transform(feats).select(
-        "vec_id", "emb", F.col("prediction").alias("cell")
+    assigned = emb.select(
+        "vec_id", "emb", _nearest(F.col("emb"), cents).alias("cell")
     )
     centroids = spark.createDataFrame(
-        [(i, [float(x) for x in ctr]) for i, ctr in enumerate(model.clusterCenters())],
+        [(i, c) for i, c in enumerate(cents)],
         "cell int, ctr array<double>",
     )
     queries = emb.filter(F.col("vec_id") < 3).select(
@@ -558,8 +746,7 @@ def ann_quantized_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ann_ivf_pq_adc",
-    oracle=None,  # k-means codebooks are engine-specific; pytest pins
-    # the PQ candidate stage's recall against the cell-exact IVF query.
+    oracle=VALUES_ORACLES["ann_ivf_pq_adc"],
     tags=("similarity", "ann", "ivf", "pq"),
 )
 def ann_ivf_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -589,38 +776,48 @@ def ann_ivf_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     against the broadcast LUT restricted to the query's coarse cell,
     then ONE (qid, vec_id) aggregate — never an all-pairs float
     computation.  The recall dial vs ann_ivf_kmeans's full-cell exact
-    scan is the ADC candidate width (20 here)."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
+    scan is the ADC candidate width (20 here).  Deterministic Lloyd
+    quantizers (round 7, see _lloyd_grouped): the coarse build is
+    IDENTICAL to ann_ivf_kmeans (same k/iters/seed — the rerank-
+    exactness pin depends on shared cells), and the 4 sub-codebooks
+    train in LOCKSTEP as one grouped Lloyd — one keyed aggregate per
+    iteration for all subspaces, not one fit per book."""
     M, SUBDIM, CODES = 4, 16, 16
     emb = _t(spark, sf_dir, "embeddings").select(
         "vec_id", _as_double("embedding").alias("emb")
     )
-    feats = emb.select(
+    coarse = _lloyd_centroids(
+        emb, "vec_id", "emb", k=8, iters=10, seed=42,
+        cache_key=f"{sf_dir}|coarse-8-10-42-ff", init="farthest",
+    )
+    subs = emb.select(
+        "vec_id",
+        F.posexplode(
+            F.array(
+                *[F.slice("emb", m * SUBDIM + 1, SUBDIM) for m in range(M)]
+            )
+        ).alias("m", "sub"),
+    )
+    books_cents = _lloyd_grouped(
+        subs, "vec_id", F.col("m"), M, "sub", k=CODES, iters=10, seed=43,
+        cache_key=f"{sf_dir}|pqbooks-4x16-10-43",
+    )
+    df = emb.select(
         "vec_id",
         "emb",
-        array_to_vector("emb").alias("features"),
+        _nearest(F.col("emb"), coarse).alias("cell"),
         *[
-            array_to_vector(
-                F.slice("emb", m * SUBDIM + 1, SUBDIM)
-            ).alias(f"f{m}")
+            _nearest(
+                F.slice("emb", m * SUBDIM + 1, SUBDIM), books_cents[m]
+            ).alias(f"c{m}")
             for m in range(M)
         ],
     )
-    coarse = KMeans(k=8, seed=42, maxIter=10).fit(feats.select("features"))
-    df = coarse.transform(feats).withColumnRenamed("prediction", "cell")
-    books = []
-    for m in range(M):
-        km = KMeans(
-            k=CODES, seed=42 + m, maxIter=10,
-            featuresCol=f"f{m}", predictionCol=f"c{m}",
-        ).fit(df.select(f"f{m}"))
-        df = km.transform(df)
-        books += [
-            (m, code, [float(x) for x in ctr])
-            for code, ctr in enumerate(km.clusterCenters())
-        ]
+    books = [
+        (m, code, books_cents[m][code])
+        for m in range(M)
+        for code in range(CODES)
+    ]
     codebooks = spark.createDataFrame(
         books, "m int, code int, ctr array<double>"
     )

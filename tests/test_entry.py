@@ -107,8 +107,10 @@ def test_engine_facade_end_to_end(spark, sf_dir):
     assert len(eng.run("q1_pricing_summary").collect()) == 6
     assert "HashAggregate" in eng.explain(df, "simple")
     assert eng.oracle("q1_pricing_summary") is not None
-    # dedup_minhash_lsh gained a VALUES-literal oracle in round 7; the
-    # k-means ANN family stays rows-only (centroid floats are
-    # partition-order-sensitive, not pinnable)
+    # dedup_minhash_lsh gained a VALUES-literal oracle in round 7, and
+    # the IVF k-means family followed once its quantizer became the
+    # deterministic decimal-exact Lloyd (similarity._lloyd_grouped);
+    # only the partition-seeded Bernoulli sample remains rows-only
     assert eng.oracle("dedup_minhash_lsh") is not None
-    assert eng.oracle("ann_ivf_kmeans") is None
+    assert eng.oracle("ann_ivf_kmeans") is not None
+    assert eng.oracle("sample_bernoulli_seeded") is None

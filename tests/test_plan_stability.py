@@ -86,6 +86,13 @@ PINNED = [
     "tpcds_multi_supplier_returned",  # q95: one-pass flag aggregate
     "tpcds_repeat_purchase_chain",    # q64-style self-chain
     "tpcds_buy_return_rebuy",         # buy→return→rebuy chain
+    # round 7: the IVF family after the deterministic-Lloyd rewrite —
+    # the pinned shape proves assignment is MAP-SIDE literal
+    # arithmetic (no join/shuffle for cell routing) and search is the
+    # broadcast cell equi-join
+    "ann_ivf_kmeans",
+    "ann_ivf_multiprobe",
+    "ann_ivf_pq_adc",
 ]
 
 REGEN = os.environ.get("SPARK_GRAFT_REGEN_GOLDENS") == "1"

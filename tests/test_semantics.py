@@ -190,9 +190,12 @@ def test_ivf_recall_vs_bruteforce(spark, sf_dir):
     The floor is FIXTURE-SIZE aware: the synthetic embeddings are
     near-uniform, so true nearest neighbors scatter across the 8
     k-means cells as n grows and single-probe recall genuinely decays
-    (measured: 0.6 mean at 200 vecs, ~0.13 at 500) — production
-    embedding spaces cluster, which is the entire premise of IVF.
-    The recall DIAL is probe count, pinned separately by
+    — production embedding spaces cluster, which is the entire
+    premise of IVF.  Measured history: MLlib quantizer 0.6 mean at
+    200 vecs / ~0.13 at 500; the round-7 deterministic Lloyd with
+    farthest-first init measures 0.33 at 500 (hash-random init
+    measured 0.067 — the init experiment that picked Gonzalez
+    seeding).  The recall DIAL is probe count, pinned separately by
     test_ivf_multiprobe_recall_dominates_single_probe."""
     exact = REGISTRY["ann_bruteforce_topk"].fn(spark, sf_dir).collect()
     ivf = REGISTRY["ann_ivf_kmeans"].fn(spark, sf_dir).collect()
