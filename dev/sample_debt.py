@@ -85,6 +85,8 @@ def main() -> None:
     for n in flat_never:
         if len(sugg) >= len(SAMPLE_PREFIX):
             break
+        if reg[n].oracle is None:
+            continue  # rows-only: never burn a prefix slot (test-enforced)
         if n.startswith("stream_"):
             if streams >= 2:
                 continue

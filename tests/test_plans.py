@@ -785,6 +785,14 @@ def test_sample_prefix():
     assert len(SAMPLE_PREFIX) == 50
     # the prefix must not contain duplicates (each slot is one driver row)
     assert len(set(SAMPLE_PREFIX)) == 50
+    # every sampled slot must be HASH-checkable: a rows-only query in
+    # the prefix burns a slot on the weaker gate (round 7: only the
+    # partition-seeded Bernoulli sample remains oracle-less, and it
+    # must not be rotated into a prefix)
+    from datafusion_comet_spark.queries import REGISTRY
+
+    rows_only = [n for n in SAMPLE_PREFIX if REGISTRY[n].oracle is None]
+    assert rows_only == [], rows_only
 
 
 def _table_scan_count(df, table: str, post_exec: bool = False) -> int:
