@@ -581,3 +581,58 @@ def correlated_scalar_query(draw) -> str:
 def test_random_correlated_scalar_matches_duckdb(views, sf_dir, sql):
     df = views.sql(sql)
     compare_to_oracle(df, sql, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# Family 14 (round 7): TRIM-CHARSET + EDIT-DISTANCE chains — the two
+# string surfaces the round-7 corpus sweep verified shared (standard
+# TRIM(BOTH/LEADING/TRAILING chars FROM s) parses and agrees on both
+# engines; levenshtein agrees on ASCII — it diverges on multibyte,
+# Spark codepoints vs DuckDB bytes, pinned in
+# tests/sql/string/levenshtein_unicode_bounds.sql, so arguments here
+# are drawn ONLY from the ASCII-verified lang/source columns and
+# ASCII literals).  2-arg btrim/ltrim stay out: operand order is
+# engine-SWAPPED (COMPAT.md).
+# ---------------------------------------------------------------------------
+_TRIM_FORMS = (
+    "trim(BOTH '{c}' FROM {e})",
+    "trim(LEADING '{c}' FROM {e})",
+    "trim(TRAILING '{c}' FROM {e})",
+    "trim({e})",
+)
+_TRIM_CHARS = ("s", "rc", "01", "e ", "n")
+_LEV_ARGS = ("lang", "source", "upper(lang)", "reverse(source)", "'src7'", "'en'")
+
+
+@st.composite
+def trim_lev_query(draw) -> str:
+    base = draw(st.sampled_from(("source", "lang", "substr(text, 1, 12)")))
+    expr = base
+    for _ in range(draw(st.integers(1, 3))):
+        form = draw(st.sampled_from(_TRIM_FORMS))
+        expr = form.format(c=draw(st.sampled_from(_TRIM_CHARS)), e=expr)
+    a = draw(st.sampled_from(_LEV_ARGS))
+    b = draw(st.sampled_from(_LEV_ARGS))
+    key_lit = draw(st.integers(100, 5000))
+    return (
+        f"SELECT lang AS k, count(x) AS n_trim, "
+        f"CAST(min(x) AS STRING) AS mn, CAST(max(x) AS STRING) AS mx, "
+        f"CAST(sum(length(x)) AS BIGINT) AS len_sum, "
+        f"CAST(sum(levenshtein({a}, {b})) AS BIGINT) AS lev_sum, "
+        f"CAST(max(levenshtein({a}, x)) AS BIGINT) AS lev_mx "
+        f"FROM (SELECT lang, source, {expr} AS x FROM documents "
+        f"WHERE doc_id < {key_lit}) t "
+        f"GROUP BY lang ORDER BY k"
+    )
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(sql=trim_lev_query())
+def test_random_trim_levenshtein_matches_duckdb(views, sf_dir, sql):
+    df = views.sql(sql)
+    compare_to_oracle(df, sql, sf_dir)
