@@ -95,6 +95,16 @@ PINNED = [
     "ann_ivf_pq_adc",
 ]
 
+# Round 7: the reference pins APPROVED PLANS for every TPC-DS query
+# (spark/src/test/resources/tpcds-plan-stability/, enforced by
+# CometPlanStabilitySuite) — mirror that for the full TPC-DS-shape
+# family here.  Programmatic so a future batch is golden-required the
+# moment it registers; regenerate deliberately with
+# SPARK_GRAFT_REGEN_GOLDENS=1.
+PINNED += sorted(
+    n for n in REGISTRY if n.startswith("tpcds_") and n not in PINNED
+)
+
 REGEN = os.environ.get("SPARK_GRAFT_REGEN_GOLDENS") == "1"
 
 
