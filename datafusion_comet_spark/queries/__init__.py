@@ -69,10 +69,12 @@ def register(
 # with the two 3-round-stale round-3 reds (fixed in r4, never
 # driver-re-proven — the reference re-proves after every fix,
 # CometTestBase.checkSparkAnswerAndOperator), then the never-sampled
-# TPC-DS batches 6/5/7/2(first 8)/3, one slow-streaming
-# watermark-eviction row, and the first six never-sampled relational
-# queries.  All 300+ oracles still run locally every round regardless
-# (tests/test_queries_oracle.py).
+# TPC-DS batches 6/5/7, style2's eight never-sampled queries (NOT its
+# first eight registrations — those were already green in round 2; the
+# distinction is exactly what dev/sample_debt.py exists to check),
+# batch 3, one slow-streaming watermark-eviction row, and the first
+# six never-sampled relational queries.  All 320+ oracles still run
+# locally every round regardless (tests/test_queries_oracle.py).
 SAMPLE_PREFIX: tuple[str, ...] = (
     # 1-2: the round-3 reds (canonicalizer crashes, fixed r4)
     "dedup_simhash",
