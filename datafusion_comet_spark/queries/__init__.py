@@ -65,78 +65,84 @@ def register(
 # after all imports — immune to import side effects — and pytest-pinned
 # by tests/test_plans.py::test_sample_prefix.
 #
-# Round-7 rotation (per the round-6 verdict's "Next round #1"): lead
-# with the two 3-round-stale round-3 reds (fixed in r4, never
-# driver-re-proven — the reference re-proves after every fix,
-# CometTestBase.checkSparkAnswerAndOperator), then the never-sampled
-# TPC-DS batches 6/5/7, style2's eight never-sampled queries (NOT its
-# first eight registrations — those were already green in round 2; the
-# distinction is exactly what dev/sample_debt.py exists to check),
-# batch 3, one slow-streaming watermark-eviction row, and the first
-# six never-sampled relational queries.  All 320+ oracles still run
-# locally every round regardless (tests/test_queries_oracle.py).
+# Round-8 rotation (per the round-7 verdict's "Next round #1"): retire
+# ALL hash-checkable driver debt in one pass.  Slots 1-10 re-prove the
+# ten queries whose latest driver row is a stale r3-r5 `no_oracle`
+# status from before they gained VALUES-literal golden oracles (the
+# reference re-proves after every change,
+# CometTestBase.checkSparkAnswerAndOperator); slots 11-42 are the 32
+# hash-checkable never-sampled non-streaming queries; slots 43-50 are
+# eight of the nine never-sampled slow-streaming reps (each executes a
+# full availableNow run, ~1.5-20s of driver budget).  Deferred to the
+# round-9 rotation (dev/sample_debt.py prints the depth-2 plan):
+# `stream_stream_full_outer` (the priciest stateful shape — full-outer
+# stream-stream join holds BOTH sides' state to the watermark) and
+# `sample_bernoulli_seeded` (rows-only by design: partition-seeded
+# Bernoulli, non-pinnable).  All 325 oracles still run locally every
+# round regardless (tests/test_queries_oracle.py).
 SAMPLE_PREFIX: tuple[str, ...] = (
-    # 1-2: the round-3 reds (canonicalizer crashes, fixed r4)
-    "dedup_simhash",
-    "doc_length_approx_cuts",
-    # 3-18: tpcds_style6 (16, never sampled)
-    "tpcds_returner_nation_outlier",
-    "tpcds_channel_growth_compare",
-    "tpcds_pricey_item_buyers_per_nation",
-    "tpcds_segment_item_averages",
-    "tpcds_nation_set_revenue",
-    "tpcds_or_band_averages",
-    "tpcds_quantity_moment_stats",
-    "tpcds_cross_border_brand_revenue",
-    "tpcds_domestic_brand_share",
-    "tpcds_pivot_return_matrix",
-    "tpcds_brand_year_topk",
-    "tpcds_return_lag_histogram",
-    "tpcds_channel_exclusive_customers",
-    "tpcds_top_nations_rollup",
-    "tpcds_date_intersect_returns",
-    "tpcds_hour_band_count",
-    # 19-24: tpcds_style5 (6, never sampled)
-    "tpcds_cross_channel_rollup",
-    "tpcds_rollup_averages",
-    "tpcds_disjunct_subquery",
-    "tpcds_followon_revenue_histogram",
-    "tpcds_dimension_chain_lookup",
-    "tpcds_week_offset_join",
-    # 25-32: tpcds_style7 (8, never sampled)
-    "tpcds_mfgr_brand_december",
-    "tpcds_name_suffix_disjunct_revenue",
-    "tpcds_supplier_weekday_matrix",
-    "tpcds_mfgr_month_deviation",
-    "tpcds_meal_time_channel_revenue",
-    "tpcds_returns_demographic_loss",
-    "tpcds_multi_supplier_unreturned",
-    "tpcds_multi_supplier_returned",
-    # 33-40: the 8 never-sampled tpcds_style2 queries (the module's
-    # FIRST 8 registrations were already driver-green in round 2 —
-    # dev/sample_debt.py distinguishes the two sets)
-    "tpcds_price_band_distincts",
-    "tpcds_demand_variability",
-    "tpcds_best_worst_performers",
-    "tpcds_yoy_decline_net_returns",
-    "tpcds_union_channel_item_topk",
-    "tpcds_cross_nation_orders",
-    "tpcds_best_visit_per_customer",
-    "tpcds_active_part_band",
-    # 41-43: tpcds_style3 (3, never sampled)
-    "tpcds_repeat_purchase_chain",
-    "tpcds_buy_return_rebuy",
-    "tpcds_frequent_best_combo",
-    # 44: one slow-streaming watermark-eviction row (~1.6s post-pin,
-    # round-6 verdict "Next round #5")
-    "stream_dedup_within_watermark",
-    # 45-50: first six never-sampled relational queries
-    "udtf_lateral_tokenize",
-    "recursive_cte_month_spine",
-    "sql_pipe_syntax",
-    "join_theta_nested_loop",
-    "merge_upsert",
-    "sql_group_order_by_all",
+    # 1-10: stale-`no_oracle` re-proofs (VALUES-pinned in r7; latest
+    # driver rows predate the oracles)
+    "dedup_minhash_lsh",
+    "dedup_minhash_ml",
+    "doc_fingerprint",
+    "dedup_cluster_components",
+    "ann_lsh_bucketed",
+    "multimodal_decode_stub",
+    "agg_approx_count_distinct",
+    "agg_hll_sketch",
+    "expr_hash_spark_native",
+    "expr_url_misc",
+    # 11-16: similarity (never sampled; IVF family VALUES-pinned r7
+    # after the deterministic-Lloyd rewrite)
+    "ann_ivf_kmeans",
+    "ann_ivf_multiprobe",
+    "ann_ivf_pq_adc",
+    "ann_quantized_rerank",
+    "ann_ml_random_projection",
+    "embedding_centroid_per_label",
+    # 17-21: aggregates (never sampled; all four UDAF variants)
+    "stat_crosstab",
+    "udaf_grouped_arrow",
+    "udaf_pandas_grouped_agg",
+    "udaf_cogroup_pandas",
+    "agg_count_min_sketch",
+    # 22-23: expressions (never sampled)
+    "sql_scripting_block",
+    "collation_group_caseless",
+    # 24-30: tpcds_style4 (never sampled)
+    "tpcds_excess_discount",
+    "tpcds_disjunctive_bands",
+    "tpcds_promo_ratio",
+    "tpcds_underperforming_pairs",
+    "tpcds_union_null_placeholders",
+    "tpcds_except_chain_count",
+    "tpcds_monthly_deviation",
+    # 31-42: relational (never sampled; the module's 13th never-sampled
+    # query, sample_bernoulli_seeded, is rows-only by design and never
+    # burns a hash-checkable slot — test_sample_prefix enforces this)
+    "sql_parameterized",
+    "setop_union_missing_columns",
+    "lateral_column_alias",
+    "range_generator",
+    "join_shuffle_hash_hint",
+    "scd2_dimension_update",
+    "df_transpose",
+    "scalar_subquery_api",
+    "df_lateral_join_tvf",
+    "zorder_cluster_sort",
+    "setop_union_distinct",
+    "join_null_safe_eq",
+    # 43-50: eight never-sampled slow-streaming reps (availableNow
+    # executions; pre-verified green in the round-7 closing driver-sim)
+    "stream_window_agg",
+    "stream_dedup",
+    "stream_session_window",
+    "stream_stateful_running",
+    "stream_static_join",
+    "stream_stream_join",
+    "stream_foreach_batch",
+    "stream_stream_left_outer",
 )
 
 

@@ -10,7 +10,13 @@ every CORRECTNESS_r*.json and reports, per query family:
 - queries whose LAST driver row was red (must be re-proven — the
   reference re-proves after every fix, CometTestBase
   .checkSparkAnswerAndOperator),
-- the current SAMPLE_PREFIX with each slot's status.
+- queries whose last driver row was the weaker rows-only `no_oracle`
+  status but which NOW carry an oracle (round-7 verdict, What's wrong
+  #1: these are debt too — the hash-checkable proof has never run),
+- the current SAMPLE_PREFIX with each slot's status,
+- a depth-2 rotation plan (next round AND the round after), so the
+  completion path to "every registry query has a green driver row" is
+  mechanical.
 
 Run it when composing the next round's prefix:
     python dev/sample_debt.py
@@ -26,6 +32,10 @@ from collections import defaultdict
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# Each slow-streaming query executes a full availableNow run (~1.5-20s
+# of driver sample budget); cap how many one suggested prefix carries.
+MAX_STREAMING_PER_ROUND = 8
+
 
 def main() -> None:
     from datafusion_comet_spark.queries import SAMPLE_PREFIX, load_all
@@ -33,7 +43,7 @@ def main() -> None:
     reg = load_all()
     module_of = {n: q.fn.__module__.rsplit(".", 1)[-1] for n, q in reg.items()}
 
-    last_row: dict[str, tuple[int, bool]] = {}  # name -> (round, green)
+    last_row: dict[str, tuple[int, bool, bool]] = {}  # name -> (round, green, hash_proven)
     for path in sorted(glob.glob("CORRECTNESS_r*.json")):
         rnd = int(path.split("_r")[1].split(".")[0])
         for name, row in json.load(open(path)).items():
@@ -48,15 +58,23 @@ def main() -> None:
                 and row.get("schema_match") is not False
                 and row.get("hash_match") is not False
             )
-            last_row[name] = (rnd, green)
+            hash_proven = green and row.get("err") is None and row.get("hash_match") is True
+            prev = last_row.get(name)
+            # a query stays hash-proven even if a later row is weaker
+            last_row[name] = (rnd, green, hash_proven or (prev[2] if prev and rnd >= prev[0] else False))
 
     never = defaultdict(list)
     reds = []
+    stale_no_oracle = []  # hash-checkable now, but never hash-proven by the driver
     for name in reg:
         if name not in last_row:
             never[module_of[name]].append(name)
-        elif not last_row[name][1]:
-            reds.append((name, last_row[name][0]))
+            continue
+        rnd, green, hash_proven = last_row[name]
+        if not green:
+            reds.append((name, rnd))
+        elif not hash_proven and reg[name].oracle is not None:
+            stale_no_oracle.append((name, rnd))
 
     total_never = sum(len(v) for v in never.values())
     print(f"registry: {len(reg)} queries; never-sampled: {total_never}")
@@ -65,42 +83,79 @@ def main() -> None:
     print(f"stale reds (last driver row red): {len(reds)}")
     for name, rnd in reds:
         print(f"  {name} (red since r{rnd})")
+    print(
+        f"stale no_oracle rows with an oracle now (hash-proof never run): {len(stale_no_oracle)}"
+    )
+    for name, rnd in stale_no_oracle:
+        print(f"  {name} (rows-only row from r{rnd}; oracle exists — re-prove)")
     print(f"\ncurrent SAMPLE_PREFIX ({len(SAMPLE_PREFIX)} slots):")
     for i, name in enumerate(SAMPLE_PREFIX, 1):
         if name not in last_row:
             status = "NEVER SAMPLED -> first-ever row"
         else:
-            rnd, green = last_row[name]
-            status = f"last r{rnd} {'green' if green else 'RED'}"
+            rnd, green, hash_proven = last_row[name]
+            grade = "green" if green else "RED"
+            if green and not hash_proven:
+                grade += " (rows-only)"
+            status = f"last r{rnd} {grade}"
         print(f"  {i:2d}. {name} [{status}]")
 
-    # Suggested NEXT-round prefix: stale reds first (re-prove after
-    # fix), then never-sampled queries — slow streaming capped at 2
-    # per round (each stream_* runs a full availableNow execution),
-    # then oldest-green rows to re-confirm.  Mechanical aid only; the
-    # builder still reviews before editing queries.SAMPLE_PREFIX.
-    sugg: list[str] = [n for n, _ in reds]
-    flat_never = [n for mod in sorted(never, key=lambda m: -len(never[m])) for n in never[mod]]
-    streams = 0
-    for n in flat_never:
-        if len(sugg) >= len(SAMPLE_PREFIX):
-            break
-        if reg[n].oracle is None:
-            continue  # rows-only: never burn a prefix slot (test-enforced)
-        if n.startswith("stream_"):
-            if streams >= 2:
+    # Debt-first rotation plan, depth 2.  Priority: stale reds, then
+    # stale no_oracle re-proofs, then never-sampled hash-checkable
+    # queries (streaming capped per round), then never-sampled
+    # rows-only queries (weaker gate, but "every registry query has a
+    # green driver row" is the stated bar — they go LAST and need the
+    # test_sample_prefix allowance widened when scheduled).  NEVER pad
+    # with already-green rows while any debt remains (round-7 verdict);
+    # if all debt fits with room to spare, remaining slots re-confirm
+    # the OLDEST green rows.
+    debt: list[str] = [n for n, _ in reds]
+    debt += [n for n, _ in stale_no_oracle if n not in debt]
+    flat_never = [
+        n
+        for mod in sorted(never, key=lambda m: -len(never[m]))
+        for n in never[mod]
+    ]
+    debt += [n for n in flat_never if reg[n].oracle is not None and not n.startswith("stream_")]
+    debt += [n for n in flat_never if reg[n].oracle is not None and n.startswith("stream_")]
+    rows_only_debt = [n for n in flat_never if reg[n].oracle is None]
+
+    plans: list[list[str]] = []
+    remaining = list(debt)
+    remaining_rows_only = list(rows_only_debt)
+    for _ in range(2):
+        plan: list[str] = []
+        streams = 0
+        deferred: list[str] = []
+        for n in remaining:
+            if len(plan) >= len(SAMPLE_PREFIX):
+                deferred.append(n)
                 continue
-            streams += 1
-        sugg.append(n)
-    if len(sugg) < len(SAMPLE_PREFIX):
-        by_age = sorted(
-            (n for n in reg if n in last_row and n not in sugg),
-            key=lambda n: last_row[n][0],
-        )
-        sugg.extend(by_age[: len(SAMPLE_PREFIX) - len(sugg)])
-    print(f"\nsuggested next-round prefix ({len(sugg)} slots):")
-    for i, name in enumerate(sugg, 1):
-        print(f"  {i:2d}. \"{name}\",")
+            if n.startswith("stream_") and streams >= MAX_STREAMING_PER_ROUND:
+                deferred.append(n)
+                continue
+            if n.startswith("stream_"):
+                streams += 1
+            plan.append(n)
+        remaining = deferred
+        # rows-only debt fills spare slots only once hash debt is gone
+        while remaining_rows_only and len(plan) < len(SAMPLE_PREFIX) and not remaining:
+            plan.append(remaining_rows_only.pop(0))
+        if len(plan) < len(SAMPLE_PREFIX) and not remaining and not remaining_rows_only:
+            by_age = sorted(
+                (n for n in reg if n in last_row and n not in plan),
+                key=lambda n: last_row[n][0],
+            )
+            plan.extend(by_age[: len(SAMPLE_PREFIX) - len(plan)])
+        plans.append(plan)
+
+    for depth, plan in enumerate(plans, 1):
+        print(f"\nsuggested prefix, {depth} round(s) out ({len(plan)} slots):")
+        for i, name in enumerate(plan, 1):
+            note = " [rows-only — widen test_sample_prefix allowance]" if reg[name].oracle is None else ""
+            print(f"  {i:2d}. \"{name}\",{note}")
+    if remaining or remaining_rows_only:
+        print(f"\nstill unscheduled after 2 rounds: {remaining + remaining_rows_only}")
 
 
 if __name__ == "__main__":
