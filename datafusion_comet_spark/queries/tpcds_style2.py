@@ -254,7 +254,7 @@ FROM ranked
 WHERE amt_rank <= 10 OR qty_rank <= 10
 ORDER BY amt_rank, qty_rank, l_partkey
 """,
-    tags=("tpcds", "window", "rank", "conditional"),
+    tags=("tpcds", "window", "rank", "conditional", "bench"),
 )
 def tpcds_return_ratio_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-DS q49 shape: per-item return ratio by amount AND by

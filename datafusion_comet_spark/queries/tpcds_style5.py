@@ -79,7 +79,7 @@ WHERE l.l_partkey IN (SELECT l_partkey FROM common_parts)
 GROUP BY ROLLUP (p_brand, year(l.l_shipdate))
 ORDER BY lvl, p_brand NULLS FIRST, yr NULLS FIRST
 """,
-    tags=("tpcds", "intersect", "rollup", "subquery"),
+    tags=("tpcds", "intersect", "rollup", "subquery", "bench"),
 )
 def tpcds_cross_channel_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-DS q14 shape: items sold in EVERY channel (INTERSECT of

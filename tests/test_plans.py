@@ -1007,9 +1007,11 @@ def test_scd2_single_dimension_pass(spark, sf_dir):
 # (datapipe / similarity / windows / temporal / aggregates /
 # relational / expressions / multimodal) — with the TPC-H and TPC-DS
 # tables above this pins the static shuffle count of 294 of the 326
-# registry queries (the exclusions execute on construction: streaming
-# runs a full availableNow pass, sources write files).  Exact counts,
-# verified identical at sf0.001 and sf0.1 before pinning.
+# registry queries (the 32 exclusions execute on construction:
+# streaming runs a full availableNow pass, sources write files;
+# tpch_extended_q1 was added round 8, completing every
+# statically-plannable query).  Exact counts, verified identical at
+# sf0.001 and sf0.1 before pinning.
 REGISTRY_EXCHANGE_BUDGET = {
     "agg_approx_count_distinct": 3,
     "agg_bitwise": 2,
@@ -1184,6 +1186,11 @@ REGISTRY_EXCHANGE_BUDGET = {
     "text_tfidf_topk": 5,
     "token_count_arrow": 2,
     "token_count_regex": 1,
+    # worst-case hash-aggregate kernel (group count == row count):
+    # one hash exchange for the groupBy, one range for the sort —
+    # verified identical at sf0.001 and sf0.1 (round 8; previously the
+    # one pure relational query missing from this map)
+    "tpch_extended_q1": 2,
     "udaf_cogroup_pandas": 4,
     "udaf_grouped_arrow": 2,
     "udaf_grouped_ols": 2,
