@@ -636,3 +636,42 @@ def trim_lev_query(draw) -> str:
 def test_random_trim_levenshtein_matches_duckdb(views, sf_dir, sql):
     df = views.sql(sql)
     compare_to_oracle(df, sql, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# Family 15 (round 8): random correlated EXISTS / NOT EXISTS — the
+# q94/q95 shapes the round-7 driver rotation proved, generalized.
+# Catalyst rewrites correlated EXISTS to LeftSemi and NOT EXISTS to a
+# (non-null-aware) LeftAnti (RewritePredicateSubquery) — a DIFFERENT
+# planner path than the IN/NOT IN family above (null-aware anti): the
+# correlation is an equi-condition plus a random extra inner
+# predicate, so the rewrite must fuse both into the join condition.
+# Randomized over polarity, the correlated table predicate, an outer
+# predicate, and the aggregation key.
+# ---------------------------------------------------------------------------
+@st.composite
+def exists_query(draw) -> str:
+    neg = draw(st.sampled_from(["EXISTS", "NOT EXISTS"]))
+    inner_pred = draw(predicate())
+    prio = draw(st.sampled_from(["1-URGENT", "2-HIGH", "3-MEDIUM"]))
+    key = draw(st.sampled_from(["o_orderstatus", "o_orderpriority"]))
+    return (
+        f"SELECT {key} AS k, count(*) AS n, "
+        f"CAST(sum(o_custkey) AS BIGINT) AS sc "
+        f"FROM orders WHERE o_orderpriority <> '{prio}' "
+        f"AND {neg} (SELECT 1 FROM lineitem "
+        f"WHERE l_orderkey = o_orderkey AND ({inner_pred})) "
+        f"GROUP BY {key} ORDER BY k"
+    )
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(sql=exists_query())
+def test_random_correlated_exists_matches_duckdb(views, sf_dir, sql):
+    df = views.sql(sql)
+    compare_to_oracle(df, sql, sf_dir)

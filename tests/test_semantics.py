@@ -1180,3 +1180,41 @@ def test_ivf_pq_adc_recall_and_rerank_exactness(spark, sf_dir):
     floor = 0.4 if n_vecs < 1000 else 0.15
     assert sum(recalls) / len(recalls) >= floor, (n_vecs, recalls)
     assert all(len(s) == 5 for s in pq_sets.values())
+
+
+def test_lloyd_train_sample_partition_invariant(spark, sf_dir):
+    """The round-8 train-on-sample path (quantizer trained on a
+    hash-reservoir subset when the corpus exceeds train_max_rows,
+    SCALE.md round-8 entry) must preserve _lloyd_grouped's core
+    contract: centroids are a pure function of data+params, identical
+    under ANY partitioning.  df.sample would fail this test — its
+    per-partition seeding ties the training set to the physical
+    layout; the xxhash64-mod filter is row-content-keyed.  Also pins
+    that the sampled path ACTIVATES (centroids differ from the
+    full-corpus fit) so the threshold logic can't silently dead-code."""
+    from pyspark.sql import functions as F
+
+    from datafusion_comet_spark.queries.similarity import (
+        _as_double,
+        _lloyd_centroids,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", _as_double("embedding").alias("emb")
+    )
+    n = emb.count()
+    bound = max(1, n // 4)  # force sampling: train on ~25% of the corpus
+
+    def build(df):
+        return _lloyd_centroids(
+            df, "vec_id", "emb", k=4, iters=3, seed=7,
+            init="farthest", train_max_rows=bound,
+        )
+
+    sampled_1part = build(emb.repartition(1))
+    sampled_7part = build(emb.repartition(7, F.col("vec_id")))
+    assert sampled_1part == sampled_7part
+    full = _lloyd_centroids(
+        emb, "vec_id", "emb", k=4, iters=3, seed=7, init="farthest",
+    )
+    assert sampled_1part != full, "sampling threshold never activated"
