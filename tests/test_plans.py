@@ -787,11 +787,21 @@ def test_sample_prefix():
     assert len(set(SAMPLE_PREFIX)) == 50
     # every sampled slot must be HASH-checkable: a rows-only query in
     # the prefix burns a slot on the weaker gate (round 7: only the
-    # partition-seeded Bernoulli sample remains oracle-less, and it
-    # must not be rotated into a prefix)
+    # partition-seeded Bernoulli sample remains oracle-less).  The
+    # allowlist below is the ONE sanctioned exception path: "every
+    # registry query has a green driver row" (round-7 verdict bar)
+    # eventually requires scheduling sample_bernoulli_seeded once for
+    # its weaker rows-only row — when a rotation does that (planned
+    # round 9, dev/sample_debt.py depth-2 output), add it here in the
+    # same commit so the exception is deliberate and review-visible.
     from datafusion_comet_spark.queries import REGISTRY
 
-    rows_only = [n for n in SAMPLE_PREFIX if REGISTRY[n].oracle is None]
+    rows_only_allowed: set[str] = set()
+    rows_only = [
+        n
+        for n in SAMPLE_PREFIX
+        if REGISTRY[n].oracle is None and n not in rows_only_allowed
+    ]
     assert rows_only == [], rows_only
 
 
