@@ -105,6 +105,21 @@ PINNED += sorted(
     n for n in REGISTRY if n.startswith("tpcds_") and n not in PINNED
 )
 
+# Round 8: extend the same discipline to EVERY statically-plannable
+# registry query — the round-8 rotation made the last of them
+# driver-proven, and their plan shapes are part of that claim.  The
+# exclusions mirror the exchange-budget map's: streaming queries run
+# a full availableNow execution on construction and sources write
+# files on construction, so their "plan" is a post-hoc artifact, not
+# a stable pre-execution contract.
+_EXCLUDED_MODULES = {"sources", "streaming", "streaming_fast"}
+PINNED += sorted(
+    n
+    for n, q in REGISTRY.items()
+    if n not in PINNED
+    and q.fn.__module__.rsplit(".", 1)[-1] not in _EXCLUDED_MODULES
+)
+
 REGEN = os.environ.get("SPARK_GRAFT_REGEN_GOLDENS") == "1"
 
 
