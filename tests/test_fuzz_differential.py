@@ -675,3 +675,105 @@ def exists_query(draw) -> str:
 def test_random_correlated_exists_matches_duckdb(views, sf_dir, sql):
     df = views.sql(sql)
     compare_to_oracle(df, sql, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# Family 16 (round 8): random explicit GROUPING SETS — a different
+# Expand configuration than the ROLLUP/CUBE family above: the set
+# list is an arbitrary subset of the powerset of three keys (possibly
+# omitting the grand total, possibly duplicating a column across
+# sets), so the Expand projection list and the grouping-id assignment
+# are exercised beyond the two fixed hierarchies.  Same empty-input
+# workaround as rollup_query (HAVING count(*) > 0).
+# ---------------------------------------------------------------------------
+@st.composite
+def grouping_sets_query(draw) -> str:
+    keys = ["l_returnflag", "l_linestatus", "l_linenumber"]
+    all_sets = [
+        "(l_returnflag)",
+        "(l_linestatus)",
+        "(l_linenumber)",
+        "(l_returnflag, l_linestatus)",
+        "(l_returnflag, l_linenumber)",
+        "(l_linestatus, l_linenumber)",
+        "(l_returnflag, l_linestatus, l_linenumber)",
+        "()",
+    ]
+    # the full 3-key set is always present so every key is a grouping
+    # column in at least one set — DuckDB's binder (and the standard)
+    # rejects grouping(col) when col appears in NO set, which a fully
+    # random subset can produce
+    full = "(l_returnflag, l_linestatus, l_linenumber)"
+    sets = draw(
+        st.lists(st.sampled_from(all_sets), min_size=0, max_size=3, unique=True)
+    )
+    if full not in sets:
+        sets.append(full)
+    pred = draw(predicate())
+    val = draw(st.sampled_from(["l_quantity", "l_extendedprice"]))
+    gid = " + ".join(
+        f"grouping({k}) * {2 ** i}" for i, k in enumerate(keys)
+    )
+    return (
+        f"SELECT {keys[0]} AS a, {keys[1]} AS b, {keys[2]} AS c, "
+        f"CAST({gid} AS BIGINT) AS gid, count(*) AS n, "
+        f"round(sum(CAST({val} AS DECIMAL(18,2))), 2) AS s "
+        f"FROM lineitem WHERE {pred} "
+        f"GROUP BY GROUPING SETS ({', '.join(sets)}) "
+        f"HAVING count(*) > 0 "
+        f"ORDER BY gid, a NULLS FIRST, b NULLS FIRST, c NULLS FIRST"
+    )
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(sql=grouping_sets_query())
+def test_random_grouping_sets_matches_duckdb(views, sf_dir, sql):
+    df = views.sql(sql)
+    compare_to_oracle(df, sql, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# Family 17 (round 8): random FULL OUTER join + aggregate — the join
+# family above stops at LEFT; FULL OUTER exercises null emission on
+# BOTH sides (Spark: SortMergeJoin FullOuter — no broadcast fallback
+# exists for it, so this is also the one join type that always
+# shuffles both inputs).  Keys are disjoint filtered projections so
+# both null sides are populated; aggregates are null-safe counts and
+# exact-decimal sums over COALESCE'd keys.
+# ---------------------------------------------------------------------------
+@st.composite
+def full_outer_query(draw) -> str:
+    p1 = draw(predicate())
+    p2 = draw(predicate())
+    bucket = draw(st.integers(3, 9))
+    return (
+        f"SELECT COALESCE(a.k, b.k) AS k, "
+        f"count(a.k) AS n_left, count(b.k) AS n_right, "
+        f"round(sum(CAST(a.s AS DECIMAL(18,2))), 2) AS s_left, "
+        f"round(sum(CAST(b.s AS DECIMAL(18,2))), 2) AS s_right "
+        f"FROM "
+        f"(SELECT l_suppkey % {bucket} AS k, sum(CAST(l_quantity AS DECIMAL(18,2))) AS s "
+        f" FROM lineitem WHERE {p1} GROUP BY 1) a "
+        f"FULL JOIN "
+        f"(SELECT l_suppkey % {bucket} AS k, sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS s "
+        f" FROM lineitem WHERE {p2} GROUP BY 1) b "
+        f"ON a.k = b.k "
+        f"GROUP BY COALESCE(a.k, b.k) ORDER BY k"
+    )
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(sql=full_outer_query())
+def test_random_full_outer_matches_duckdb(views, sf_dir, sql):
+    df = views.sql(sql)
+    compare_to_oracle(df, sql, sf_dir)
