@@ -1238,3 +1238,78 @@ def test_registry_exchange_budgets(spark, sf_dir):
         if n != budget:
             diffs[name] = (budget, n)
     assert not diffs, f"exchange budget drift (expected, actual): {diffs}"
+
+
+# Scan-width budgets for the bench set (round 8): the exchange
+# budgets above pin HOW MANY shuffles a plan does; these pin HOW WIDE
+# each parquet scan reads — the column-pruning half of the scale
+# contract (a regression that selects extra columns before a join
+# keeps the exchange count but multiplies scanned and shuffled bytes;
+# at 100 TB that is the difference between reading 7 and 11 of
+# lineitem's columns in q1).  Values are the sorted per-scan
+# top-level ReadSchema field counts, measured identical at sf0.001
+# and sf0.1 before pinning.
+SCAN_WIDTH_BUDGET = {
+    "q1_pricing_summary": [7],
+    "q3_shipping_priority": [2, 3, 4],
+    "q4_order_priority": [2, 3],
+    "q5_local_supplier": [2, 2, 2, 3, 3, 4],
+    "q6_forecast_revenue": [4],
+    "q7_volume_shipping": [2, 2, 2, 2, 2, 5],
+    "q8_market_share": [2, 2, 2, 2, 2, 2, 3, 5],
+    "q9_product_profit": [2, 2, 2, 3, 6],
+    "q10_returned_items": [2, 3, 4, 4],
+    "q12_late_shipments": [2, 3],
+    "q13_customer_distribution": [1, 3],
+    "q14_promo_revenue": [2, 4],
+    "q15_top_supplier": [2, 4, 4],
+    "q17_small_quantity": [2, 3],
+    "q18_large_volume": [2, 2, 2, 4],
+    "q19_discounted_revenue": [3, 4],
+    "q21_waiting_supplier": [2, 2, 2, 3, 3],
+    "q22_sales_opportunity": [1, 2, 3],
+    "ann_bruteforce_topk": [2, 2],
+    "ann_ivf_kmeans": [2, 2],
+    "dedup_exact": [2],
+    "dedup_minhash_lsh": [2, 2],
+    "text_stats": [3],
+    "tpcds_cross_channel_rollup": [1, 2, 2, 2, 4],
+    "tpcds_return_ratio_rank": [6],
+}
+
+
+def _read_schema_widths(df) -> list:
+    """Sorted top-level field counts of every ReadSchema in the
+    formatted plan (nested structs/arrays count as one field)."""
+    import re
+
+    from datafusion_comet_spark.plans.introspect import plan_string as _ps
+
+    def width(s: str) -> int:
+        inner = s[s.index("<") + 1 :]
+        if inner.strip().startswith(">"):
+            return 0
+        depth, n = 0, 1
+        for ch in inner:
+            if ch == "<":
+                depth += 1
+            elif ch == ">":
+                if depth == 0:
+                    break
+                depth -= 1
+            elif ch == "," and depth == 0:
+                n += 1
+        return n
+
+    plan = _ps(df, "formatted")
+    return sorted(width(m) for m in re.findall(r"ReadSchema: (struct<.*)", plan))
+
+
+def test_bench_scan_width_budgets(spark, sf_dir):
+    spark.catalog.clearCache()  # see test_tpcds_exchange_budgets
+    diffs = {}
+    for name, budget in SCAN_WIDTH_BUDGET.items():
+        widths = _read_schema_widths(REGISTRY[name].fn(spark, sf_dir))
+        if widths != budget:
+            diffs[name] = (budget, widths)
+    assert not diffs, f"scan width drift (expected, actual): {diffs}"
