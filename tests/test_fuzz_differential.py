@@ -777,3 +777,48 @@ def full_outer_query(draw) -> str:
 def test_random_full_outer_matches_duckdb(views, sf_dir, sql):
     df = views.sql(sql)
     compare_to_oracle(df, sql, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# Family 18 (round 8): random RANKING functions under heavy ties —
+# the window family above pins unordered-frame aggregates; this one
+# pins the rank ladder (rank gaps, dense_rank compaction,
+# percent_rank's (r-1)/(n-1), cume_dist's peer-inclusive fraction)
+# over LOW-CARDINALITY order keys, where tie handling is the whole
+# semantics.  All four functions are pure functions of the order-key
+# VALUE (every peer gets the same output), so the differential is
+# deterministic under ties — unlike row_number/ntile, which split
+# peers by physical position and are deliberately excluded.
+# ---------------------------------------------------------------------------
+@st.composite
+def ranking_query(draw) -> str:
+    pred = draw(predicate())
+    part = draw(st.sampled_from(["l_returnflag", "l_linestatus"]))
+    okey = draw(
+        st.sampled_from(
+            ["l_linenumber", "l_suppkey % 5", "CAST(l_quantity AS INT) % 7"]
+        )
+    )
+    direction = draw(st.sampled_from(["ASC", "DESC"]))
+    w = f"PARTITION BY {part} ORDER BY {okey} {direction}"
+    return (
+        f"SELECT l_orderkey, l_linenumber, "
+        f"rank() OVER ({w}) AS rnk, "
+        f"dense_rank() OVER ({w}) AS drnk, "
+        f"round(percent_rank() OVER ({w}), 6) AS prnk, "
+        f"round(cume_dist() OVER ({w}), 6) AS cd "
+        f"FROM lineitem WHERE {pred} "
+        f"ORDER BY l_orderkey, l_linenumber"
+    )
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(sql=ranking_query())
+def test_random_ranking_ties_matches_duckdb(views, sf_dir, sql):
+    df = views.sql(sql)
+    compare_to_oracle(df, sql, sf_dir)
