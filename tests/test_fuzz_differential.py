@@ -822,3 +822,50 @@ def ranking_query(draw) -> str:
 def test_random_ranking_ties_matches_duckdb(views, sf_dir, sql):
     df = views.sql(sql)
     compare_to_oracle(df, sql, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# Family 19 (round 8): random correlated LATERAL aggregates — the
+# decorrelation path for aggregate subqueries in FROM (Catalyst's
+# DecorrelateInnerQuery / RewriteCorrelatedScalarSubquery).  The outer
+# is DISTINCT keys OF THE SAME filtered relation, so every outer row
+# has children — deliberately sidestepping the known childless-row
+# divergence (DuckDB's comma-LATERAL drops childless outers; pinned
+# separately in tests/sql/subquery/lateral_empty_aggregate.sql).
+# Randomized over the shared predicate, the lateral aggregate, and an
+# extra inequality correlation term.
+# ---------------------------------------------------------------------------
+@st.composite
+def lateral_agg_query(draw) -> str:
+    pred = draw(predicate())
+    agg = draw(
+        st.sampled_from(
+            [
+                "count(*) AS a",
+                "CAST(max(l.l_linenumber) AS BIGINT) AS a",
+                "CAST(min(l.l_suppkey) AS BIGINT) AS a",
+                "CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS a",
+            ]
+        )
+    )
+    extra = draw(st.sampled_from(["", "AND l.l_linenumber >= o.mn "]))
+    return (
+        f"SELECT o.l_orderkey AS k, t.a "
+        f"FROM (SELECT l_orderkey, min(l_linenumber) AS mn FROM lineitem "
+        f"      WHERE {pred} GROUP BY l_orderkey) o, "
+        f"LATERAL (SELECT {agg} FROM lineitem l "
+        f"         WHERE l.l_orderkey = o.l_orderkey {extra}) t "
+        f"ORDER BY k"
+    )
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(sql=lateral_agg_query())
+def test_random_lateral_agg_matches_duckdb(views, sf_dir, sql):
+    df = views.sql(sql)
+    compare_to_oracle(df, sql, sf_dir)
