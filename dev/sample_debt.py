@@ -37,20 +37,17 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 MAX_STREAMING_PER_ROUND = 8
 
 
-def main() -> None:
-    from datafusion_comet_spark.queries import SAMPLE_PREFIX, load_all
+def scan_rows(rows_by_round) -> dict:
+    """Fold CORRECTNESS rows into name -> (last_round, green, hash_proven).
 
-    reg = load_all()
-    module_of = {n: q.fn.__module__.rsplit(".", 1)[-1] for n, q in reg.items()}
-
-    last_row: dict[str, tuple[int, bool, bool]] = {}  # name -> (round, green, hash_proven)
-    for path in sorted(glob.glob("CORRECTNESS_r*.json")):
-        rnd = int(path.split("_r")[1].split(".")[0])
-        for name, row in json.load(open(path)).items():
-            # a rows-only check (oracle=None at the time) records
-            # err='no_oracle' with spark_rows set — that is the weaker
-            # PASS, not a red; a real red has a traceback in err or an
-            # explicit False match flag
+    A rows-only check (oracle=None at the time) records err='no_oracle'
+    with spark_rows set — that is the weaker PASS, not a red; a real
+    red has a traceback in err or an explicit False match flag.  A
+    query stays hash_proven once ANY row hash-matched, even if a later
+    row is weaker."""
+    last_row: dict[str, tuple[int, bool, bool]] = {}
+    for rnd, rows in sorted(rows_by_round.items()):
+        for name, row in rows.items():
             green = (
                 row.get("err") in (None, "no_oracle")
                 and row.get("spark_rows") is not None
@@ -60,12 +57,23 @@ def main() -> None:
             )
             hash_proven = green and row.get("err") is None and row.get("hash_match") is True
             prev = last_row.get(name)
-            # a query stays hash-proven even if a later row is weaker
-            last_row[name] = (rnd, green, hash_proven or (prev[2] if prev and rnd >= prev[0] else False))
+            last_row[name] = (
+                rnd,
+                green,
+                hash_proven or (prev[2] if prev and rnd >= prev[0] else False),
+            )
+    return last_row
 
+
+def classify(reg, last_row, module_of) -> tuple:
+    """Split the registry into (never_by_module, reds, stale_no_oracle).
+
+    stale_no_oracle is the round-7 verdict's What's-wrong #1 class:
+    the query's driver history has no hash-match but it NOW carries an
+    oracle — the hash-checkable proof has never run, so it is debt."""
     never = defaultdict(list)
     reds = []
-    stale_no_oracle = []  # hash-checkable now, but never hash-proven by the driver
+    stale_no_oracle = []
     for name in reg:
         if name not in last_row:
             never[module_of[name]].append(name)
@@ -75,6 +83,21 @@ def main() -> None:
             reds.append((name, rnd))
         elif not hash_proven and reg[name].oracle is not None:
             stale_no_oracle.append((name, rnd))
+    return never, reds, stale_no_oracle
+
+
+def main() -> None:
+    from datafusion_comet_spark.queries import SAMPLE_PREFIX, load_all
+
+    reg = load_all()
+    module_of = {n: q.fn.__module__.rsplit(".", 1)[-1] for n, q in reg.items()}
+
+    rows_by_round = {}
+    for path in sorted(glob.glob("CORRECTNESS_r*.json")):
+        rnd = int(path.split("_r")[1].split(".")[0])
+        rows_by_round[rnd] = json.load(open(path))
+    last_row = scan_rows(rows_by_round)
+    never, reds, stale_no_oracle = classify(reg, last_row, module_of)
 
     total_never = sum(len(v) for v in never.values())
     print(f"registry: {len(reg)} queries; never-sampled: {total_never}")
