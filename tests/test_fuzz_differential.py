@@ -869,3 +869,40 @@ def lateral_agg_query(draw) -> str:
 def test_random_lateral_agg_matches_duckdb(views, sf_dir, sql):
     df = views.sql(sql)
     compare_to_oracle(df, sql, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# Family 20 (round 8): random HAVING predicates — a Filter ABOVE the
+# aggregate, evaluated against aggregate results rather than input
+# rows (a different operator position than every WHERE family above;
+# Catalyst must keep the predicate from being pushed through the
+# aggregation).  Predicates stay on count(*) and integer-exact sums
+# so a boundary row can't flake on float partial-sum ordering.
+# ---------------------------------------------------------------------------
+@st.composite
+def having_query(draw) -> str:
+    pred = draw(predicate())
+    key = draw(st.sampled_from(KEY_COLS))
+    n_lo = draw(st.integers(1, 400))
+    q_lo = draw(st.integers(50, 20000))
+    conj = draw(st.sampled_from(["AND", "OR"]))
+    return (
+        f"SELECT {key} AS k, count(*) AS n, "
+        f"CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty "
+        f"FROM lineitem WHERE {pred} GROUP BY {key} "
+        f"HAVING count(*) >= {n_lo} {conj} "
+        f"sum(CAST(l_quantity AS BIGINT)) > {q_lo} "
+        f"ORDER BY k"
+    )
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(sql=having_query())
+def test_random_having_matches_duckdb(views, sf_dir, sql):
+    df = views.sql(sql)
+    compare_to_oracle(df, sql, sf_dir)
