@@ -906,3 +906,46 @@ def having_query(draw) -> str:
 def test_random_having_matches_duckdb(views, sf_dir, sql):
     df = views.sql(sql)
     compare_to_oracle(df, sql, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# Family 21 (round 8): random numeric RANGE frames over DUPLICATE
+# order values — the value-based frame complement of the ROWS family
+# above: frame membership is decided by order-key DISTANCE, so every
+# peer (duplicate value) is in or out together and the result is a
+# pure function of the key — deterministic under ties where a ROWS
+# frame would not be.  Randomized over the offset pair, direction of
+# the low-cardinality key, and the aggregate.
+# ---------------------------------------------------------------------------
+@st.composite
+def range_frame_query(draw) -> str:
+    pred = draw(predicate())
+    part = draw(st.sampled_from(["l_returnflag", "l_linestatus"]))
+    okey = draw(st.sampled_from(["l_linenumber", "l_suppkey % 10"]))
+    lo = draw(st.integers(0, 3))
+    hi = draw(st.integers(0, 3))
+    fn = draw(st.sampled_from(["sum", "min", "max", "count"]))
+    expr = (
+        f"round({fn}(CAST(l_quantity AS DECIMAL(18,2))) OVER w, 2)"
+        if fn != "count"
+        else "count(*) OVER w"
+    )
+    return (
+        f"SELECT l_orderkey, l_linenumber, {expr} AS wv "
+        f"FROM lineitem WHERE {pred} "
+        f"WINDOW w AS (PARTITION BY {part} ORDER BY {okey} "
+        f"RANGE BETWEEN {lo} PRECEDING AND {hi} FOLLOWING) "
+        f"ORDER BY l_orderkey, l_linenumber"
+    )
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(sql=range_frame_query())
+def test_random_range_frame_matches_duckdb(views, sf_dir, sql):
+    df = views.sql(sql)
+    compare_to_oracle(df, sql, sf_dir)
