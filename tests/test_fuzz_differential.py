@@ -949,3 +949,48 @@ def range_frame_query(draw) -> str:
 def test_random_range_frame_matches_duckdb(views, sf_dir, sql):
     df = views.sql(sql)
     compare_to_oracle(df, sql, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# Family 22 (round 8): random TWO-LEVEL aggregation — aggregate of an
+# aggregate through a derived table (the mergeable-rollup shape the
+# materialized-cascade operators rely on: inner partial per fine key,
+# outer merge per coarse key).  Catalyst plans two HashAggregate
+# pairs with the outer keyed on a prefix of the inner's grouping — at
+# scale the inner exchange should satisfy the outer's distribution.
+# Integer-exact inner sums so the outer min/max/sum are boundary-safe.
+# ---------------------------------------------------------------------------
+@st.composite
+def reagg_query(draw) -> str:
+    pred = draw(predicate())
+    k1 = draw(st.sampled_from(["l_returnflag", "l_linestatus"]))
+    k2 = draw(st.sampled_from(["l_linenumber", "l_suppkey % 10"]))
+    outer = draw(
+        st.sampled_from(
+            [
+                "CAST(max(inner_qty) AS BIGINT) AS o",
+                "CAST(min(inner_qty) AS BIGINT) AS o",
+                "CAST(sum(inner_qty) AS BIGINT) AS o",
+                "count(*) AS o",
+            ]
+        )
+    )
+    return (
+        f"SELECT k1, {outer} FROM ("
+        f"SELECT {k1} AS k1, {k2} AS k2, "
+        f"sum(CAST(l_quantity AS BIGINT)) AS inner_qty "
+        f"FROM lineitem WHERE {pred} GROUP BY {k1}, {k2}"
+        f") t GROUP BY k1 ORDER BY k1"
+    )
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(sql=reagg_query())
+def test_random_reaggregation_matches_duckdb(views, sf_dir, sql):
+    df = views.sql(sql)
+    compare_to_oracle(df, sql, sf_dir)
