@@ -956,9 +956,12 @@ def test_random_range_frame_matches_duckdb(views, sf_dir, sql):
 # aggregate through a derived table (the mergeable-rollup shape the
 # materialized-cascade operators rely on: inner partial per fine key,
 # outer merge per coarse key).  Catalyst plans two HashAggregate
-# pairs with the outer keyed on a prefix of the inner's grouping — at
-# scale the inner exchange should satisfy the outer's distribution.
-# Integer-exact inner sums so the outer min/max/sum are boundary-safe.
+# pairs and TWO hash exchanges — hashpartitioning(k1, k2) does NOT
+# co-locate k1 (same k1, different k2 hashes elsewhere), so the outer
+# aggregate legitimately reshuffles; the scale lever is that it
+# reshuffles the TINY inner result, not the fact table (measured: 2
+# hash + 1 range exchange on this shape).  Integer-exact inner sums
+# so the outer min/max/sum are boundary-safe.
 # ---------------------------------------------------------------------------
 @st.composite
 def reagg_query(draw) -> str:
