@@ -65,84 +65,78 @@ def register(
 # after all imports — immune to import side effects — and pytest-pinned
 # by tests/test_plans.py::test_sample_prefix.
 #
-# Round-8 rotation (per the round-7 verdict's "Next round #1"): retire
-# ALL hash-checkable driver debt in one pass.  Slots 1-10 re-prove the
-# ten queries whose latest driver row is a stale r3-r5 `no_oracle`
-# status from before they gained VALUES-literal golden oracles (the
-# reference re-proves after every change,
-# CometTestBase.checkSparkAnswerAndOperator); slots 11-42 are the 32
-# hash-checkable never-sampled non-streaming queries; slots 43-50 are
-# eight of the nine never-sampled slow-streaming reps (each executes a
-# full availableNow run, ~1.5-20s of driver budget).  Deferred to the
-# round-9 rotation (dev/sample_debt.py prints the depth-2 plan):
-# `stream_stream_full_outer` (the priciest stateful shape — full-outer
-# stream-stream join holds BOTH sides' state to the watermark) and
-# `sample_bernoulli_seeded` (rows-only by design: partition-seeded
-# Bernoulli, non-pinnable).  All 325 oracles still run locally every
-# round regardless (tests/test_queries_oracle.py).
+# Round-9 rotation (per the round-8 verdict's "Next round #1", the
+# exact depth-1 plan dev/sample_debt.py prints): finish the registry.
+# Slot 1 is `stream_stream_full_outer` — the last hash-checkable query
+# with no driver row (deferred from r8 as the priciest stateful shape:
+# a full-outer stream-stream join holds BOTH sides' state to the
+# watermark).  Slot 2 is `sample_bernoulli_seeded` — rows-only by
+# design (partition-seeded Bernoulli, non-pinnable); its exception is
+# declared in test_sample_prefix's rows_only_allowed in the same
+# commit.  After these two land green, EVERY registry query has a
+# driver row.  Slots 3-50 re-confirm the 48 OLDEST green rows (r1/r2
+# vintage, 6-7 rounds stale — setops, expand, explode, joins, shuffle
+# partitioning, tpcds_style2/3 batches), the same re-proof discipline
+# as the reference's CometTestBase.checkSparkAnswerAndOperator.  All
+# 325 oracles still run locally every round regardless
+# (tests/test_queries_oracle.py).
 SAMPLE_PREFIX: tuple[str, ...] = (
-    # 1-10: stale-`no_oracle` re-proofs (VALUES-pinned in r7; latest
-    # driver rows predate the oracles)
-    "dedup_minhash_lsh",
-    "dedup_minhash_ml",
-    "doc_fingerprint",
-    "dedup_cluster_components",
-    "ann_lsh_bucketed",
-    "multimodal_decode_stub",
-    "agg_approx_count_distinct",
-    "agg_hll_sketch",
-    "expr_hash_spark_native",
-    "expr_url_misc",
-    # 11-16: similarity (never sampled; IVF family VALUES-pinned r7
-    # after the deterministic-Lloyd rewrite)
-    "ann_ivf_kmeans",
-    "ann_ivf_multiprobe",
-    "ann_ivf_pq_adc",
-    "ann_quantized_rerank",
-    "ann_ml_random_projection",
-    "embedding_centroid_per_label",
-    # 17-21: aggregates (never sampled; all four UDAF variants)
-    "stat_crosstab",
-    "udaf_grouped_arrow",
-    "udaf_pandas_grouped_agg",
-    "udaf_cogroup_pandas",
-    "agg_count_min_sketch",
-    # 22-23: expressions (never sampled)
-    "sql_scripting_block",
-    "collation_group_caseless",
-    # 24-30: tpcds_style4 (never sampled)
-    "tpcds_excess_discount",
-    "tpcds_disjunctive_bands",
-    "tpcds_promo_ratio",
-    "tpcds_underperforming_pairs",
-    "tpcds_union_null_placeholders",
-    "tpcds_except_chain_count",
-    "tpcds_monthly_deviation",
-    # 31-42: relational (never sampled; the module's 13th never-sampled
-    # query, sample_bernoulli_seeded, is rows-only by design and never
-    # burns a hash-checkable slot — test_sample_prefix enforces this)
-    "sql_parameterized",
-    "setop_union_missing_columns",
-    "lateral_column_alias",
-    "range_generator",
-    "join_shuffle_hash_hint",
-    "scd2_dimension_update",
-    "df_transpose",
-    "scalar_subquery_api",
-    "df_lateral_join_tvf",
-    "zorder_cluster_sort",
-    "setop_union_distinct",
-    "join_null_safe_eq",
-    # 43-50: eight never-sampled slow-streaming reps (availableNow
-    # executions; pre-verified green in the round-7 closing driver-sim)
-    "stream_window_agg",
-    "stream_dedup",
-    "stream_session_window",
-    "stream_stateful_running",
-    "stream_static_join",
-    "stream_stream_join",
-    "stream_foreach_batch",
-    "stream_stream_left_outer",
+    # 1: the last hash-checkable never-sampled query (first-ever row)
+    "stream_stream_full_outer",
+    # 2: rows-only by design — the one sanctioned weaker-gate slot
+    "sample_bernoulli_seeded",
+    # 3-9: set operations (last driver rows r1/r2)
+    "setop_union_all",
+    "setop_union_by_name",
+    "setop_intersect",
+    "setop_except",
+    "setop_except_all",
+    "setop_intersect_all",
+    "distinct_flags",
+    # 10-15: expand / generators (r1/r2 vintage)
+    "expand_rollup",
+    "expand_cube",
+    "expand_grouping_sets",
+    "explode_tokens",
+    "posexplode_tokens",
+    "pivot_linestatus",
+    # 16-27: joins / shuffle / relational (r1/r2 vintage)
+    "limit_offset_orders",
+    "join_right_outer",
+    "join_full_outer",
+    "join_cross",
+    "local_table_scan",
+    "shuffle_range_partition",
+    "join_skew_salted",
+    "expand_grouping_flags",
+    "join_sort_merge",
+    "unpivot_charges",
+    "join_bucketed_colocated",
+    "generator_inline",
+    # 28-50: oldest-green TPC-DS-style batches (r2 vintage)
+    "tpcds_net_after_returns",
+    "tpcds_frequent_buyer_semi",
+    "tpcds_party_size_band",
+    "tpcds_return_ratio_rank",
+    "tpcds_rolling_brand_deviation",
+    "tpcds_class_revenue_ratio",
+    "tpcds_quarterly_share_growth",
+    "tpcds_weekday_pivot_ratio",
+    "tpcds_multi_exists_demographics",
+    "tpcds_above_avg_returners",
+    "tpcds_am_pm_ratio",
+    "tpcds_above_avg_discount",
+    "tpcds_half_year_balance",
+    "tpcds_delay_buckets",
+    "tpcds_attribute_combo_parts",
+    "tpcds_monthly_pivot_wide",
+    "tpcds_channel_pnl",
+    "tpcds_yoy_preference_shift",
+    "tpcds_acctbal_band_priority",
+    "tpcds_channel_rollup",
+    "tpcds_customer_cohort_setops",
+    "tpcds_rank_in_category",
+    "tpcds_cumulative_compare",
 )
 
 

@@ -790,13 +790,15 @@ def test_sample_prefix():
     # partition-seeded Bernoulli sample remains oracle-less).  The
     # allowlist below is the ONE sanctioned exception path: "every
     # registry query has a green driver row" (round-7 verdict bar)
-    # eventually requires scheduling sample_bernoulli_seeded once for
-    # its weaker rows-only row — when a rotation does that (planned
-    # round 9, dev/sample_debt.py depth-2 output), add it here in the
-    # same commit so the exception is deliberate and review-visible.
+    # requires scheduling sample_bernoulli_seeded once for its weaker
+    # rows-only row.  The round-9 rotation does exactly that (slot 2,
+    # per dev/sample_debt.py's depth-1 plan and the round-8 verdict's
+    # "Next round #1") — the allowlist entry lands in the same commit
+    # as the SAMPLE_PREFIX change so the exception is deliberate and
+    # review-visible.  Remove the entry when the rotation moves on.
     from datafusion_comet_spark.queries import REGISTRY
 
-    rows_only_allowed: set[str] = set()
+    rows_only_allowed: set[str] = {"sample_bernoulli_seeded"}
     rows_only = [
         n
         for n in SAMPLE_PREFIX
