@@ -38,6 +38,28 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+def parquet_num_rows(sf_dir: str, name: str) -> int:
+    """Exact table row count from Parquet FOOTER metadata — no scan.
+
+    Every Parquet footer records num_rows (the reference reads the
+    same field for its scan statistics); summing footers over the
+    part files of a directory-shaped table is a pure metadata
+    operation, so sizing decisions (e.g. the IVF training-reservoir
+    fraction, similarity.py) cost zero data passes even at 100 TB.
+    """
+    import pyarrow.parquet as pq
+
+    path = table_path(sf_dir, name)
+    if os.path.isdir(path):
+        return sum(
+            pq.ParquetFile(os.path.join(root, f)).metadata.num_rows
+            for root, _dirs, files in os.walk(path)
+            for f in files
+            if f.endswith(".parquet")
+        )
+    return pq.ParquetFile(path).metadata.num_rows
+
+
 # (applicationId, sf_dir, name) -> DataFrame.  The star-schema dirs are
 # read-only, so a resolved DataFrame (file listing + footer schema) can be
 # reused across queries within one SparkContext — the single-engine analog

@@ -1218,3 +1218,65 @@ def test_lloyd_train_sample_partition_invariant(spark, sf_dir):
         emb, "vec_id", "emb", k=4, iters=3, seed=7, init="farthest",
     )
     assert sampled_1part != full, "sampling threshold never activated"
+
+
+def test_lloyd_footer_rowcount_sizing_and_cache_key(spark, sf_dir):
+    """Round-9 hardening of the train-on-sample path:
+
+    1. `parquet_num_rows` (footer metadata, zero data passes) must
+       equal the scanned count — the reservoir fraction sized from it
+       is then byte-identical to the old `base.count()` sizing, so the
+       pinned IVF oracles cannot move.
+    2. The _LLOYD_CACHE memo key now folds every behavior-affecting
+       parameter (round-8 advice: the caller strings were not updated
+       when train_max_rows changed behavior) — the same cache_key under
+       different k MUST NOT return stale centroids.
+    3. Group starvation (fewer than k init seeds — reachable only via
+       group skew under the global-fraction reservoir) raises instead
+       of fitting a degenerate codebook.
+    """
+    from pyspark.sql import functions as F
+
+    from datafusion_comet_spark.catalog import parquet_num_rows
+    from datafusion_comet_spark.queries.similarity import (
+        _as_double,
+        _lloyd_centroids,
+        _lloyd_grouped,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", _as_double("embedding").alias("emb")
+    )
+    n = emb.count()
+    # 1: footer count == scanned count; sizing via the hint matches
+    # sizing via count() exactly (same `total`, same filter literal)
+    assert parquet_num_rows(sf_dir, "embeddings") == n
+    bound = max(1, n // 4)
+    via_count = _lloyd_centroids(
+        emb, "vec_id", "emb", k=4, iters=3, seed=7,
+        init="farthest", train_max_rows=bound,
+    )
+    via_footer = _lloyd_centroids(
+        emb, "vec_id", "emb", k=4, iters=3, seed=7,
+        init="farthest", train_max_rows=bound,
+        train_total_rows=parquet_num_rows(sf_dir, "embeddings"),
+    )
+    assert via_count == via_footer
+
+    # 2: identical cache_key, different k — must not serve stale hits
+    k3 = _lloyd_centroids(
+        emb, "vec_id", "emb", k=3, iters=2, seed=7, cache_key="same-key"
+    )
+    k2 = _lloyd_centroids(
+        emb, "vec_id", "emb", k=2, iters=2, seed=7, cache_key="same-key"
+    )
+    assert len(k3) == 3 and len(k2) == 2
+
+    # 3: a 2-row group cannot seed k=4 — the free post-init guard fires
+    tiny = spark.createDataFrame(
+        [(i, [float(i), float(i * 2)]) for i in range(2)], "id BIGINT, v ARRAY<DOUBLE>"
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="fewer than k=4 seeds"):
+        _lloyd_grouped(tiny, "id", F.lit(0), 1, "v", k=4, iters=1, seed=1)
