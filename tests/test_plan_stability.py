@@ -137,12 +137,19 @@ def test_plan_matches_golden(spark, sf_dir, name):
     df = REGISTRY[name].fn(spark, sf_dir)
     ops = operators_in_plan(df)
     path = _golden_path(name)
-    if REGEN or not os.path.exists(path):
+    if REGEN:
         os.makedirs(GOLDEN_DIR, exist_ok=True)
         with open(path, "w") as f:
             f.write("\n".join(ops) + "\n")
-        if REGEN:
-            pytest.skip(f"golden regenerated: {path}")
+        pytest.skip(f"golden regenerated: {path}")
+    if not os.path.exists(path):
+        # a missing golden must FAIL, not self-green: auto-creating it
+        # here would compare the plan against itself and silently pass
+        # for a query whose golden was never committed (round-8 advice)
+        pytest.fail(
+            f"no committed golden for {name!r} at {path}; generate one "
+            "with SPARK_GRAFT_REGEN_GOLDENS=1 and commit it"
+        )
     with open(path) as f:
         golden = f.read().splitlines()
     assert ops == golden, (
