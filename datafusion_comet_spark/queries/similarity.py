@@ -238,13 +238,38 @@ def _sq_dist(vec_col, centroid_col) -> Column:
     )
 
 
+def _sq_dist_lit(vec_col, centroid: list[float]) -> Column:
+    """Squared L2 against a LITERAL centroid, unrolled.
+
+    Bit-identical to ``_sq_dist`` — the same left fold
+    0.0 + (v0-c0)² + (v1-c1)² + ... in the same order — but spelled as
+    a flat arithmetic expression instead of zip_with/aggregate
+    higher-order functions.  HOFs are interpreted per element (a
+    lambda dispatch per array slot); at the Lloyd E-step's
+    rows × cells × dims volume that interpreter overhead dominated the
+    whole index build (measured at sf1: ~67 s/iteration for
+    20k × 64 × 8 via HOFs vs well under a second unrolled — SCALE.md
+    round-9 entry).  Unrolled element_at/multiply/add stays inside
+    whole-stage codegen.  Only valid when the centroid is driver-side
+    (it always is here: centroids ARE the index, k×dim floats)."""
+    acc = F.lit(0.0)
+    for d, cv in enumerate(centroid):
+        t = vec_col.getItem(d) - F.lit(float(cv))
+        acc = acc + t * t
+    return acc
+
+
+def _dists_lit(vec_col, centroids: list[list[float]]) -> Column:
+    """Array of unrolled squared distances to each literal centroid."""
+    return F.array(*[_sq_dist_lit(vec_col, c) for c in centroids])
+
+
 def _nearest(vec_col, centroids: list[list[float]]) -> Column:
     """0-based nearest-centroid id against LITERAL centroids — pure
     map-side arithmetic (no join, no shuffle; the index fits in the
     plan).  Ties break to the FIRST minimum via array_position, which
     is deterministic."""
-    lit = F.array(*[F.array(*[F.lit(float(v)) for v in c]) for c in centroids])
-    dists = F.transform(lit, lambda c: _sq_dist(vec_col, c))
+    dists = _dists_lit(vec_col, centroids)
     return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
 
 
@@ -265,37 +290,58 @@ def _lloyd_grouped(
     train_max_rows: int | None = None,
     train_total_rows: int | None = None,
 ) -> dict[int, list[list[float]]]:
-    """DETERMINISTIC distributed k-means (Lloyd), over ``n_groups``
-    independent vector spaces trained in lockstep (one exchange per
-    iteration TOTAL, not per group — at scale this is the difference
-    between M codebook fits and one).
+    """DETERMINISTIC k-means (Lloyd) over ``n_groups`` independent
+    vector spaces: ONE distributed pass (the hash-reservoir filter +
+    a collect of the bounded training set), then driver-local
+    training.
 
-    Why this replaces pyspark.ml KMeans here: MLlib's M-step sums
-    float32 partials in partition order, so centroids — and therefore
-    cell assignments and final ANN answers — change with parallelism,
-    which is exactly what made the IVF family unpinnable (rounds 3-6
-    carried it as `oracle=None`).  This implementation is
-    partitioning-invariant end to end:
+    Why not pyspark.ml KMeans: MLlib's M-step sums float32 partials in
+    partition order, so centroids — and therefore cell assignments and
+    final ANN answers — change with parallelism, which is exactly what
+    made the IVF family unpinnable (rounds 3-6 carried it as
+    `oracle=None`).  Rounds 7-8 fixed that with a distributed
+    decimal-exact Lloyd; round 9 moved the iteration loop driver-local
+    after measuring that at any real size the distributed loop's cost
+    was per-JOB overhead, not data (sf1, 20k×64: ~480 s for 17 tiny
+    jobs' plan/codegen/schedule cost vs 6 s local — SCALE.md round-9
+    entry).  The training set is BOUNDED by construction
+    (train_max_rows), so collecting it is the standard sample-train
+    design (faiss/sklearn train on a host; Jegou et al. TPAMI 2011) —
+    callers with corpus-scale input MUST pass train_max_rows (all
+    internal callers do); assignment/search of the full corpus stay
+    distributed map-side projections via _nearest.
+
+    The local arithmetic is BIT-IDENTICAL to the pinned rounds-7/8
+    distributed spelling (verified value-for-value against captured
+    HEAD outputs, tests/test_semantics.py):
 
     - init: ``"hash"`` takes the k vectors ranked first by
-      xxhash64(id, seed) per group — a seeded deterministic sample;
+      (xxhash64(id, seed), id) per group — the hash computed by Spark
+      in the collect projection, so ordering semantics cannot drift;
       ``"farthest"`` is deterministic farthest-first traversal
       (Gonzalez 1985): hash-min seed, then k-1 argmax-of-min-distance
-      picks with id tie-breaks.  Farthest-first costs k-1 extra tiny
-      jobs but spreads seeds — on the near-uniform test embeddings it
-      lifts single-probe IVF recall 0.067 → 0.33 at 500 vecs (measured
-      round 7), so the COARSE quantizer uses it; the PQ sub-codebooks
-      keep hash init (16 codes in a 16-dim subspace is init-robust and
-      the grouped build stays one job per step);
-    - E-step: map-side argmin against literal centroids
-      (first-minimum tie-break);
-    - M-step: per-(group, cell, dim) means with the sum taken over
-      DECIMAL(30,15)-cast values — decimal addition is EXACT, hence
-      commutative/associative in effect, so any partitioning yields
-      bit-identical new centroids (the same trick the decimal-exact
-      money aggregates use, SCALE.md round-5 contract);
+      picks with smallest-id tie-breaks.  Farthest-first spreads seeds
+      — on the near-uniform test embeddings it lifts single-probe IVF
+      recall 0.067 → 0.33 at 500 vecs (measured round 7), so the
+      COARSE quantizer uses it; the PQ sub-codebooks keep hash init
+      (16 codes in a 16-dim subspace is init-robust);
+    - E-step: argmin with first-minimum tie-break; squared distances
+      use np.add.accumulate — a strict left-to-right float64 fold,
+      bit-identical to the pinned 0.0+(v0-c0)²+(v1-c1)²+... expression
+      (np.sum's pairwise reduction would differ in low bits and could
+      flip argmin ties);
+    - M-step: per-(group, cell, dim) means over the EXACT
+      decimal(30,15) images of the values (scaled-integer sums —
+      Decimal(repr(x)) replicates BigDecimal.valueOf(double), the same
+      trick the VALUES-oracle generator uses), divided with HALF_UP at
+      scale 15 exactly as Spark's decimal division resolves for this
+      operand pair, then one correctly-rounded cast to double;
     - empty cells keep their previous centroid; early-stop when an
       iteration changes nothing.
+
+    Partitioning-invariance is structural: the reservoir filter and
+    the seed hash are pure row functions, and everything after the
+    collect is single-host.
 
     Centroids are driver-side by construction — they ARE the index,
     k×dim floats, broadcast back as literals (reference predates any
@@ -325,9 +371,8 @@ def _lloyd_grouped(
     train_max_rows only when groups are balanced (true for the PQ
     sub-codebook split, which is a fixed slice of every row).  Under
     group skew a small group is sampled proportionally and can retain
-    fewer than k seeds; the init paths below detect that (the seed
-    collects see every surviving group row) and raise rather than fit
-    a degenerate codebook.  Standard k-means practice (Jegou et al.
+    fewer than k rows; the post-collect group-size guard below raises
+    rather than fit a degenerate codebook.  Standard k-means practice (Jegou et al.
     TPAMI 2011 train IVF quantizers on bounded samples).  The
     threshold is far above every gate corpus (500-2000 vecs), so
     pinned VALUES oracles see identical behavior; the sampled path's
@@ -375,100 +420,133 @@ def _lloyd_grouped(
                 F.pmod(F.xxhash64(F.col("_id"), F.lit(seed ^ 0x5EED)), F.lit(den))
                 < F.lit(num)
             )
-    cents: dict[int, list[list[float]]] = {g: [] for g in range(n_groups)}
-    if init == "farthest":
-        wi = W.partitionBy("_g").orderBy(
-            F.xxhash64(F.col("_id"), F.lit(seed)), F.col("_id")
-        )
-        first = (
-            base.select("_g", "_v", F.row_number().over(wi).alias("_r"))
-            .filter(F.col("_r") == 1)
-            .collect()
-        )
-        for r in first:
-            cents[r["_g"]].append([float(v) for v in r["_v"]])
-        for _ in range(k - 1):
-            books = F.array(
-                *[
-                    F.array(
-                        *[
-                            F.array(*[F.lit(float(v)) for v in c])
-                            for c in cents[g]
-                        ]
-                    )
-                    for g in range(n_groups)
-                ]
-            )
-            mind = F.array_min(
-                F.transform(
-                    F.element_at(books, F.col("_g") + 1),
-                    lambda c: _sq_dist(F.col("_v"), c),
-                )
-            )
-            wf = W.partitionBy("_g").orderBy(F.col("_d").desc(), F.col("_id"))
-            picks = (
-                base.select("_g", "_id", "_v", mind.alias("_d"))
-                .select("_g", "_v", F.row_number().over(wf).alias("_r"))
-                .filter(F.col("_r") == 1)
-                .collect()
-            )
-            for r in picks:
-                cents[r["_g"]].append([float(v) for v in r["_v"]])
-    else:
-        wi = W.partitionBy("_g").orderBy(
-            F.xxhash64(F.col("_id"), F.lit(seed)), F.col("_id")
-        )
-        rows0 = (
-            base.select("_g", "_v", F.row_number().over(wi).alias("_r"))
-            .filter(F.col("_r") <= k)
-            .collect()
-        )
-        for r in sorted(rows0, key=lambda r: (r["_g"], r["_r"])):
-            cents[r["_g"]].append([float(v) for v in r["_v"]])
-    # no extra pass: the init collects above already saw every
-    # surviving row per group, so a group starved below k seeds (only
-    # reachable via group skew under the train_max_rows global-fraction
-    # reservoir — see docstring) is detectable here for free
-    starved = {g: len(cs) for g, cs in cents.items() if len(cs) < k}
+    # ONE distributed pass: the reservoir filter + a collect of the
+    # bounded training set (with the seed-order hash computed by
+    # Spark's own xxhash64 so ordering semantics cannot drift).
+    # Training then runs driver-local with arithmetic BIT-IDENTICAL to
+    # the distributed spelling rounds 7-8 pinned (sequential-fold float
+    # distances, decimal(30,15)-exact means) — verified against
+    # captured HEAD outputs in tests/test_semantics.py.
+    rows = base.select(
+        "_g", "_id", "_v",
+        F.xxhash64(F.col("_id"), F.lit(seed)).alias("_h"),
+    ).collect()
+
+    import numpy as np
+    from decimal import ROUND_HALF_UP, Decimal
+
+    groups: dict[int, list] = {g: [] for g in range(n_groups)}
+    for r in rows:
+        groups[r["_g"]].append((r["_h"], r["_id"], [float(x) for x in r["_v"]]))
+    starved = {g: len(m) for g, m in groups.items() if len(m) < k}
     if starved:
         raise ValueError(
-            f"k-means init found fewer than k={k} seeds per group "
+            f"k-means training found fewer than k={k} rows per group "
             f"({starved}); group skew starved the train_max_rows "
             "reservoir — raise train_max_rows or balance the groups"
         )
-    for _ in range(iters):
-        books = F.array(
-            *[
-                F.array(
-                    *[
-                        F.array(*[F.lit(float(v)) for v in c])
-                        for c in cents[g]
-                    ]
+    # seed order = (xxhash64(id, seed), id): identical to the old
+    # row_number window ordering
+    for g in range(n_groups):
+        groups[g].sort(key=lambda t: (t[0], t[1]))
+    vecs = {
+        g: np.array([t[2] for t in groups[g]], dtype=np.float64)
+        for g in range(n_groups)
+    }
+    ids = {g: np.array([t[1] for t in groups[g]]) for g in range(n_groups)}
+
+    def dists_to(g: int, cs: list[list[float]]) -> "np.ndarray":
+        # squared L2 per (row, centroid) with the EXACT fold order of
+        # the pinned expression: 0.0 + (v0-c0)^2 + (v1-c1)^2 + ...
+        # np.add.accumulate is a strict left-to-right float64 loop
+        # (unlike np.sum's pairwise reduction, which would differ in
+        # low bits and could flip argmin ties)
+        out = np.empty((vecs[g].shape[0], len(cs)))
+        for c, cent in enumerate(cs):
+            d = vecs[g] - np.asarray(cent, dtype=np.float64)
+            out[:, c] = np.add.accumulate(d * d, axis=1)[:, -1]
+        return out
+
+    cents: dict[int, list[list[float]]] = {}
+    if init == "farthest":
+        cents = {g: [list(groups[g][0][2])] for g in range(n_groups)}
+        for _ in range(k - 1):
+            for g in range(n_groups):
+                mind = dists_to(g, cents[g]).min(axis=1)
+                # old window: ORDER BY _d DESC, _id ASC — max distance,
+                # smallest id among exact float ties
+                cand = np.nonzero(mind == mind.max())[0]
+                pick = cand[np.argmin(ids[g][cand])]
+                cents[g].append(list(vecs[g][pick]))
+    else:
+        cents = {
+            g: [list(t[2]) for t in groups[g][:k]] for g in range(n_groups)
+        }
+
+    # exact decimal(30,15) images of every training value, as scaled
+    # integers (unscaled value at scale 15): Decimal(repr(x)) is the
+    # shortest round-trip repr — the same trick the VALUES-oracle
+    # generator uses to replicate BigDecimal.valueOf(double)
+    q15 = Decimal(1).scaleb(-15)
+    scaled: dict[int, "np.ndarray"] = {}
+    for g in range(n_groups):
+        ints = [
+            [
+                int(
+                    Decimal(repr(x))
+                    .quantize(q15, rounding=ROUND_HALF_UP)
+                    .scaleb(15)
                 )
-                for g in range(n_groups)
+                for x in t[2]
             ]
-        )
-        dists = F.transform(
-            F.element_at(books, F.col("_g") + 1),
-            lambda c: _sq_dist(F.col("_v"), c),
-        )
-        cell = (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
-        rows = (
-            base.select("_g", cell.alias("_c"), F.posexplode("_v").alias("_d", "_x"))
-            .groupBy("_g", "_c", "_d")
-            .agg(
-                (
-                    F.sum(F.col("_x").cast("decimal(30,15)"))
-                    / F.count(F.lit(1))
-                )
-                .cast("double")
-                .alias("_m")
-            )
-            .collect()
-        )
+            for t in groups[g]
+        ]
+        flat_max = max((abs(v) for row in ints for v in row), default=0)
+        # int64 partial sums are exact while chunk * max < 2^62;
+        # arbitrarily-scaled inputs fall back to Python-int (object)
+        # sums, which are exact at any magnitude
+        if flat_max < 2**62:
+            scaled[g] = np.array(ints, dtype=np.int64)
+        else:
+            scaled[g] = np.array(ints, dtype=object)
+
+    def exact_mean_scaled(num: int, n: int) -> float:
+        # Spark: sum(decimal(30,15)) / count  ->  decimal(_,15) with
+        # HALF_UP at scale 15 (allowPrecisionLoss adjustment keeps the
+        # scale at 15 for this operand pair), then cast to double.
+        # num is the exact integer sum at scale 15.
+        q, r = divmod(abs(num), n)
+        if 2 * r >= n:
+            q += 1
+        if num < 0:
+            q = -q
+        return float(Decimal(q).scaleb(-15))
+
+    for _ in range(iters):
         new = {g: [list(c) for c in cs] for g, cs in cents.items()}
-        for r in rows:
-            new[r["_g"]][r["_c"]][r["_d"]] = r["_m"]
+        for g in range(n_groups):
+            assign = np.argmin(dists_to(g, cents[g]), axis=1)  # first min
+            dim = vecs[g].shape[1]
+            for c in range(k):
+                members = np.nonzero(assign == c)[0]
+                if len(members) == 0:
+                    continue  # empty cells keep their previous centroid
+                sub = scaled[g][members]
+                if sub.dtype == object:
+                    sums = [int(s) for s in sub.sum(axis=0)]
+                else:
+                    mx = int(np.abs(sub).max()) + 1
+                    chunk = max(1, (2**62) // mx)
+                    sums = [0] * dim
+                    for lo in range(0, len(members), chunk):
+                        part = sub[lo : lo + chunk].sum(
+                            axis=0, dtype=np.int64
+                        )
+                        for d in range(dim):
+                            sums[d] += int(part[d])
+                n_m = int(len(members))
+                for d in range(dim):
+                    new[g][c][d] = exact_mean_scaled(sums[d], n_m)
         if new == cents:
             break
         cents = new
@@ -895,6 +973,13 @@ def ann_ivf_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     books_cents = _lloyd_grouped(
         subs, "vec_id", F.col("m"), M, "sub", k=CODES, iters=10, seed=43,
         cache_key=f"{sf_dir}|pqbooks-4x16-10-43",
+        # bound sub-codebook training like the coarse quantizer's: the
+        # reservoir keys on vec_id, so a vector's M sub-slices are kept
+        # or dropped TOGETHER and the groups stay perfectly balanced;
+        # inactive below 100k vectors (every pinned corpus), and keeps
+        # the trainer's one collected pass bounded at 100 TB
+        train_max_rows=COARSE_TRAIN_MAX_ROWS,
+        train_total_rows=parquet_num_rows(sf_dir, "embeddings") * M,
     )
     df = emb.select(
         "vec_id",
