@@ -238,38 +238,22 @@ def _sq_dist(vec_col, centroid_col) -> Column:
     )
 
 
-def _sq_dist_lit(vec_col, centroid: list[float]) -> Column:
-    """Squared L2 against a LITERAL centroid, unrolled.
-
-    Bit-identical to ``_sq_dist`` — the same left fold
-    0.0 + (v0-c0)² + (v1-c1)² + ... in the same order — but spelled as
-    a flat arithmetic expression instead of zip_with/aggregate
-    higher-order functions.  HOFs are interpreted per element (a
-    lambda dispatch per array slot); at the Lloyd E-step's
-    rows × cells × dims volume that interpreter overhead dominated the
-    whole index build (measured at sf1: ~67 s/iteration for
-    20k × 64 × 8 via HOFs vs well under a second unrolled — SCALE.md
-    round-9 entry).  Unrolled element_at/multiply/add stays inside
-    whole-stage codegen.  Only valid when the centroid is driver-side
-    (it always is here: centroids ARE the index, k×dim floats)."""
-    acc = F.lit(0.0)
-    for d, cv in enumerate(centroid):
-        t = vec_col.getItem(d) - F.lit(float(cv))
-        acc = acc + t * t
-    return acc
-
-
-def _dists_lit(vec_col, centroids: list[list[float]]) -> Column:
-    """Array of unrolled squared distances to each literal centroid."""
-    return F.array(*[_sq_dist_lit(vec_col, c) for c in centroids])
-
-
 def _nearest(vec_col, centroids: list[list[float]]) -> Column:
     """0-based nearest-centroid id against LITERAL centroids — pure
     map-side arithmetic (no join, no shuffle; the index fits in the
     plan).  Ties break to the FIRST minimum via array_position, which
-    is deterministic."""
-    dists = _dists_lit(vec_col, centroids)
+    is deterministic.
+
+    Deliberately the compact HOF spelling, NOT an unrolled per-term
+    expression: round 9 measured the unrolled k×dim tree (512 nodes at
+    k=8, dim=64) making every probe 10× SLOWER — Catalyst analysis,
+    AQE re-optimization, and codegen each walk the giant tree per
+    stage, dwarfing the HOF's per-row interpretation cost at any
+    corpus size where the probe is join-dominated (SCALE.md round-9
+    entry).  The per-element lambda cost is linear, distributed, and
+    plan-constant — the right trade for corpus-scale assignment."""
+    lit = F.array(*[F.array(*[F.lit(float(v)) for v in c]) for c in centroids])
+    dists = F.transform(lit, lambda c: _sq_dist(vec_col, c))
     return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
 
 

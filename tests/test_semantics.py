@@ -1280,31 +1280,3 @@ def test_lloyd_footer_rowcount_sizing_and_cache_key(spark, sf_dir):
 
     with _pytest.raises(ValueError, match="fewer than k=4 rows"):
         _lloyd_grouped(tiny, "id", F.lit(0), 1, "v", k=4, iters=1, seed=1)
-
-
-def test_sq_dist_unrolled_bit_identical_to_fold(spark, sf_dir):
-    """_sq_dist_lit (the unrolled codegen-able distance used by
-    _nearest for corpus-scale assignment) must be BIT-identical to the
-    _sq_dist zip_with/aggregate fold it replaced (round 9): same
-    0.0 + (v0-c0)^2 + ... left-fold order, so cell assignments — and
-    with them every pinned IVF answer — cannot move.  Checked on real
-    embeddings against an adversarially non-round centroid."""
-    from pyspark.sql import functions as F
-
-    from datafusion_comet_spark.queries.similarity import (
-        _as_double,
-        _sq_dist,
-        _sq_dist_lit,
-    )
-
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
-        _as_double("embedding").alias("v")
-    )
-    dim = len(emb.first()["v"])
-    cent = [((i * 2654435761) % 1000003) / 999983.0 - 0.5 for i in range(dim)]
-    lit_arr = F.array(*[F.lit(float(c)) for c in cent])
-    diffs = emb.select(
-        (_sq_dist(F.col("v"), lit_arr) - _sq_dist_lit(F.col("v"), cent))
-        .alias("d")
-    ).agg(F.sum(F.abs(F.col("d"))).alias("s"), F.count(F.lit(1)).alias("n")).first()
-    assert diffs["s"] == 0.0 and diffs["n"] > 0, diffs
