@@ -1280,3 +1280,17 @@ def test_lloyd_footer_rowcount_sizing_and_cache_key(spark, sf_dir):
 
     with _pytest.raises(ValueError, match="fewer than k=4 rows"):
         _lloyd_grouped(tiny, "id", F.lit(0), 1, "v", k=4, iters=1, seed=1)
+
+
+def test_parquet_num_rows_directory_shape(spark, sf_dir, tmp_path):
+    """catalog.parquet_num_rows must sum footers across a
+    directory-shaped table (the real cluster layout: many part files),
+    not just read a single file — at 100 TB every table is a directory
+    and the reservoir sizing depends on this path."""
+    from datafusion_comet_spark.catalog import load_table, parquet_num_rows
+
+    li = load_table(spark, sf_dir, "lineitem")
+    n = li.count()
+    out = str(tmp_path / "lineitem.parquet")
+    li.repartition(5).write.mode("overwrite").parquet(out)
+    assert parquet_num_rows(str(tmp_path), "lineitem") == n
