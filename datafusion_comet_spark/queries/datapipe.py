@@ -534,16 +534,31 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # Embedding-cosine near-dup  (semantic dedup over array<float>)
 # --------------------------------------------------------------------------
+# axis-sign LSH bits for the embedding-cosine sub-block: the SCALE
+# dial — block count = labels * 2^bits, so bits grows ~log2(corpus /
+# target_block_size) at 100 TB while recall for highly-similar pairs
+# stays high (near-identical vectors share component signs)
+_COS_SIGN_BITS = 4
+
+_COS_SIGN_SQL = " + ".join(
+    f"(CASE WHEN {{s}}.embedding[{i + 1}] >= 0 THEN {1 << i} ELSE 0 END)"
+    for i in range(_COS_SIGN_BITS)
+)
+
+
 @register(
     "dedup_embedding_cosine",
-    oracle="""
+    oracle=f"""
 SELECT a, b, sim
 FROM (
   SELECT x.vec_id AS a, y.vec_id AS b,
          round(list_cosine_similarity(x.embedding::DOUBLE[],
                                       y.embedding::DOUBLE[]), 5) AS sim
   FROM embeddings x
-  JOIN embeddings y ON x.label = y.label AND x.vec_id < y.vec_id
+  JOIN embeddings y
+    ON x.label = y.label
+   AND {_COS_SIGN_SQL.format(s="x")} = {_COS_SIGN_SQL.format(s="y")}
+   AND x.vec_id < y.vec_id
 ) t
 ORDER BY sim DESC, a, b
 LIMIT 20
@@ -552,32 +567,56 @@ LIMIT 20
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semantic near-dup candidates: the 20 most-similar embedding
-    pairs by cosine, blocked by ``label`` (standing in for the
-    coarse-quantizer cell an IVF index would assign — the block join is
-    what makes this tractable at 100 TB; brute force is the
-    ann_bruteforce_topk query).  A production run thresholds instead of
-    ranking; top-k keeps the gate non-vacuous on synthetic data whose
-    max pairwise similarity (~0.5) never crosses a dedup threshold.
-    Dot products are JVM zip_with/aggregate folds — no Python."""
+    pairs by cosine, blocked by (label, axis-sign bits) — label stands
+    in for the coarse-quantizer cell an IVF index would assign, and
+    the sign bits of the first ``_COS_SIGN_BITS`` components sub-block
+    it (axis-aligned random-hyperplane LSH; near-identical vectors
+    share signs, so the recall loss concentrates on mid-similarity
+    pairs — the usual LSH trade).
+
+    Round 9 added the sign sub-block after the scale series caught the
+    label-only version: 10 labels is a CONSTANT block count, so pairs
+    grew quadratically (124 s at sf1, SCALE.md round-9 entry).  Sign
+    bits make the block count a dial — at 100 TB, bits scales as
+    log2(corpus/target_block) to hold per-block pair counts flat.  A
+    production run thresholds instead of ranking; top-k keeps the gate
+    non-vacuous on synthetic data whose max pairwise similarity (~0.5)
+    never crosses a dedup threshold.  Dot products are JVM
+    zip_with/aggregate folds — no Python; the sign expression is
+    spelled identically in the DuckDB oracle, so the differential
+    check covers the blocking too."""
     from .similarity import _as_double, dot, l2_norm
 
     # Norms materialize per row below the self-join (O(n)), so the
     # per-pair work inside a block is the dot fold alone.
+    sbucket = sum(
+        [
+            F.when(F.col("emb").getItem(i) >= 0, F.lit(1 << i)).otherwise(
+                F.lit(0)
+            )
+            for i in range(_COS_SIGN_BITS)
+        ],
+        F.lit(0),
+    )
     emb = (
         _t(spark, sf_dir, "embeddings")
         .select("vec_id", "label", _as_double("embedding").alias("emb"))
-        .select("vec_id", "label", "emb", l2_norm(F.col("emb")).alias("nrm"))
+        .select(
+            "vec_id", "label", "emb",
+            l2_norm(F.col("emb")).alias("nrm"),
+            sbucket.alias("sbucket"),
+        )
     )
     left = emb.select(
-        F.col("vec_id").alias("a"), "label",
+        F.col("vec_id").alias("a"), "label", "sbucket",
         F.col("emb").alias("emb_a"), F.col("nrm").alias("nrm_a"),
     )
     right = emb.select(
-        F.col("vec_id").alias("b"), "label",
+        F.col("vec_id").alias("b"), "label", "sbucket",
         F.col("emb").alias("emb_b"), F.col("nrm").alias("nrm_b"),
     )
     return (
-        left.join(right, "label")
+        left.join(right, ["label", "sbucket"])
         .filter(F.col("a") < F.col("b"))
         .select(
             "a",
@@ -784,52 +823,96 @@ def doc_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SNM_WINDOW = 8  # sorted-neighborhood width: the recall dial
+
+
 @register(
     "dedup_levenshtein",
     oracle="""
-SELECT a, b, CAST(dist AS INT) AS dist
-FROM (
-  SELECT x.doc_id AS a, y.doc_id AS b,
-         levenshtein(substr(x.text, 1, 80), substr(y.text, 1, 80)) AS dist
-  FROM documents x
-  JOIN documents y
-    ON x.lang = y.lang
-   AND x.n_chars // 40 = y.n_chars // 40
-   AND x.doc_id < y.doc_id
-) t
-WHERE dist <= 12
+WITH d AS (
+  SELECT doc_id, lang, n_chars // 40 AS bucket,
+         substr(text, 1, 80) AS prefix
+  FROM documents
+), nb AS (
+  SELECT doc_id, prefix,
+         lead(doc_id, 1) OVER w AS nid1, lead(prefix, 1) OVER w AS np1,
+         lead(doc_id, 2) OVER w AS nid2, lead(prefix, 2) OVER w AS np2,
+         lead(doc_id, 3) OVER w AS nid3, lead(prefix, 3) OVER w AS np3,
+         lead(doc_id, 4) OVER w AS nid4, lead(prefix, 4) OVER w AS np4,
+         lead(doc_id, 5) OVER w AS nid5, lead(prefix, 5) OVER w AS np5,
+         lead(doc_id, 6) OVER w AS nid6, lead(prefix, 6) OVER w AS np6,
+         lead(doc_id, 7) OVER w AS nid7, lead(prefix, 7) OVER w AS np7,
+         lead(doc_id, 8) OVER w AS nid8, lead(prefix, 8) OVER w AS np8
+  FROM d
+  WINDOW w AS (PARTITION BY lang, bucket ORDER BY prefix, doc_id)
+), pairs AS (
+  SELECT doc_id, prefix,
+         unnest([nid1, nid2, nid3, nid4, nid5, nid6, nid7, nid8]) AS nid,
+         unnest([np1, np2, np3, np4, np5, np6, np7, np8]) AS np
+  FROM nb
+)
+SELECT least(doc_id, nid) AS a, greatest(doc_id, nid) AS b,
+       CAST(levenshtein(prefix, np) AS INT) AS dist
+FROM pairs
+WHERE nid IS NOT NULL AND levenshtein(prefix, np) <= 12
 ORDER BY a, b
 """,
     tags=("datapipe", "dedup", "levenshtein"),
 )
 def dedup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Edit-distance near-dup: Levenshtein over an 80-char prefix,
-    candidate pairs blocked by (lang, length-bucket) so the join is
-    equi-keyed — the quadratic distance only runs inside a block, never
-    across the corpus.  The prefix bound caps the DP cost per pair (the
-    practical trick for fuzzy dedup at scale); blocking plays the role
-    LSH bands play in dedup_minhash_lsh, trading recall for a shuffle
-    join instead of O(n²)."""
+    """Edit-distance near-dup via SORTED-NEIGHBORHOOD candidates:
+    within each (lang, length-bucket) block, docs sort by their 80-char
+    prefix and each doc is compared to its next ``_SNM_WINDOW``
+    neighbors only — O(n*K) candidate pairs and ONE window shuffle.
+
+    Round 9 replaced the original all-pairs-within-block join after the
+    scale series caught it: (lang, bucket) has CONSTANT cardinality
+    (~70 blocks), so block sizes — and the quadratic pair count — grew
+    linearly with the corpus (the sf1 run never finished; SCALE.md
+    round-9 entry).  Sorted-neighborhood (Hernandez & Stolfo 1995) is
+    the standard linear-candidate fuzzy-dedup structure: near-identical
+    prefixes sort adjacently; K is the recall dial (edits in the first
+    characters can separate true pairs — the same recall trade LSH
+    bands make in dedup_minhash_lsh).  The 80-char prefix bound caps
+    the DP cost per pair.  lead() spells the same neighborhood in both
+    engines, so the DuckDB oracle stays a full differential check."""
+    K = _SNM_WINDOW
     docs = _t(spark, sf_dir, "documents").select(
         "doc_id",
         "lang",
         (F.col("n_chars") / 40).cast("int").alias("bucket"),
         F.substring("text", 1, 80).alias("prefix"),
     )
-    left = docs.select(
-        F.col("doc_id").alias("a"), "lang", "bucket",
-        F.col("prefix").alias("pa"),
-    )
-    right = docs.select(
-        F.col("doc_id").alias("b"), "lang", "bucket",
-        F.col("prefix").alias("pb"),
+    w = W.partitionBy("lang", "bucket").orderBy("prefix", "doc_id")
+    # window expressions must be materialized in a projection BEFORE
+    # the generator (Spark disallows them inside explode's input)
+    nb = (
+        docs.select(
+            "doc_id",
+            "prefix",
+            F.array(
+                *[F.lead("doc_id", o).over(w) for o in range(1, K + 1)]
+            ).alias("nids"),
+            F.array(
+                *[F.lead("prefix", o).over(w) for o in range(1, K + 1)]
+            ).alias("nps"),
+        )
+        .select(
+            "doc_id",
+            "prefix",
+            F.explode(F.arrays_zip(F.col("nids"), F.col("nps"))).alias("n"),
+        )
+        .select(
+            "doc_id", "prefix",
+            F.col("n.nids").alias("nid"), F.col("n.nps").alias("np"),
+        )
     )
     return (
-        left.join(right, ["lang", "bucket"])
-        .filter(F.col("a") < F.col("b"))
+        nb.filter(F.col("nid").isNotNull())
         .select(
-            "a", "b",
-            F.levenshtein("pa", "pb").cast("int").alias("dist"),
+            F.least("doc_id", "nid").alias("a"),
+            F.greatest("doc_id", "nid").alias("b"),
+            F.levenshtein("prefix", "np").cast("int").alias("dist"),
         )
         .filter(F.col("dist") <= 12)
         .orderBy("a", "b")

@@ -1061,7 +1061,9 @@ REGISTRY_EXCHANGE_BUDGET = {
     "dedup_exact": 2,
     "dedup_incremental_vs_corpus": 3,
     "dedup_keep_best": 2,
-    "dedup_levenshtein": 1,
+    # round 9: sorted-neighborhood rewrite — 1 window hash + 1 final
+    # sort range exchange (measured; was 1: broadcast join + sort)
+    "dedup_levenshtein": 2,
     "dedup_minhash_lsh": 6,
     "dedup_minhash_ml": 1,
     "dedup_ngram_jaccard": 0,
