@@ -997,3 +997,141 @@ def reagg_query(draw) -> str:
 def test_random_reaggregation_matches_duckdb(views, sf_dir, sql):
     df = views.sql(sql)
     compare_to_oracle(df, sql, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# Family 23 (round 9): random HIGHER-ORDER ARRAY-FUNCTION chains —
+# transform/filter/slice compositions over split(text) with a scalar
+# reducer on top.  The array+lambda surface is corpus-pinned
+# (tests/sql/array/) but was never fuzzed; compositions are where
+# lambda scoping, empty-array, and slice-bound conventions bite.
+# Spark and DuckDB spell every step differently (transform vs
+# list_transform, slice(start, LENGTH) vs list_slice(start, END-
+# inclusive), aggregate-with-seed vs list_sum-over-transform — whose
+# empty-list result is NULL in DuckDB but the seed 0 in Spark, hence
+# the coalesce), so the strategy draws ONE chain and emits BOTH
+# dialects; a value bug in either lambda engine breaks the match.
+# Reference analog: the array kernel compat docs
+# (docs/source/user-guide/compatibility.md array section).
+# ---------------------------------------------------------------------------
+_HOF_STEPS = (
+    # (spark template, duckdb template) over {0} = array<string> expr
+    ("transform({0}, x -> upper(x))", "list_transform({0}, x -> upper(x))"),
+    ("transform({0}, x -> substr(x, 1, 3))",
+     "list_transform({0}, x -> substr(x, 1, 3))"),
+    ("transform({0}, x -> concat(x, '.'))",
+     "list_transform({0}, x -> concat(x, '.'))"),
+    ("filter({0}, x -> length(x) > 2)",
+     "list_filter({0}, x -> length(x) > 2)"),
+    ("filter({0}, x -> x LIKE '%e%')",
+     "list_filter({0}, x -> x LIKE '%e%')"),
+)
+_HOF_FINAL = (
+    ("CAST(size({0}) AS BIGINT)", "CAST(len({0}) AS BIGINT)"),
+    ("array_max({0})", "list_max({0})"),
+    ("array_min({0})", "list_min({0})"),
+    # empty-list divergence: Spark array_join([]) = '' but DuckDB
+    # array_to_string([]) = NULL (string_agg-of-zero-rows convention);
+    # inputs are never NULL here so coalesce bridges exactly
+    ("array_join(sort_array({0}), '|')",
+     "coalesce(array_to_string(list_sort({0}), '|'), '')"),
+    ("CAST(aggregate({0}, 0L, (acc, x) -> acc + length(x)) AS BIGINT)",
+     "CAST(coalesce(list_sum(list_transform({0}, x -> length(x))), 0)"
+     " AS BIGINT)"),
+)
+
+
+@st.composite
+def hof_chain_pair(draw) -> tuple[str, str]:
+    s_expr = "split(text, ' ')"
+    d_expr = "string_split(text, ' ')"
+    for _ in range(draw(st.integers(1, 3))):
+        if draw(st.booleans()):
+            start = draw(st.integers(1, 3))
+            length = draw(st.integers(1, 4))
+            s_expr = f"slice({s_expr}, {start}, {length})"
+            d_expr = f"list_slice({d_expr}, {start}, {start + length - 1})"
+        else:
+            s_t, d_t = draw(st.sampled_from(_HOF_STEPS))
+            s_expr, d_expr = s_t.format(s_expr), d_t.format(d_expr)
+    s_fin, d_fin = draw(st.sampled_from(_HOF_FINAL))
+    s_expr, d_expr = s_fin.format(s_expr), d_fin.format(d_expr)
+    lit = draw(st.integers(200, 2000))
+    shell = (
+        "SELECT lang AS k, count(v) AS n, count(DISTINCT v) AS nd, "
+        "CAST(min(v) AS STRING) AS mn, CAST(max(v) AS STRING) AS mx "
+        "FROM (SELECT lang, {expr} AS v FROM documents "
+        "WHERE doc_id < {lit}) t GROUP BY lang ORDER BY k"
+    )
+    return (
+        shell.format(expr=s_expr, lit=lit),
+        shell.format(expr=d_expr, lit=lit),
+    )
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(pair=hof_chain_pair())
+def test_random_hof_array_chain_matches_duckdb(views, sf_dir, pair):
+    spark_sql, duck_sql = pair
+    df = views.sql(spark_sql)
+    compare_to_oracle(df, duck_sql, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# Family 24 (round 9): random MULTI-KEY ORDER BY with explicit NULLS
+# FIRST/LAST + LIMIT/OFFSET — the Sort(+fetch/skip) operator under
+# adversarial null placement (SURVEY §2 row 9/10).  The engines'
+# DEFAULTS disagree (Spark: NULLS FIRST for ASC; DuckDB: NULLS LAST),
+# so every key spells its null order explicitly — the fuzz then
+# proves the explicit spellings agree, and a unique trailing
+# tiebreak (o_orderkey ASC) makes the LIMIT/OFFSET window a
+# deterministic row SET the multiset compare can check exactly.
+# NULLs are synthesized with nullif() over derived keys since the
+# testdata columns are all non-null.
+# ---------------------------------------------------------------------------
+_NULLABLE_KEYS = (
+    "nullif(o_custkey % {p}, {q})",
+    "nullif(length(o_orderpriority) % {p}, {q})",
+    # floor() before the cast: double->BIGINT CAST truncates in Spark
+    # but rounds half-even in DuckDB (pinned in tests/test_cast_pairs)
+    "nullif(CAST(floor(o_totalprice / 1000) AS BIGINT) % {p}, {q})",
+)
+
+
+@st.composite
+def null_order_limit_query(draw) -> str:
+    keys = []
+    for _ in range(draw(st.integers(1, 2))):
+        tpl = draw(st.sampled_from(_NULLABLE_KEYS))
+        p = draw(st.integers(3, 9))
+        expr = tpl.format(p=p, q=draw(st.integers(0, p - 1)))
+        direction = draw(st.sampled_from(["ASC", "DESC"]))
+        nulls = draw(st.sampled_from(["NULLS FIRST", "NULLS LAST"]))
+        keys.append((expr, direction, nulls))
+    sel = ", ".join(f"{e} AS s{i}" for i, (e, _, _) in enumerate(keys))
+    order = ", ".join(
+        f"s{i} {d} {n}" for i, (_, d, n) in enumerate(keys)
+    )
+    limit = draw(st.integers(1, 40))
+    offset = draw(st.integers(0, 30))
+    return (
+        f"SELECT o_orderkey AS k, {sel} FROM orders "
+        f"ORDER BY {order}, k ASC LIMIT {limit} OFFSET {offset}"
+    )
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(sql=null_order_limit_query())
+def test_random_null_order_limit_matches_duckdb(views, sf_dir, sql):
+    df = views.sql(sql)
+    compare_to_oracle(df, sql, sf_dir)
