@@ -10,6 +10,7 @@ value comparison, floats with tolerance, NaN/-0.0 canonicalized.
 from __future__ import annotations
 
 import math
+import os
 from datetime import date, datetime
 from decimal import Decimal
 from typing import Any
@@ -98,3 +99,25 @@ def compare_to_oracle(
     assert not mismatches, (
         f"{len(mismatches)}/{len(a)} rows differ; first 5: {mismatches[:5]}"
     )
+
+
+def scale_regime(sf_dir: str, threshold_bytes: int = 32 << 20) -> bool:
+    """True when lineitem's on-disk size exceeds the static broadcast
+    threshold (session.py pins 32 MB), i.e. the dataset is in the
+    LARGE plan regime where Catalyst correctly flips the joins whose
+    pruned-size estimate crosses the threshold from broadcast to
+    shuffle.  Plan tests key their expectations on this bit so both
+    regimes are asserted (small: driver testdata <= sf0.1; large:
+    dev/gen_scale_data.py sf1, where the flips were measured).
+    """
+    p = table_path(sf_dir, "lineitem")
+    if os.path.isdir(p):
+        return (
+            sum(
+                os.path.getsize(os.path.join(p, f))
+                for f in os.listdir(p)
+                if f.endswith(".parquet")
+            )
+            > threshold_bytes
+        )
+    return os.path.getsize(p) > threshold_bytes

@@ -122,13 +122,35 @@ PINNED += sorted(
 
 REGEN = os.environ.get("SPARK_GRAFT_REGEN_GOLDENS") == "1"
 
+# Queries whose plan LEGITIMATELY changes in the large-scale regime
+# (broadcast->shuffle flips once lineitem's pruned-size estimate
+# crosses the 32 MB static threshold — the correct adaptive behavior
+# at scale; see test_plans.TPCH_EXCHANGE_BUDGET_LARGE).  These carry a
+# SECOND golden, `<name>.large.txt`, pinned at dev/gen_scale_data.py
+# sf1; the other 286 goldens are byte-identical across regimes
+# (verified at sf1, round 9) and keep one file.
+LARGE_REGIME_PINNED = {
+    "q3_shipping_priority",
+    "q5_local_supplier",
+    "q10_returned_items",
+    "q21_waiting_supplier",
+    "q21_scale_rewrite",
+    "tpcds_cross_nation_orders",
+    "tpcds_net_after_returns",
+    "tpcds_underperforming_pairs",
+}
 
-def _golden_path(name: str) -> str:
-    return os.path.join(GOLDEN_DIR, f"{name}.txt")
+
+def _golden_path(name: str, large: bool = False) -> str:
+    return os.path.join(
+        GOLDEN_DIR, f"{name}.large.txt" if large else f"{name}.txt"
+    )
 
 
 @pytest.mark.parametrize("name", PINNED)
 def test_plan_matches_golden(spark, sf_dir, name):
+    from datafusion_comet_spark.testing import scale_regime
+
     # goldens are pinned from a CLEAN cache — a lingering persisted
     # subtree (e.g. tpcds_return_ratio_rank's candidate aggregate)
     # would rewrite matching plans into InMemoryRelation and the
@@ -136,7 +158,8 @@ def test_plan_matches_golden(spark, sf_dir, name):
     spark.catalog.clearCache()
     df = REGISTRY[name].fn(spark, sf_dir)
     ops = operators_in_plan(df)
-    path = _golden_path(name)
+    large = name in LARGE_REGIME_PINNED and scale_regime(sf_dir)
+    path = _golden_path(name, large)
     if REGEN:
         os.makedirs(GOLDEN_DIR, exist_ok=True)
         with open(path, "w") as f:

@@ -19,6 +19,7 @@ from datafusion_comet_spark.plans import (
     pushed_filters,
 )
 from datafusion_comet_spark.queries import load_all
+from datafusion_comet_spark.testing import scale_regime as _scale_regime
 
 REGISTRY = load_all()
 
@@ -537,14 +538,37 @@ TPCH_EXCHANGE_BUDGET = {
     "q22_sales_opportunity": 2,
 }
 
+# Large-scale regime (round 9): when lineitem outgrows the 32 MB
+# static broadcast threshold (session.py), Catalyst correctly flips
+# the joins whose PRUNED-SIZE estimate crosses it from broadcast to
+# shuffle — each flip adds exchanges.  These overlays pin the
+# EXPECTED large-regime counts (measured at dev/gen_scale_data.py
+# sf1: lineitem 150 MB / orders 28 MB), so running this suite against
+# a scale dataset asserts the flips happen — and nothing else drifts.
+# Verified shapes at sf1: q3 orders⋈lineitem → SMJ while the 3 MB
+# customer stays broadcast; q21's l3 anti self-join → SMJ while the
+# 2-column-pruned l2 semi (pruned estimate ~19 MB < 32 MB) stays
+# broadcast.  Regime bit = lineitem file size vs the threshold; the
+# small-regime tables stay exact for every driver sf (≤ sf0.1,
+# lineitem ≤ 11 MB).
+TPCH_EXCHANGE_BUDGET_LARGE = {
+    "q3_shipping_priority": 2,
+    "q5_local_supplier": 4,
+    "q10_returned_items": 3,
+    "q21_waiting_supplier": 3,
+    "q21_scale_rewrite": 4,
+}
 
 def test_tpch_exchange_budgets(spark, sf_dir):
     from datafusion_comet_spark.plans.introspect import plan_string as _ps
 
     # clean-cache start: see test_tpcds_exchange_budgets
     spark.catalog.clearCache()
+    budgets = dict(TPCH_EXCHANGE_BUDGET)
+    if _scale_regime(sf_dir):
+        budgets.update(TPCH_EXCHANGE_BUDGET_LARGE)
     diffs = {}
-    for name, budget in TPCH_EXCHANGE_BUDGET.items():
+    for name, budget in budgets.items():
         p = _ps(REGISTRY[name].fn(spark, sf_dir), "simple")
         n = p.count("Exchange hashpartitioning") + p.count(
             "Exchange rangepartitioning"
@@ -992,8 +1016,18 @@ def test_tpcds_exchange_budgets(spark, sf_dir):
     # construction and the printed exchange count changes (observed:
     # 14 -> 25 when this test ran after the fact-pass pin).
     spark.catalog.clearCache()
+    budgets = dict(TPCDS_EXCHANGE_BUDGET)
+    if _scale_regime(sf_dir):
+        # measured at gen_scale_data sf1 — see TPCH_EXCHANGE_BUDGET_LARGE
+        budgets.update(
+            {
+                "tpcds_cross_nation_orders": 2,
+                "tpcds_net_after_returns": 3,
+                "tpcds_underperforming_pairs": 5,
+            }
+        )
     diffs = {}
-    for name, budget in TPCDS_EXCHANGE_BUDGET.items():
+    for name, budget in budgets.items():
         p = _ps(REGISTRY[name].fn(spark, sf_dir), "simple")
         n = p.count("Exchange hashpartitioning") + p.count(
             "Exchange rangepartitioning"
