@@ -113,7 +113,13 @@ SAMPLE_PREFIX: tuple[str, ...] = (
     "unpivot_charges",
     "join_bucketed_colocated",
     "generator_inline",
-    # 28-50: oldest-green TPC-DS-style batches (r2 vintage)
+    # 28: registered mid-round-9 — slotted immediately so the round
+    # ends with zero never-sampled hash-checkable queries (the bar the
+    # round-8 verdict set); displaces ONE r2-vintage reconfirm
+    # (tpcds_cumulative_compare, still locally green every round),
+    # which rejoins the next rotation.
+    "stream_state_store_reader",
+    # 29-50: oldest-green TPC-DS-style batches (r2 vintage)
     "tpcds_net_after_returns",
     "tpcds_frequent_buyer_semi",
     "tpcds_party_size_band",
@@ -136,7 +142,6 @@ SAMPLE_PREFIX: tuple[str, ...] = (
     "tpcds_channel_rollup",
     "tpcds_customer_cohort_setops",
     "tpcds_rank_in_category",
-    "tpcds_cumulative_compare",
 )
 
 

@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..streaming import read_events_stream, run_to_memory
+from ..streaming import read_events_stream, run_to_memory, run_to_state
 from . import register
 
 
@@ -223,4 +223,60 @@ def stream_fast_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         out.groupBy("user_id")
         .agg(F.count(F.lit(1)).alias("n_pairs"))
         .orderBy("user_id")
+    )
+
+
+@register(
+    "stream_state_store_reader",
+    oracle="""
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS cents
+FROM events
+WHERE event_type IN ('click', 'purchase', 'view')
+GROUP BY event_type
+ORDER BY event_type
+""",
+    tags=("streaming", "fast", "stateful", "introspection"),
+)
+def stream_state_store_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """State-store INTROSPECTION: run a stateful streaming aggregation
+    to completion, then read its committed state back through Spark's
+    built-in state data source (``format("statestore")``, core since
+    4.0) and verify the state equals the batch aggregate of the input.
+
+    Capability superset vs the reference, which rejects streaming
+    plans entirely (reference:
+    spark/src/main/scala/org/apache/comet/rules/CometExecRule.scala:548-550)
+    and has no state-introspection surface at all.
+
+    At 100 TB this is the operational debugging path: the state source
+    reads ONLY the checkpoint's latest committed snapshot (O(state),
+    never O(input history)), so "which keys are accumulating?" costs a
+    scan of k rows of state, not a replay of the stream.  The oracle
+    proves the round-trip: streaming agg buffers --(state files)-->
+    state source == one batch GROUP BY over the same input.
+
+    The state rows expose (key struct, value struct, partition_id);
+    the value struct's fields carry the PHYSICAL buffer names
+    (``count``, ``sum``) — aggregate aliases exist only above the
+    state store.  partition_id is dropped — it is an artifact of the
+    pinned shuffle-partition count, not of the data."""
+    ev = read_events_stream(spark, sf_dir).filter(
+        F.col("event_type").isin("click", "purchase", "view")
+    )
+    agg = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.floor(F.col("value") * 100).cast("bigint")).alias("cents"),
+    )
+    state = run_to_state(
+        agg, "stream_state_reader_sink", "complete", shuffle_partitions=4
+    )
+    return (
+        state.select(
+            F.col("key.event_type").alias("event_type"),
+            F.col("value.count").cast("bigint").alias("n"),
+            F.col("value.sum").cast("bigint").alias("cents"),
+        )
+        .orderBy("event_type")
     )

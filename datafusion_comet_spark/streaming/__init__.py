@@ -117,3 +117,48 @@ def run_to_memory(
         if shuffle_partitions is not None:
             spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name)
+
+
+def run_to_state(
+    df: DataFrame,
+    name: str,
+    output_mode: str,
+    shuffle_partitions: int | None = None,
+) -> DataFrame:
+    """Execute a stateful streaming DataFrame to completion, then read
+    the committed STATE STORE back through Spark's built-in state data
+    source (``spark.read.format("statestore")`` — core since 4.0) and
+    return it as a batch DataFrame of (key struct, value struct,
+    partition_id) rows.
+
+    This is the operational introspection path at 100 TB: debugging a
+    stateful pipeline's accumulated state (is a key stuck? how big is
+    each aggregation buffer?) reads ONLY the checkpoint's state files
+    — zero replay of the (unbounded) input.  The state source scans
+    the latest committed snapshot per partition, so its cost is
+    O(state), not O(history).
+
+    Same shuffle-partition pin and fresh-checkpoint semantics as
+    ``run_to_memory`` (the partition count is baked into the
+    checkpoint at first batch; state correctness must be — and is —
+    invariant to it).
+    """
+    ckpt = tempfile.mkdtemp(prefix=f"dcs_ckpt_{name}_")
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    if shuffle_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    try:
+        q = (
+            df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if shuffle_partitions is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.read.format("statestore").load(ckpt)
