@@ -280,3 +280,44 @@ def stream_state_store_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "stream_state_dedup_keys",
+    oracle="""
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_users
+FROM (SELECT DISTINCT user_id, event_type FROM events) t
+GROUP BY event_type
+ORDER BY event_type
+""",
+    tags=("streaming", "fast", "stateful", "introspection"),
+)
+def stream_state_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """State introspection for the DEDUP state-store format: run
+    dropDuplicates in the stream, then read the key set back from the
+    checkpoint via the state data source.  The dedup store holds one
+    entry PER SEEN KEY with an empty value payload — so the state
+    rows' key structs ARE the distinct set, and re-aggregating them
+    must equal the batch SELECT DISTINCT oracle.
+
+    Together with stream_state_store_reader (aggregation buffers) this
+    pins the second of the stateful formats through the introspection
+    path.  The operational question it answers at 100 TB is state-size
+    attribution: "how many dedup keys is each event_type holding?"
+    costs one O(state) scan of the checkpoint, no input replay."""
+    ev = read_events_stream(spark, sf_dir)
+    deduped = ev.select("user_id", "event_type").dropDuplicates(
+        ["user_id", "event_type"]
+    )
+    state = run_to_state(
+        deduped, "stream_state_dd_sink", "append", shuffle_partitions=4
+    )
+    return (
+        state.select(
+            F.col("key.user_id").alias("user_id"),
+            F.col("key.event_type").alias("event_type"),
+        )
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+        .orderBy("event_type")
+    )
