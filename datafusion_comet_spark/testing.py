@@ -101,6 +101,28 @@ def compare_to_oracle(
     )
 
 
+def lineitem_bytes(sf_dir: str) -> int:
+    """On-disk size of the lineitem table (file or directory-shaped)."""
+    p = table_path(sf_dir, "lineitem")
+    if os.path.isdir(p):
+        return sum(
+            os.path.getsize(os.path.join(p, f))
+            for f in os.listdir(p)
+            if f.endswith(".parquet")
+        )
+    return os.path.getsize(p)
+
+
+# Exact plan expectations are pinned for TWO regime windows; beyond
+# them the broadcast-flip LADDER continues (each scale decade pushes
+# more pruned-size estimates over the threshold — measured at
+# gen_scale_data sf2, where q4/q11/q18/q20 and the EXISTS family flip
+# next; SCALE.md round-9 ladder note) and exact pins would need a
+# golden set per rung.  Plan suites SKIP outside the pinned windows
+# rather than pretend one flip set fits every scale.
+PINNED_LARGE_MAX_BYTES = 200 << 20
+
+
 def scale_regime(sf_dir: str, threshold_bytes: int = 32 << 20) -> bool:
     """True when lineitem's on-disk size exceeds the static broadcast
     threshold (session.py pins 32 MB), i.e. the dataset is in the
@@ -110,14 +132,12 @@ def scale_regime(sf_dir: str, threshold_bytes: int = 32 << 20) -> bool:
     regimes are asserted (small: driver testdata <= sf0.1; large:
     dev/gen_scale_data.py sf1, where the flips were measured).
     """
-    p = table_path(sf_dir, "lineitem")
-    if os.path.isdir(p):
-        return (
-            sum(
-                os.path.getsize(os.path.join(p, f))
-                for f in os.listdir(p)
-                if f.endswith(".parquet")
-            )
-            > threshold_bytes
-        )
-    return os.path.getsize(p) > threshold_bytes
+    return lineitem_bytes(sf_dir) > threshold_bytes
+
+
+def beyond_pinned_regime(sf_dir: str) -> bool:
+    """True when the dataset is past BOTH pinned plan-regime windows
+    (lineitem > PINNED_LARGE_MAX_BYTES) — exact plan tests should skip
+    with a pointer at the regime ladder instead of failing on the
+    next legitimate flip rung."""
+    return lineitem_bytes(sf_dir) > PINNED_LARGE_MAX_BYTES

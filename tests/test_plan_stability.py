@@ -149,7 +149,14 @@ def _golden_path(name: str, large: bool = False) -> str:
 
 @pytest.mark.parametrize("name", PINNED)
 def test_plan_matches_golden(spark, sf_dir, name):
-    from datafusion_comet_spark.testing import scale_regime
+    from datafusion_comet_spark.testing import beyond_pinned_regime, scale_regime
+
+    if beyond_pinned_regime(sf_dir):
+        pytest.skip(
+            "lineitem beyond the pinned plan-regime windows (> 200 MB): "
+            "the broadcast-flip ladder continues with scale (SCALE.md "
+            "round-9 ladder note)"
+        )
 
     # goldens are pinned from a CLEAN cache — a lingering persisted
     # subtree (e.g. tpcds_return_ratio_rank's candidate aggregate)

@@ -19,7 +19,23 @@ from datafusion_comet_spark.plans import (
     pushed_filters,
 )
 from datafusion_comet_spark.queries import load_all
+from datafusion_comet_spark.testing import (
+    beyond_pinned_regime as _beyond_pinned_regime,
+)
 from datafusion_comet_spark.testing import scale_regime as _scale_regime
+
+
+def _skip_if_beyond_pinned_regime(sf_dir):
+    import pytest as _pytest
+
+    if _beyond_pinned_regime(sf_dir):
+        _pytest.skip(
+            "lineitem beyond the pinned plan-regime windows (> 200 MB): "
+            "the broadcast-flip ladder continues with scale (SCALE.md "
+            "round-9 ladder note); exact exchange/golden pins cover the "
+            "small and sf1-large windows only"
+        )
+
 
 REGISTRY = load_all()
 
@@ -560,6 +576,7 @@ TPCH_EXCHANGE_BUDGET_LARGE = {
 }
 
 def test_tpch_exchange_budgets(spark, sf_dir):
+    _skip_if_beyond_pinned_regime(sf_dir)
     from datafusion_comet_spark.plans.introspect import plan_string as _ps
 
     # clean-cache start: see test_tpcds_exchange_budgets
@@ -1007,6 +1024,7 @@ TPCDS_EXCHANGE_BUDGET = {
 
 
 def test_tpcds_exchange_budgets(spark, sf_dir):
+    _skip_if_beyond_pinned_regime(sf_dir)
     from datafusion_comet_spark.plans.introspect import plan_string as _ps
 
     # Static budgets are pinned from a CLEAN cache: a lingering
