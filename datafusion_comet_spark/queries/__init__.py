@@ -113,14 +113,16 @@ SAMPLE_PREFIX: tuple[str, ...] = (
     "unpivot_charges",
     "join_bucketed_colocated",
     "generator_inline",
-    # 28-29: registered mid-round-9 — slotted immediately so the round
+    # 28-30: registered mid-round-9 — slotted immediately so the round
     # ends with zero never-sampled hash-checkable queries (the bar the
-    # round-8 verdict set); they displace TWO r2-vintage reconfirms
-    # (tpcds_cumulative_compare, tpcds_rank_in_category — both still
-    # locally green every round), which rejoin the next rotation.
+    # round-8 verdict set); they displace THREE r2-vintage reconfirms
+    # (tpcds_cumulative_compare, tpcds_rank_in_category,
+    # tpcds_customer_cohort_setops — all still locally green every
+    # round), which rejoin the next rotation.
     "stream_state_store_reader",
     "stream_state_dedup_keys",
-    # 30-50: oldest-green TPC-DS-style batches (r2 vintage)
+    "stream_state_join_buffers",
+    # 31-50: oldest-green TPC-DS-style batches (r2 vintage)
     "tpcds_net_after_returns",
     "tpcds_frequent_buyer_semi",
     "tpcds_party_size_band",
@@ -141,7 +143,6 @@ SAMPLE_PREFIX: tuple[str, ...] = (
     "tpcds_yoy_preference_shift",
     "tpcds_acctbal_band_priority",
     "tpcds_channel_rollup",
-    "tpcds_customer_cohort_setops",
 )
 
 

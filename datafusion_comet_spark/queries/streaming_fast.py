@@ -21,7 +21,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..streaming import read_events_stream, run_to_memory, run_to_state
+from ..streaming import (
+    read_events_stream,
+    run_to_checkpoint,
+    run_to_memory,
+    run_to_state,
+)
 from . import register
 
 
@@ -320,4 +325,85 @@ def stream_state_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
         .orderBy("event_type")
+    )
+
+
+@register(
+    "stream_state_join_buffers",
+    oracle="""
+SELECT side, n, nk FROM (
+  SELECT 'left' AS side,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(count(DISTINCT user_id) AS BIGINT) AS nk
+  FROM events WHERE event_type = 'click' AND user_id < 60
+  UNION ALL
+  SELECT 'right' AS side,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(count(DISTINCT user_id) AS BIGINT) AS nk
+  FROM events WHERE event_type = 'purchase' AND user_id < 60
+) t ORDER BY side
+""",
+    tags=("streaming", "fast", "stateful", "introspection"),
+)
+def stream_state_join_buffers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """State introspection for the JOIN state-store format — the third
+    and last stateful format after aggregation buffers
+    (stream_state_store_reader) and dedup keys
+    (stream_state_dedup_keys): read BOTH sides' buffered rows back
+    with ``option("joinSide", ...)`` and prove each buffer equals the
+    side's full filtered input.
+
+    The join deliberately carries NO watermark: an inner stream-stream
+    join without one buffers every input row indefinitely (Spark
+    allows it with an unbounded-state warning), which makes the
+    buffered set exactly SQL-expressible — count and distinct-key per
+    side.  Watermark EVICTION is pinned by the slow streaming family
+    (stream_stream_join/left_outer/full_outer); this query pins what
+    the state source exposes.
+
+    The oracle also pins a state-SIZE optimization this query caught
+    in the measured plan: Catalyst propagates the left side's
+    ``user_id < 60`` through the equi-join condition onto the RIGHT
+    stream (InferFiltersFromConstraints), so the right buffer holds
+    only the 60 matchable users' purchases, not all 150 users' — the
+    engine refuses to buffer rows that can never join.  At 100 TB
+    that inference IS the state bound for selective joins, and the
+    operational question this query answers is state-imbalance
+    triage: "which side's buffer is exploding, and over how many
+    keys?" — one O(state) scan per side, no replay."""
+    ev = read_events_stream(spark, sf_dir)
+    clicks = ev.filter(
+        (F.col("event_type") == "click") & (F.col("user_id") < 60)
+    ).select("user_id", F.col("ts").alias("c_ts"))
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    joined = clicks.join(
+        purchases,
+        (clicks.user_id == purchases.p_user)
+        & (purchases.p_ts > clicks.c_ts)
+        & (purchases.p_ts <= clicks.c_ts + F.expr("interval 15 minutes")),
+    )
+    ckpt = run_to_checkpoint(
+        joined, "stream_state_jb_sink", "append", shuffle_partitions=4
+    )
+
+    def side_stats(side: str, key_field: str) -> DataFrame:
+        st = (
+            spark.read.format("statestore")
+            .option("joinSide", side)
+            .load(ckpt)
+        )
+        return st.select(
+            F.lit(side).alias("side"),
+            F.col(f"value.{key_field}").alias("k"),
+        ).groupBy("side").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.countDistinct("k").cast("bigint").alias("nk"),
+        )
+
+    return (
+        side_stats("left", "user_id")
+        .unionByName(side_stats("right", "p_user"))
+        .orderBy("side")
     )

@@ -143,6 +143,20 @@ def run_to_state(
     checkpoint at first batch; state correctness must be — and is —
     invariant to it).
     """
+    ckpt = run_to_checkpoint(df, name, output_mode, shuffle_partitions)
+    return df.sparkSession.read.format("statestore").load(ckpt)
+
+
+def run_to_checkpoint(
+    df: DataFrame,
+    name: str,
+    output_mode: str,
+    shuffle_partitions: int | None = None,
+) -> str:
+    """Execute a streaming DataFrame to completion into a memory sink
+    and return the CHECKPOINT path — for callers that need to read the
+    state store with non-default options (e.g. ``joinSide`` for
+    stream-stream join state, which keeps one store per side)."""
     ckpt = tempfile.mkdtemp(prefix=f"dcs_ckpt_{name}_")
     spark = df.sparkSession
     prev = spark.conf.get("spark.sql.shuffle.partitions")
@@ -161,4 +175,4 @@ def run_to_state(
     finally:
         if shuffle_partitions is not None:
             spark.conf.set("spark.sql.shuffle.partitions", prev)
-    return spark.read.format("statestore").load(ckpt)
+    return ckpt
