@@ -1294,3 +1294,62 @@ def test_parquet_num_rows_directory_shape(spark, sf_dir, tmp_path):
     out = str(tmp_path / "lineitem.parquet")
     li.repartition(5).write.mode("overwrite").parquet(out)
     assert parquet_num_rows(str(tmp_path), "lineitem") == n
+
+
+def test_join_constraint_propagation_bounds_state(spark, sf_dir):
+    """The mechanism behind stream_state_join_buffers' right-side
+    oracle: InferFiltersFromConstraints propagates the left side's
+    user_id predicate through the equi-join onto the RIGHT scan, so a
+    (streaming or batch) join never buffers/reads rows that cannot
+    match.  Pinned on the batch plan (same optimizer rule; no
+    streaming run needed): the purchases-side scan must carry a
+    pushed user_id filter it was never given explicitly."""
+    from datafusion_comet_spark.catalog import load_table
+    from datafusion_comet_spark.plans import plan_string
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(
+        (F.col("event_type") == "click") & (F.col("user_id") < 60)
+    ).select("user_id", F.col("ts").alias("c_ts"))
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    joined = clicks.join(purchases, clicks.user_id == purchases.p_user)
+    plan = plan_string(joined, "formatted")
+    # two scans; BOTH must show a user_id/p_user < 60 pushed filter
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    with_bound = [ln for ln in pushed if "LessThan(user_id,60)" in ln]
+    assert len(with_bound) == 2, plan[:3000]
+
+
+def test_state_source_schema_contract(spark, sf_dir):
+    """The state data source's projection contract the introspection
+    queries rely on: (key struct, value struct, partition_id int),
+    with the value struct carrying PHYSICAL buffer names (count/sum
+    for an aggregation) — aliases exist only above the state store."""
+    from datafusion_comet_spark.streaming import (
+        read_events_stream,
+        run_to_state,
+    )
+
+    agg = (
+        read_events_stream(spark, sf_dir)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("user_id").alias("u"),
+        )
+    )
+    st = run_to_state(
+        agg, "state_schema_contract_sink", "complete", shuffle_partitions=2
+    )
+    top = {f.name: f.dataType.typeName() for f in st.schema.fields}
+    assert top == {
+        "key": "struct",
+        "value": "struct",
+        "partition_id": "integer",
+    }, top
+    key_fields = [f.name for f in st.schema["key"].dataType.fields]
+    val_fields = [f.name for f in st.schema["value"].dataType.fields]
+    assert key_fields == ["event_type"], key_fields
+    assert val_fields == ["count", "sum"], val_fields
