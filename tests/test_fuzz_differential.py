@@ -1135,3 +1135,77 @@ def null_order_limit_query(draw) -> str:
 def test_random_null_order_limit_matches_duckdb(views, sf_dir, sql):
     df = views.sql(sql)
     compare_to_oracle(df, sql, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# Family 25 (round 9): random MAP construction + lookup — literal-keyed
+# maps over numeric lineitem expressions, probed with present, absent,
+# and drawn keys.  Map kernels are corpus-pinned (tests/sql/map/) but
+# were never fuzzed; the dialects differ in BOTH construction (Spark
+# interleaved map(k,v,k,v) vs DuckDB map([keys],[values])) and lookup
+# result shape (Spark element_at returns the VALUE or NULL; DuckDB's
+# returns a LIST — [] when absent — so the oracle appends [1]).  Keys
+# are literals, never data-derived: Spark raises DUPLICATE_MAP_KEY
+# where DuckDB keeps the last, a divergence pinned in the corpus, and
+# a fuzz family must generate only from the shared-semantics subset.
+# ---------------------------------------------------------------------------
+_MAP_VALS = (
+    "CAST(l_quantity AS BIGINT)",
+    "l_linenumber * 10",
+    "l_orderkey % 53",
+    "l_suppkey % 97",
+)
+
+
+@st.composite
+def map_lookup_pair(draw) -> tuple[str, str]:
+    n = draw(st.integers(2, 4))
+    keys = ["a", "b", "c", "d"][:n]
+    vals = [draw(st.sampled_from(_MAP_VALS)) for _ in range(n)]
+    s_map = "map(" + ", ".join(f"'{k}', {v}" for k, v in zip(keys, vals)) + ")"
+    d_map = (
+        "map(["
+        + ", ".join(f"'{k}'" for k in keys)
+        + "], ["
+        + ", ".join(vals)
+        + "])"
+    )
+    probe = draw(st.sampled_from(keys + ["z"]))  # 'z' is always absent
+    final = draw(st.sampled_from(["lookup", "size", "keys"]))
+    if final == "lookup":
+        s_expr = f"element_at({s_map}, '{probe}')"
+        d_expr = f"element_at({d_map}, '{probe}')[1]"
+    elif final == "size":
+        s_expr = f"CAST(size({s_map}) AS BIGINT)"
+        d_expr = f"CAST(cardinality({d_map}) AS BIGINT)"
+    else:
+        s_expr = f"array_join(map_keys({s_map}), '|')"
+        d_expr = f"array_to_string(map_keys({d_map}), '|')"
+    pred = draw(st.sampled_from([
+        "l_orderkey < 2000",
+        "l_partkey % 5 = 0",
+        "l_linenumber <= 3",
+    ]))
+    shell = (
+        "SELECT l_returnflag AS k, count(v) AS n, "
+        "CAST(min(v) AS STRING) AS mn, CAST(max(v) AS STRING) AS mx "
+        "FROM (SELECT l_returnflag, {expr} AS v FROM lineitem "
+        "WHERE {pred}) t GROUP BY l_returnflag ORDER BY k"
+    )
+    return (
+        shell.format(expr=s_expr, pred=pred),
+        shell.format(expr=d_expr, pred=pred),
+    )
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(pair=map_lookup_pair())
+def test_random_map_lookup_matches_duckdb(views, sf_dir, pair):
+    spark_sql, duck_sql = pair
+    df = views.sql(spark_sql)
+    compare_to_oracle(df, duck_sql, sf_dir)
