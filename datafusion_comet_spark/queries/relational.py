@@ -1014,7 +1014,7 @@ def join_theta_nested_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH updates AS (
   SELECT o_orderkey,
-         round(o_totalprice * 1.10, 2) AS new_price,
+         o_totalprice * 2 AS new_price,
          'RESTATED' AS new_comment
   FROM orders
   WHERE o_orderkey % 100 = 0
@@ -1022,7 +1022,7 @@ WITH updates AS (
 merged AS (
   SELECT coalesce(u.o_orderkey, t.o_orderkey) AS o_orderkey,
          CASE WHEN u.o_orderkey IS NOT NULL THEN u.new_price
-              ELSE round(t.o_totalprice, 2) END AS price,
+              ELSE t.o_totalprice END AS price,
          CASE WHEN u.o_orderkey IS NOT NULL THEN u.new_comment
               ELSE t.o_orderpriority END AS tag
   FROM orders t
@@ -1046,11 +1046,20 @@ def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     join shuffles on the merge key exactly once; with a bucketed or
     partitioned target the exchange drops to the updates side only
     (see join_bucketed_colocated), which is the copy-on-write MERGE
-    cost model."""
+    cost model.
+
+    The restatement multiplier is 2 — a power of two, so the update
+    price is binary-EXACT with no float rounding anywhere before the
+    boundary decimal cast.  The original round(price * 1.10, 2)
+    survived the sf0.001–0.1 gates but diverged at sf1 (1.5M orders
+    finally hit a double whose near-tie rounds differently in Java's
+    BigDecimal path vs DuckDB's libm path) — the same class as the
+    verify-recipe round(sum(double)) flake, caught by the round-9
+    oracle run at sf1."""
     orders = load_table(spark, sf_dir, "orders")
     updates = orders.filter(F.col("o_orderkey") % 100 == 0).select(
         F.col("o_orderkey").alias("u_key"),
-        F.round(F.col("o_totalprice") * 1.10, 2).alias("new_price"),
+        (F.col("o_totalprice") * 2).alias("new_price"),
         F.lit("RESTATED").alias("new_comment"),
     )
     matched = F.col("u_key").isNotNull()
@@ -1059,7 +1068,7 @@ def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         F.coalesce(F.col("u_key"), F.col("o_orderkey")).alias("key"),
         F.when(matched, F.col("new_price"))
-        .otherwise(F.round(F.col("o_totalprice"), 2))
+        .otherwise(F.col("o_totalprice"))
         .alias("price"),
         F.when(matched, F.col("new_comment"))
         .otherwise(F.col("o_orderpriority"))
