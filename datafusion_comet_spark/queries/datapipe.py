@@ -328,12 +328,12 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 SELECT doc_id, lang,
        CAST(len(toks) AS INT) AS n_tokens,
-       round(CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
-             / len(toks), 6) AS avg_tok_len,
-       round(CAST(len(list_filter(toks, t -> t IN {STOPWORDS})) AS DOUBLE)
-             / len(toks), 6) AS stopword_ratio,
-       round(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 6)
-         AS distinct_ratio
+       floor(CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
+             / len(toks) * 1000000) / 1000000 AS avg_tok_len,
+       floor(CAST(len(list_filter(toks, t -> t IN {STOPWORDS})) AS DOUBLE)
+             / len(toks) * 1000000) / 1000000 AS stopword_ratio,
+       floor(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) * 1000000)
+         / 1000000 AS distinct_ratio
 FROM (SELECT doc_id, lang, str_split(lower(text), ' ') AS toks
       FROM documents) t
 ORDER BY doc_id
@@ -355,23 +355,34 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     was per-element re-execution of an un-materialized split, not
     lambdas per se).  At 100 TB this is embarrassingly parallel:
     map-only over the scan, no exchange until the final orderBy (which
-    production pipelines drop — it exists for oracle determinism)."""
+    production pipelines drop — it exists for oracle determinism).
+
+    The ratios are truncated with floor(x*1e6)/1e6, not round(x, 6):
+    both engines compute the IDENTICAL IEEE double for a
+    count-over-count ratio, and floor keeps the whole path in exact
+    float ops — per-row round(double, n) goes through each engine's
+    decimal-image conversion, which disagrees on near-ties (the
+    round-9 merge_upsert sf1 find; COMPAT.md rule)."""
     docs = _t(spark, sf_dir, "documents")
     t = F.lower("text")
     toks = F.split(t, " ")
     n = F.size(toks)
     nd = n.cast("double")
     stop_cnt = F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS)))
+
+    def _trunc6(col):
+        return F.floor(col * 1000000) / 1000000
+
     return docs.select(
         "doc_id",
         "lang",
         n.alias("n_tokens"),
-        F.round((F.length(t) - (n - 1)).cast("double") / nd, 6).alias(
+        _trunc6((F.length(t) - (n - 1)).cast("double") / nd).alias(
             "avg_tok_len"
         ),
-        F.round(stop_cnt.cast("double") / nd, 6).alias("stopword_ratio"),
-        F.round(
-            F.size(F.array_distinct(toks)).cast("double") / nd, 6
+        _trunc6(stop_cnt.cast("double") / nd).alias("stopword_ratio"),
+        _trunc6(
+            F.size(F.array_distinct(toks)).cast("double") / nd
         ).alias("distinct_ratio"),
     ).orderBy("doc_id")
 
@@ -470,9 +481,9 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT a, b, jaccard
 FROM (
   SELECT x.doc_id AS a, y.doc_id AS b,
-         round(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
-               / (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))),
-               4) AS jaccard
+         floor(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+               / (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh)))
+               * 10000) / 10000 AS jaccard
   FROM (SELECT doc_id, source,
                list_distinct(list_transform(
                  generate_series(1, greatest(len(str_split(lower(text), ' ')) - 2, 1)),
@@ -502,7 +513,11 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     production run thresholds — top-k keeps the gate non-vacuous on
     synthetic text with no true near-dups).  Set algebra runs
     JVM-side: array_intersect on distinct shingle arrays,
-    |A∪B| = |A|+|B|−|A∩B|."""
+    |A∪B| = |A|+|B|−|A∩B|.  The ratio is floor-truncated, not
+    rounded: it ORDERS the top-k selection, so a near-tie
+    decimal-rounding divergence (COMPAT.md round-9 rule) could swap
+    the selected SET; floor keeps the whole path in exact float ops
+    on a count ratio both engines compute bit-identically."""
     docs = (
         _t(spark, sf_dir, "documents")
         .filter(F.col("doc_id") < 150)
@@ -524,7 +539,8 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "a",
             "b",
-            F.round(inter.cast("double") / union, 4).alias("jaccard"),
+            (F.floor(inter.cast("double") / union * 10000) / 10000)
+            .alias("jaccard"),
         )
         .orderBy(F.col("jaccard").desc(), "a", "b")
         .limit(20)
