@@ -9,7 +9,11 @@ pinned state partitions) registered early enough that the streaming
 capability gets driver-checked CORRECTNESS rows: one stateless
 (filter/project) plus one per stateful state-store format —
 aggregation (tumbling window), dedup (dropDuplicates), and join
-(watermarked time-range stream-stream join).
+(watermarked time-range stream-stream join) — and, since round 9,
+one STATE-INTROSPECTION query per format reading the committed
+checkpoint back through the built-in state data source
+(stream_state_store_reader / stream_state_dedup_keys /
+stream_state_join_buffers).
 
 Capability superset vs the reference, which rejects streaming plans
 outright (reference:
