@@ -1209,3 +1209,97 @@ def test_random_map_lookup_matches_duckdb(views, sf_dir, pair):
     spark_sql, duck_sql = pair
     df = views.sql(spark_sql)
     compare_to_oracle(df, duck_sql, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# Family 26 (round 9): random PIVOT — the relational pivot clause
+# (SURVEY §2 Expand-adjacent; `pivot_linestatus` is its one static
+# registry query) fuzzed across pivot column, value-subset, aggregate,
+# and grouping expression.  Catalyst rewrites PIVOT to one aggregate
+# over agg(if(p = value, v, null)) per cell, so the family exercises
+# the conditional-aggregation rewrite rather than a dedicated
+# operator.  Dual-dialect because DuckDB's PIVOT is a different
+# statement form: the oracle spells the SAME cells as FILTERed
+# aggregates.  Shared-semantics notes: a group whose rows all carry
+# non-listed pivot values still emits a row (all-NULL cells) in both
+# engines; empty-cell count() is 0 (not NULL) in both (Spark:
+# count over the if()-nulls; DuckDB: count FILTER of zero rows);
+# sum/min/max empty cells are NULL in both.  Every aggregate and the
+# grouping key are CAST to BIGINT so engine result-type conventions
+# (DuckDB sum(BIGINT) -> HUGEINT) cannot leak into the compare.
+# ---------------------------------------------------------------------------
+_PIVOT_SOURCES = (
+    # (table, pivot col, full value domain, group exprs, value exprs)
+    (
+        "lineitem",
+        "l_returnflag",
+        ("A", "N", "R"),
+        ("l_linenumber", "l_suppkey % 7", "CAST(l_quantity AS BIGINT) % 5"),
+        ("CAST(l_quantity AS BIGINT)", "l_orderkey % 997", "l_partkey % 53"),
+    ),
+    (
+        "lineitem",
+        "l_linestatus",
+        ("F", "O"),
+        ("l_linenumber", "l_partkey % 9"),
+        ("CAST(l_quantity AS BIGINT)", "l_suppkey % 101"),
+    ),
+    (
+        "orders",
+        "o_orderstatus",
+        ("F", "O", "P"),
+        ("o_custkey % 7", "length(o_orderpriority)"),
+        ("o_orderkey % 997", "CAST(floor(o_totalprice / 100) AS BIGINT)"),
+    ),
+)
+_PIVOT_PREDS = {
+    "lineitem": ("l_orderkey < 4000", "l_linenumber <= 4", "l_partkey % 3 = 0"),
+    "orders": ("o_orderkey < 6000", "o_custkey % 2 = 0",
+               "o_orderpriority LIKE '%URGENT'"),
+}
+
+
+@st.composite
+def pivot_pair(draw) -> tuple[str, str]:
+    table, pcol, domain, gexprs, vexprs = draw(st.sampled_from(_PIVOT_SOURCES))
+    g = draw(st.sampled_from(gexprs))
+    v = draw(st.sampled_from(vexprs))
+    agg = draw(st.sampled_from(["sum", "min", "max", "count"]))
+    pred = draw(st.sampled_from(_PIVOT_PREDS[table]))
+    # non-empty value subset, domain order preserved (cell columns are
+    # aliased positionally, so order only affects the schema, which the
+    # oracle mirrors exactly)
+    picks = [
+        val for val in domain
+        if draw(st.booleans())
+    ] or [domain[0]]
+    s_cells = ", ".join(f"'{val}' AS c{i}" for i, val in enumerate(picks))
+    d_cells = ", ".join(
+        f"CAST({agg}(v) FILTER (WHERE p = '{val}') AS BIGINT) AS c{i}"
+        for i, val in enumerate(picks)
+    )
+    base = (
+        f"SELECT CAST({g} AS BIGINT) AS g, {pcol} AS p, {v} AS v "
+        f"FROM {table} WHERE {pred}"
+    )
+    spark_sql = (
+        f"SELECT * FROM ({base}) "
+        f"PIVOT (CAST({agg}(v) AS BIGINT) FOR p IN ({s_cells})) ORDER BY g"
+    )
+    duck_sql = (
+        f"SELECT g, {d_cells} FROM ({base}) t GROUP BY g ORDER BY g"
+    )
+    return spark_sql, duck_sql
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(pair=pivot_pair())
+def test_random_pivot_matches_duckdb(views, sf_dir, pair):
+    spark_sql, duck_sql = pair
+    df = views.sql(spark_sql)
+    compare_to_oracle(df, duck_sql, sf_dir)
