@@ -65,84 +65,76 @@ def register(
 # after all imports — immune to import side effects — and pytest-pinned
 # by tests/test_plans.py::test_sample_prefix.
 #
-# Round-9 rotation (per the round-8 verdict's "Next round #1", the
-# exact depth-1 plan dev/sample_debt.py prints): finish the registry.
-# Slot 1 is `stream_stream_full_outer` — the last hash-checkable query
-# with no driver row (deferred from r8 as the priciest stateful shape:
-# a full-outer stream-stream join holds BOTH sides' state to the
-# watermark).  Slot 2 is `sample_bernoulli_seeded` — rows-only by
-# design (partition-seeded Bernoulli, non-pinnable); its exception is
-# declared in test_sample_prefix's rows_only_allowed in the same
-# commit.  After these two land green, EVERY registry query has a
-# driver row.  Slots 3-50 re-confirm the 48 OLDEST green rows (r1/r2
-# vintage, 6-7 rounds stale — setops, expand, explode, joins, shuffle
-# partitioning, tpcds_style2/3 batches), the same re-proof discipline
-# as the reference's CometTestBase.checkSparkAnswerAndOperator.  All
-# 325 oracles still run locally every round regardless
+# Round-10 rotation (per the round-9 verdict's "Next round #3", the
+# exact depth-1 plan dev/sample_debt.py prints).  The registry is
+# complete (every query has a driver row as of r9), so rotation is now
+# pure freshness-cranking: slots 1-7 are the tpcds_style3 cohort whose
+# last driver rows are the registry's oldest (r2/r3), slots 8-50 the
+# datapipe/text/similarity family (r3 vintage, 7 rounds stale).  This
+# batch carries extra weight: `dedup_levenshtein` (slot 22) and
+# `dedup_embedding_cosine` (slot 17) get their first DRIVER re-proof
+# since the round-9 sorted-neighborhood / axis-sign-LSH rewrites
+# (locally green at 4 scales, but a driver hash row is the stronger
+# evidence), and `ann_bruteforce_topk` re-proves the ANN baseline
+# after the round-9 Lloyd quantizer rewrite.  After this rotation the
+# oldest driver row in the registry advances from r2 to r4.  All 328
+# oracles still run locally every round regardless
 # (tests/test_queries_oracle.py).
 SAMPLE_PREFIX: tuple[str, ...] = (
-    # 1: the last hash-checkable never-sampled query (first-ever row)
-    "stream_stream_full_outer",
-    # 2: rows-only by design — the one sanctioned weaker-gate slot
-    "sample_bernoulli_seeded",
-    # 3-9: set operations (last driver rows r1/r2)
-    "setop_union_all",
-    "setop_union_by_name",
-    "setop_intersect",
-    "setop_except",
-    "setop_except_all",
-    "setop_intersect_all",
-    "distinct_flags",
-    # 10-15: expand / generators (r1/r2 vintage)
-    "expand_rollup",
-    "expand_cube",
-    "expand_grouping_sets",
-    "explode_tokens",
-    "posexplode_tokens",
-    "pivot_linestatus",
-    # 16-27: joins / shuffle / relational (r1/r2 vintage)
-    "limit_offset_orders",
-    "join_right_outer",
-    "join_full_outer",
-    "join_cross",
-    "local_table_scan",
-    "shuffle_range_partition",
-    "join_skew_salted",
-    "expand_grouping_flags",
-    "join_sort_merge",
-    "unpivot_charges",
-    "join_bucketed_colocated",
-    "generator_inline",
-    # 28-30: registered mid-round-9 — slotted immediately so the round
-    # ends with zero never-sampled hash-checkable queries (the bar the
-    # round-8 verdict set); they displace THREE r2-vintage reconfirms
-    # (tpcds_cumulative_compare, tpcds_rank_in_category,
-    # tpcds_customer_cohort_setops — all still locally green every
-    # round), which rejoin the next rotation.
-    "stream_state_store_reader",
-    "stream_state_dedup_keys",
-    "stream_state_join_buffers",
-    # 31-50: oldest-green TPC-DS-style batches (r2 vintage)
-    "tpcds_net_after_returns",
-    "tpcds_frequent_buyer_semi",
-    "tpcds_party_size_band",
-    "tpcds_return_ratio_rank",
-    "tpcds_rolling_brand_deviation",
-    "tpcds_class_revenue_ratio",
-    "tpcds_quarterly_share_growth",
-    "tpcds_weekday_pivot_ratio",
-    "tpcds_multi_exists_demographics",
-    "tpcds_above_avg_returners",
-    "tpcds_am_pm_ratio",
-    "tpcds_above_avg_discount",
-    "tpcds_half_year_balance",
-    "tpcds_delay_buckets",
-    "tpcds_attribute_combo_parts",
-    "tpcds_monthly_pivot_wide",
-    "tpcds_channel_pnl",
-    "tpcds_yoy_preference_shift",
-    "tpcds_acctbal_band_priority",
-    "tpcds_channel_rollup",
+    # 1-7: tpcds_style3 cohort — the registry's oldest rows (r2/r3)
+    "tpcds_customer_cohort_setops",
+    "tpcds_rank_in_category",
+    "tpcds_cumulative_compare",
+    "tpcds_rollup_rank_hierarchy",
+    "tpcds_time_band_counts",
+    "tpcds_yoy_channel_ratio",
+    "tpcds_purchase_overlap",
+    # 8-10: similarity family (r3 vintage; post-Lloyd-rewrite re-proof)
+    "ann_bruteforce_topk",
+    "embedding_norm_stats",
+    "embedding_quantize_int8",
+    # 11-50: datapipe/text family (r3 vintage, 7 rounds stale) —
+    # includes the two round-9 dedup rewrites' first driver re-proof
+    "dedup_exact",
+    "dedup_window_first",
+    "text_stats",
+    "lang_id_heuristic",
+    "token_count_regex",
+    "dedup_ngram_jaccard",
+    "dedup_embedding_cosine",
+    "sample_hash_deterministic",
+    "vocab_top_tokens",
+    "ngram_bigram_counts",
+    "doc_quality_filter",
+    "dedup_levenshtein",
+    "text_tfidf_topk",
+    "pipeline_corpus_curation",
+    "decontaminate_ngram_overlap",
+    "text_regex_scrub",
+    "sample_weighted_mixture",
+    "doc_chunk_sliding",
+    "doc_repetition_ratio",
+    "dedup_normalized_text",
+    "token_count_arrow",
+    "dedup_incremental_vs_corpus",
+    "corpus_deterministic_shuffle",
+    "doc_pack_greedy",
+    "doc_length_ntile",
+    "pipeline_corpus_curation_v2",
+    "dedup_paragraph_boilerplate",
+    "fingerprint_table_maintain",
+    "sample_stratified_exact_k",
+    "global_index_assignment",
+    "dedup_keep_best",
+    "quality_linear_scorer",
+    "quality_scorer_weight_table",
+    "dedup_paragraph_reassemble",
+    "corpus_snapshot_diff",
+    "boilerplate_prefix_strip",
+    "sample_temperature_mixture",
+    "corpus_epoch_repetition",
+    "quality_topp_per_language",
+    "pipeline_mixture_assembly",
 )
 
 

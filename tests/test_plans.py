@@ -829,17 +829,13 @@ def test_sample_prefix():
     # every sampled slot must be HASH-checkable: a rows-only query in
     # the prefix burns a slot on the weaker gate (round 7: only the
     # partition-seeded Bernoulli sample remains oracle-less).  The
-    # allowlist below is the ONE sanctioned exception path: "every
-    # registry query has a green driver row" (round-7 verdict bar)
-    # requires scheduling sample_bernoulli_seeded once for its weaker
-    # rows-only row.  The round-9 rotation does exactly that (slot 2,
-    # per dev/sample_debt.py's depth-1 plan and the round-8 verdict's
-    # "Next round #1") — the allowlist entry lands in the same commit
-    # as the SAMPLE_PREFIX change so the exception is deliberate and
-    # review-visible.  Remove the entry when the rotation moves on.
+    # allowlist is the ONE sanctioned exception path; it was used once
+    # (round 9, sample_bernoulli_seeded's rows-only row, per the
+    # round-8 verdict's "Next round #1") and is now empty again — the
+    # round-10 rotation is pure hash-checkable freshness re-proof.
     from datafusion_comet_spark.queries import REGISTRY
 
-    rows_only_allowed: set[str] = {"sample_bernoulli_seeded"}
+    rows_only_allowed: set[str] = set()
     rows_only = [
         n
         for n in SAMPLE_PREFIX
