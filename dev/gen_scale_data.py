@@ -29,8 +29,22 @@ generator's sf0.1 differs from the driver's sf0.1 (row-group count,
 RNG).  Exponents must be computed within one generator's series —
 that is exactly how SCALE.md's round-9 table uses it.
 
-Usage: python dev/gen_scale_data.py SF [SF...]   (e.g. 0.1 0.3 1)
-Writes to /root/repo/scaledata/sf{SF}/ (gitignored — ~170 MB/sf).
+Usage: python dev/gen_scale_data.py SF [SF...] [--skew S]
+Writes to /root/repo/scaledata/sf{SF}/ (gitignored — ~170 MB/sf);
+with --skew S, to /root/repo/scaledata/sf{SF}-skew{S}/.
+
+--skew S (round-9 verdict, "Next round #1"): draw the fact tables'
+foreign keys Zipf(S)-distributed instead of uniform — the realistic
+web-corpus hot-key shape (S ~ 1.1-1.3; at S=1.2 over 150k customers
+the hottest key takes ~19% of all orders).  Skewed columns:
+``orders.o_custkey``, ``lineitem.l_partkey`` / ``l_suppkey``,
+``events.user_id``; additionally 0.1% of orders become "bulk" orders
+with U{50..500} lines so ``l_orderkey`` multiplicity is heavy-tailed
+too.  Hot ranks are scattered through key space by a fixed
+permutation, so skew never correlates with key-ordered attributes and
+hot keys don't hash adjacently.  Row COUNTS are unchanged except
+lineitem's ~+7% from bulk orders — uniform-vs-skewed wall-time deltas
+are therefore attributable to skew, not volume.
 """
 
 from __future__ import annotations
@@ -74,6 +88,31 @@ DAY_US = 86_400_000_000
 
 def _rng(sf: float, table: str) -> np.random.Generator:
     return np.random.default_rng([42, int(round(sf * 1000)), hash(table) & 0x7FFFFFFF])
+
+
+# set by main() from --skew; None = uniform keys (the default)
+SKEW: float | None = None
+
+_PERM_CACHE: dict[int, np.ndarray] = {}
+
+
+def _fk(rng: np.random.Generator, n_keys: int, m: int) -> np.ndarray:
+    """m foreign keys over [0, n_keys): uniform, or Zipf(SKEW).
+
+    Zipf by inverse-CDF over the n_keys ranks (exact, bounded — unlike
+    numpy's unbounded Generator.zipf), then rank -> key through a fixed
+    per-cardinality permutation so the hot keys are scattered across
+    key space rather than clustered at 0..k.
+    """
+    if SKEW is None:
+        return rng.integers(0, n_keys, m)
+    w = np.arange(1, n_keys + 1, dtype="float64") ** -SKEW
+    cdf = np.cumsum(w)
+    cdf /= cdf[-1]
+    ranks = np.searchsorted(cdf, rng.random(m), side="left")
+    if n_keys not in _PERM_CACHE:
+        _PERM_CACHE[n_keys] = np.random.default_rng([7, n_keys]).permutation(n_keys)
+    return _PERM_CACHE[n_keys][ranks]
 
 
 def _writer(path: str, schema: pa.Schema) -> pq.ParquetWriter:
@@ -172,15 +211,20 @@ def gen_orders_lineitem(out: str, sf: float, n_cust: int, n_part: int,
         odate = rng.integers(date_lo, date_hi + 1, m)
         ords = pa.table({
             "o_orderkey": pa.array(okey, pa.int64()),
-            "o_custkey": pa.array(rng.integers(0, n_cust, m), pa.int64()),
+            "o_custkey": pa.array(_fk(rng, n_cust, m), pa.int64()),
             "o_orderstatus": np.array(STATUSES)[rng.integers(0, 3, m)],
             "o_totalprice": np.round(rng.uniform(1000, 500000, m), 2),
             "o_orderdate": _ts_us(odate),
             "o_orderpriority": np.array(PRIORITIES)[rng.integers(0, 5, m)],
         })
         ow.write_table(ords, row_group_size=ROW_GROUP)
-        # 1..7 lines per order (measured mean 4.075 ~= U{1..7})
+        # 1..7 lines per order (measured mean 4.075 ~= U{1..7});
+        # in skew mode 0.1% of orders are "bulk" (50..500 lines) so
+        # l_orderkey multiplicity is heavy-tailed as well
         nlines = rng.integers(1, 8, m)
+        if SKEW is not None:
+            bulk = rng.random(m) < 0.001
+            nlines = np.where(bulk, rng.integers(50, 501, m), nlines)
         k = int(nlines.sum())
         l_okey = np.repeat(okey, nlines)
         l_odate = np.repeat(odate, nlines)
@@ -188,8 +232,8 @@ def gen_orders_lineitem(out: str, sf: float, n_cust: int, n_part: int,
             np.concatenate(([0], np.cumsum(nlines)[:-1])), nlines) + 1)
         lines = pa.table({
             "l_orderkey": pa.array(l_okey, pa.int64()),
-            "l_partkey": pa.array(rng.integers(0, n_part, k), pa.int64()),
-            "l_suppkey": pa.array(rng.integers(0, n_supp, k), pa.int64()),
+            "l_partkey": pa.array(_fk(rng, n_part, k), pa.int64()),
+            "l_suppkey": pa.array(_fk(rng, n_supp, k), pa.int64()),
             "l_linenumber": pa.array(linenum, pa.int32()),
             "l_quantity": rng.integers(1, 51, k).astype("float64"),
             "l_extendedprice": np.round(rng.uniform(900, 105000, k), 2),
@@ -224,7 +268,7 @@ def gen_events(out: str, sf: float) -> int:
             "event_id": pa.array(np.arange(lo, lo + m), pa.int64()),
             "ts": pa.array(np.sort(rng.integers(t_lo, t_hi, m)),
                            pa.timestamp("us")),
-            "user_id": pa.array(rng.integers(0, n_users, m), pa.int64()),
+            "user_id": pa.array(_fk(rng, n_users, m), pa.int64()),
             "event_type": np.array(EVENT_TYPES)[rng.integers(0, 5, m)],
             "value": np.round(np.minimum(rng.exponential(60.0, m), 999.0), 2),
             "props": np.array([f'{{"k": {k}}}' for k in ks]),
@@ -295,10 +339,17 @@ def gen_embeddings(out: str, sf: float) -> int:
 
 
 def main() -> None:
-    sfs = [float(a) for a in sys.argv[1:]] or [1.0]
+    global SKEW
+    argv = list(sys.argv[1:])
+    if "--skew" in argv:
+        i = argv.index("--skew")
+        SKEW = float(argv[i + 1])
+        del argv[i:i + 2]
+    sfs = [float(a) for a in argv] or [1.0]
     for sf in sfs:
         label = f"{sf:g}"
-        out = os.path.join(OUT_BASE, f"sf{label}")
+        suffix = f"-skew{SKEW:g}" if SKEW is not None else ""
+        out = os.path.join(OUT_BASE, f"sf{label}{suffix}")
         os.makedirs(out, exist_ok=True)
         print(f"generating sf{label} -> {out}")
         gen_region_nation(out)
