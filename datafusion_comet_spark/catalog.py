@@ -60,6 +60,33 @@ def parquet_num_rows(sf_dir: str, name: str) -> int:
     return pq.ParquetFile(path).metadata.num_rows
 
 
+_TABLE_BYTES_CACHE: dict[tuple[str, str], int] = {}
+
+
+def table_bytes(sf_dir: str, name: str) -> int:
+    """On-disk size of a table (file or directory-shaped) — a pure
+    filesystem-metadata operation, cached per (sf_dir, table).  Used by
+    the size-aware broadcast-hint policy (queries/_shared._dim_hint)
+    and mirrors testing.lineitem_bytes, which keys the plan-regime bit.
+    """
+    key = (sf_dir, name)
+    cached = _TABLE_BYTES_CACHE.get(key)
+    if cached is not None:
+        return cached
+    p = table_path(sf_dir, name)
+    if os.path.isdir(p):
+        n = sum(
+            os.path.getsize(os.path.join(root, f))
+            for root, _dirs, files in os.walk(p)
+            for f in files
+            if f.endswith(".parquet")
+        )
+    else:
+        n = os.path.getsize(p)
+    _TABLE_BYTES_CACHE[key] = n
+    return n
+
+
 # (applicationId, sf_dir, name) -> DataFrame.  The star-schema dirs are
 # read-only, so a resolved DataFrame (file listing + footer schema) can be
 # reused across queries within one SparkContext — the single-engine analog

@@ -25,11 +25,77 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import load_table
+from ..catalog import FIXED_SIZE_DIMS, load_table, table_bytes
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
+
+
+# A broadcast HINT is honored unconditionally by Catalyst — on a table
+# that grows with the scale factor it is the classic OOM-at-scale bug
+# (SCALE.md, plan-regime ladder): at sf0.1 `part` is 1 MB and the hint
+# is free performance; at sf1000 it is 30 GB and the hint is a driver
+# OOM.  Hints on SCALING tables therefore go through this size gate:
+# hint only while the table's on-disk footprint fits the broadcast
+# budget (the session's 32 MB autoBroadcastJoinThreshold; snappy
+# parquet under-states in-memory size ~2-3x, so this is deliberately
+# the same number, not a multiple of it — beyond it Catalyst/AQE pick
+# the join strategy from its own pruned estimates, including flipping
+# back to broadcast when runtime stats turn out small).  region/nation
+# are fixed-cardinality at every SF and stay unconditionally hinted.
+_DIM_HINT_MAX_BYTES = 32 << 20
+
+
+def _dim_hint(df: DataFrame, sf_dir: str, name: str) -> DataFrame:
+    """Broadcast-hint a dimension(-derived) DataFrame while the BASE
+    table `name` is small on disk; above the budget return it unhinted.
+
+    For derived frames (filters/projections/aggregates keyed by the
+    dimension), pass the base table whose cardinality bounds the
+    result — a per-partkey aggregate can never exceed |part|.
+    """
+    if name in FIXED_SIZE_DIMS or table_bytes(sf_dir, name) <= _DIM_HINT_MAX_BYTES:
+        return F.broadcast(df)
+    return df
+
+
+def _dim(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load table `name` with the size-gated broadcast hint applied."""
+    return _dim_hint(load_table(spark, sf_dir, name), sf_dir, name)
+
+
+def _stats_join_back(
+    rows: DataFrame,
+    stats: DataFrame,
+    key: str,
+    sf_dir: str,
+    name: str,
+    how: str = "inner",
+) -> DataFrame:
+    """Join a per-key aggregate back to its rows — the skew-safe form
+    of an unbounded window aggregate over a fact key (q17 /
+    tpcds_above_avg_discount, round 10).
+
+    Small regime (base table `name` under the broadcast budget): the
+    stats side broadcasts; the probe side never shuffles on the key at
+    all, so key skew cannot hurt.
+
+    Large regime: the stats side is ROUND-ROBIN rebalanced before the
+    join.  Measured necessity (round 10, Zipf(1.2) partkeys at
+    generator sf0.5): Spark's OptimizeSkewedJoin pattern-matches ONLY
+    SortMergeJoins whose two children are Sort over a bare
+    ENSURE_REQUIREMENTS shuffle stage — with the aggregate sitting
+    between Sort and the stats exchange the rule never fires, and the
+    hot probe partition runs as one straggler task.  Rebalancing the
+    (dimension-bounded) stats side costs one extra small exchange and
+    restores the bare-stage shape, after which AQE splits the skewed
+    probe partition (`skew=true`, pinned in tests/test_skew_stress.py).
+    """
+    if name in FIXED_SIZE_DIMS or table_bytes(sf_dir, name) <= _DIM_HINT_MAX_BYTES:
+        return rows.join(F.broadcast(stats), key, how)
+    npart = int(rows.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    return rows.join(stats.repartition(npart), key, how)
 
 
 def _ts(s: str) -> Column:

@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from . import register
+from ._shared import _dim_hint
 from ._values_oracles import VALUES_ORACLES
 
 STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
@@ -1277,7 +1278,7 @@ def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     train_sh = sh.filter(F.col("doc_id") % 25 != 0)
     hits = (
-        train_sh.join(F.broadcast(eval_sh), "s")
+        train_sh.join(_dim_hint(eval_sh, sf_dir, "documents"), "s")
         .groupBy("doc_id", "source")
         .agg(F.count(F.lit(1)).alias("n_overlap"))
         .filter(F.col("n_overlap") >= 3)
@@ -2028,7 +2029,7 @@ def pipeline_corpus_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     clean = (
         kept.select("doc_id", "source", "n", F.explode_outer(sh).alias("s"))
-        .join(F.broadcast(eval_sh), "s", "left")
+        .join(_dim_hint(eval_sh, sf_dir, "documents"), "s", "left")
         .groupBy("doc_id")
         .agg(
             F.first("source").alias("source"),

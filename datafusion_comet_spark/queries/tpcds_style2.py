@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from . import register
-from ._shared import SQL_REV, _dec, _drev, _money, _ts
+from ._shared import SQL_REV, _dec, _dim_hint, _drev, _money, _stats_join_back, _ts
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -79,7 +79,7 @@ def tpcds_net_after_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
     zero = F.lit(0).cast("decimal(18,2)")
     return (
         orders.join(ret, orders.o_orderkey == ret.l_orderkey, "left")
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(_dim_hint(cust, sf_dir, "customer"), orders.o_custkey == cust.c_custkey)
         .groupBy("c_custkey", "c_name")
         .agg(
             _money(F.sum(_dec("o_totalprice"))).alias("gross"),
@@ -151,9 +151,9 @@ def tpcds_frequent_buyer_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     period = orders.filter(
         (F.col("o_orderdate") >= _ts("1998-01-01 00:00:00"))
         & (F.col("o_orderdate") < _ts("1999-01-01 00:00:00"))
-    ).join(F.broadcast(big_spenders), "o_custkey", "left_semi")
+    ).join(_dim_hint(big_spenders, sf_dir, "customer"), "o_custkey", "left_semi")
     return (
-        li.join(F.broadcast(freq_parts), "l_partkey", "left_semi")
+        li.join(_dim_hint(freq_parts, sf_dir, "part"), "l_partkey", "left_semi")
         .join(period, F.col("l_orderkey") == period.o_orderkey)
         .agg(
             _money(F.sum(_drev())).alias("qualified_revenue"),
@@ -368,9 +368,9 @@ def tpcds_return_ratio_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         kept.join(
-            F.broadcast(amt_gt), kept.l_partkey == F.col("ka_key"), "left"
+            _dim_hint(amt_gt, sf_dir, "part"), kept.l_partkey == F.col("ka_key"), "left"
         )
-        .join(F.broadcast(qty_gt), kept.l_partkey == F.col("kq_key"), "left")
+        .join(_dim_hint(qty_gt, sf_dir, "part"), kept.l_partkey == F.col("kq_key"), "left")
         .select(
             "l_partkey",
             "amt_ratio",
@@ -438,7 +438,7 @@ def tpcds_rolling_brand_deviation(
     li = _t(spark, sf_dir, "lineitem")
     part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
     monthly = (
-        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(_dim_hint(part, sf_dir, "part"), F.col("l_partkey") == F.col("p_partkey"))
         .groupBy(
             "p_brand",
             F.year("l_shipdate").cast("int").alias("yr"),
@@ -520,7 +520,7 @@ def tpcds_class_revenue_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_partkey", "p_type", "p_brand"
     )
     per = (
-        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(_dim_hint(part, sf_dir, "part"), F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("p_type", "p_brand")
         .agg(F.sum(_drev()).alias("rev"))
     )
@@ -589,7 +589,7 @@ def tpcds_quarterly_share_growth(
     cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     nq = (
-        orders.join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        orders.join(_dim_hint(cust, sf_dir, "customer"), F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("n_name", F.quarter("o_orderdate").cast("int").alias("qtr"))
         .agg(F.sum(_dec("o_totalprice")).alias("rev"))
@@ -825,7 +825,7 @@ def tpcds_above_avg_returners(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     per_cust = (
         li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(_dim_hint(cust, sf_dir, "customer"), F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(F.sum(_drev()).alias("ret_amt"))
@@ -922,25 +922,28 @@ WHERE CAST(l_discount AS DECIMAL(4,2)) * dcnt * 10 > 12 * dsum
 )
 def tpcds_above_avg_discount(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-DS q92 shape: lines whose discount exceeds 1.2x their
-    part's average discount, summed.  The correlated-average subquery
-    becomes a per-part window (one l_partkey exchange, no second fact
-    scan + join-back); the 1.2x test is cross-multiplied in exact
-    decimal-integer arithmetic (disc*n*10 > 12*sum) so no division
-    result is ever compared."""
+    part's average discount, summed.  The 1.2x test is cross-multiplied
+    in exact decimal-integer arithmetic (disc*n*10 > 12*sum) so no
+    division result is ever compared.
+
+    Round 10 replaced the Window.partitionBy(l_partkey) spelling with
+    a per-part groupBy joined back to the rows (stats side behind the
+    _dim_hint size gate).  The window form shuffles the ENTIRE fact on
+    the part key and serializes each key on one task — un-splittable
+    by AQE, the one skew shape AQE cannot rescue; Zipf(1.2) partkeys
+    measured it at 2.053s vs 0.833s for this form (min-of-5, generator
+    sf1-skew1.2), against a 1.230s -> 1.440s uniform-data cost.  The
+    100 TB posture takes that trade: partial aggregation absorbs the
+    hot key map-side, and the join-back broadcasts small / AQE-skew-
+    splits large (SCALE.md, "Skewed keys under windows")."""
     li = _t(spark, sf_dir, "lineitem")
-    w = Window.partitionBy("l_partkey")
     disc = _dec("l_discount", 4, 2)
-    windowed = li.select(
-        "l_partkey",
-        "l_extendedprice",
-        "l_discount",
-        F.sum(disc).over(w).alias("dsum"),
-        F.count(F.lit(1)).over(w).alias("dcnt"),
+    stats = li.groupBy("l_partkey").agg(
+        F.sum(disc).alias("dsum"), F.count(F.lit(1)).alias("dcnt")
     )
     return (
-        windowed.filter(
-            disc * F.col("dcnt") * 10 > F.col("dsum") * 12
-        )
+        _stats_join_back(li, stats, "l_partkey", sf_dir, "part")
+        .filter(disc * F.col("dcnt") * 10 > F.col("dsum") * 12)
         .agg(
             _money(F.sum(_drev())).alias("excess_revenue"),
             F.count(F.lit(1)).alias("n_lines"),
@@ -1153,7 +1156,7 @@ def tpcds_monthly_pivot_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
         for m in range(1, 13)
     ]
     return (
-        li.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        li.join(_dim_hint(supp, sf_dir, "supplier"), F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy("n_name")
         .agg(*month_cols, _money(F.sum(_drev())).alias("total"))
@@ -1205,7 +1208,7 @@ def tpcds_channel_pnl(spark: SparkSession, sf_dir: str) -> DataFrame:
     gross = F.sum(_drev())
     tax = F.sum(_drev() * _dec("l_tax", 4, 2))
     return (
-        li.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        li.join(_dim_hint(supp, sf_dir, "supplier"), F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy("n_name")
         .agg(
@@ -1351,7 +1354,7 @@ def tpcds_acctbal_band_priority(
         )
     )
     return (
-        orders.join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        orders.join(_dim_hint(cust, sf_dir, "customer"), F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("o_orderpriority")
         .agg(
             F.sum(F.when(F.col("c_acctbal") < 0, 1).otherwise(0))
@@ -1568,7 +1571,7 @@ def tpcds_best_worst_performers(
         .alias("rk_worst"),
     )
     named = ranked.join(
-        F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey")
+        _dim_hint(supp, sf_dir, "supplier"), F.col("l_suppkey") == F.col("s_suppkey")
     )
     best = named.filter(F.col("rk_best") <= 10).select(
         F.lit("BEST").alias("side"),
@@ -1634,7 +1637,7 @@ def tpcds_yoy_decline_net_returns(
         F.when(F.col("l_returnflag") != "R", _drev()).otherwise(zero)
     ) - F.sum(F.when(F.col("l_returnflag") == "R", _drev()).otherwise(zero))
     yearly = (
-        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(_dim_hint(part, sf_dir, "part"), F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("p_brand", F.year("l_shipdate").cast("int").alias("yr"))
         .agg(net.alias("net"))
     )
@@ -1777,9 +1780,9 @@ def tpcds_cross_nation_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s_nationkey") != F.col("c_nationkey"), 1
     ).otherwise(0)
     lines = (
-        orders.join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        orders.join(_dim_hint(cust, sf_dir, "customer"), F.col("o_custkey") == F.col("c_custkey"))
         .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(_dim_hint(supp, sf_dir, "supplier"), F.col("l_suppkey") == F.col("s_suppkey"))
         .select(
             "o_orderkey",
             "o_custkey",
@@ -1864,7 +1867,7 @@ def tpcds_best_visit_per_customer(
         F.col("rn") == 1
     )
     return (
-        best.join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        best.join(_dim_hint(cust, sf_dir, "customer"), F.col("o_custkey") == F.col("c_custkey"))
         .select("c_name", "o_orderkey", _money(F.col("rev")).alias("best_rev"))
         .orderBy(F.col("best_rev").desc(), "o_orderkey")
         .limit(30)

@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from . import register
-from ._shared import SQL_REV, _drev, _ts
+from ._shared import SQL_REV, _dim_hint, _drev, _ts
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -104,7 +104,7 @@ def tpcds_repeat_purchase_chain(
         .filter((F.col("qty_y1") > 0) & (F.col("qty_y2") > 0))
     )
     return (
-        per_pair.join(F.broadcast(part), per_pair.l_partkey == part.p_partkey)
+        per_pair.join(_dim_hint(part, sf_dir, "part"), per_pair.l_partkey == part.p_partkey)
         .groupBy("p_brand")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_repeat_pairs"),
@@ -295,15 +295,17 @@ def tpcds_frequent_best_combo(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = (
         li.select("l_orderkey", "l_partkey", "l_extendedprice", "l_discount")
         .join(
-            F.broadcast(freq_parts.withColumnRenamed("l_partkey", "fp_key")),
+            _dim_hint(freq_parts.withColumnRenamed("l_partkey", "fp_key"), sf_dir, "part"),
             F.col("l_partkey") == F.col("fp_key"),
             "left_semi",
         )
         .join(orders.select("o_orderkey", "o_custkey"),
               F.col("l_orderkey") == F.col("o_orderkey"))
         .join(
-            F.broadcast(
-                best_customers.withColumnRenamed("o_custkey", "bc_key")
+            _dim_hint(
+                best_customers.withColumnRenamed("o_custkey", "bc_key"),
+                sf_dir,
+                "customer",
             ),
             F.col("o_custkey") == F.col("bc_key"),
             "left_semi",

@@ -45,7 +45,7 @@ from pyspark.sql.window import Window
 
 from ..catalog import load_table
 from . import register
-from ._shared import SQL_REV, _drev, _ts
+from ._shared import SQL_REV, _dim_hint, _drev, _ts
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -296,9 +296,9 @@ def tpcds_pivot_date_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     pivot = _ts("1998-06-15 00:00:00")
     qty = F.col("l_quantity").cast("bigint")
     agg = (
-        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        li.join(_dim_hint(sup, sf_dir, "supplier"), li.l_suppkey == sup.s_suppkey)
         .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
-        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(_dim_hint(part, sf_dir, "part"), li.l_partkey == part.p_partkey)
         .groupBy("n_name", "p_brand")
         .agg(
             F.sum(
@@ -358,14 +358,22 @@ def tpcds_excess_discount(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents (disc_cents * 10 * n > 13 * sum_cents ⟺ disc > 1.3 * avg):
     a double avg would flip boundary lines between engines.  The
     p_size<10 part subset broadcasts and prunes BEFORE the window
-    shuffle.  Scale note: partitioned by partkey — no single-reducer
-    window; skewed parts are per-key bounded by |lines per part|."""
+    shuffle.  Scale note: an unbounded per-partkey window serializes
+    each key on one task (un-splittable by AQE) — a HOT part that
+    survives the p_size prune would straggle; the agg+join-back
+    rewrite (q17/tpcds_above_avg_discount, round 10) is the skew-safe
+    alternative, measured ~8% slower here on BOTH uniform and
+    Zipf(1.2) data because the prune drops most hot keys before the
+    window (0.667/0.662s window vs ~0.72s agg+join, min-of-5 at
+    generator sf1).  Kept on measurement; flip if a profile ever
+    shows a hot surviving part (SCALE.md, "Skewed keys under
+    windows")."""
     li = _t(spark, sf_dir, "lineitem")
     part = _t(spark, sf_dir, "part").filter(F.col("p_size") < 10).select(
         "p_partkey"
     )
     pruned = li.join(
-        F.broadcast(part), li.l_partkey == part.p_partkey, "left_semi"
+        _dim_hint(part, sf_dir, "part"), li.l_partkey == part.p_partkey, "left_semi"
     )
     # window avg must see ALL lines of each part, not just the pruned
     # subset?  No: the subquery in the oracle also scopes to the same
@@ -614,7 +622,7 @@ def tpcds_union_null_placeholders(spark: SparkSession, sf_dir: str) -> DataFrame
     null_s = F.lit(None).cast("string")
     open_b = (
         orders.filter(F.col("o_orderstatus") == "O")
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(_dim_hint(cust, sf_dir, "customer"), orders.o_custkey == cust.c_custkey)
         .select(
             F.lit("open").alias("channel"),
             F.year("o_orderdate").cast("int").alias("yr"),
@@ -738,7 +746,7 @@ def tpcds_monthly_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_brand").isin("Brand#11", "Brand#22", "Brand#33")
     ).select("p_partkey", "p_brand")
     monthly = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(_dim_hint(part, sf_dir, "part"), li.l_partkey == part.p_partkey)
         .groupBy(
             F.col("p_brand").alias("brand"),
             F.year("l_shipdate").cast("int").alias("yr"),

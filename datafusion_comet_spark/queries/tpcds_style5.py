@@ -35,7 +35,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from . import register
-from ._shared import SQL_REV, _drev
+from ._shared import SQL_REV, _dim_hint, _drev
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -132,7 +132,7 @@ def tpcds_cross_channel_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("decimal(38,0)").alias("n_all"),
     )
     filtered = (
-        li.join(F.broadcast(common.withColumnRenamed("l_partkey", "cp")),
+        li.join(_dim_hint(common.withColumnRenamed("l_partkey", "cp"), sf_dir, "part"),
                 F.col("l_partkey") == F.col("cp"), "left_semi")
         .crossJoin(F.broadcast(threshold))
         .filter(
@@ -141,7 +141,7 @@ def tpcds_cross_channel_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             * F.col("n_all")
             > F.col("sum_cents")
         )
-        .join(F.broadcast(part), F.col("l_partkey") == part.p_partkey)
+        .join(_dim_hint(part, sf_dir, "part"), F.col("l_partkey") == part.p_partkey)
         .withColumn("yr", F.year("l_shipdate").cast("int"))
     )
     return (
@@ -208,7 +208,7 @@ def tpcds_rollup_averages(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     nat = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     joined = (
-        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        orders.join(_dim_hint(cust, sf_dir, "customer"), orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
         .withColumn("yr", F.year("o_orderdate").cast("int"))
     )
@@ -285,9 +285,9 @@ def tpcds_disjunct_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("l_partkey").alias("fp"), F.lit(1).alias("fp_marker"))
     )
     joined = (
-        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        li.join(_dim_hint(sup, sf_dir, "supplier"), li.l_suppkey == sup.s_suppkey)
         .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
-        .join(F.broadcast(freq), li.l_partkey == freq.fp, "left")
+        .join(_dim_hint(freq, sf_dir, "part"), li.l_partkey == freq.fp, "left")
         .filter(
             F.col("n_name").isin("FRANCE", "GERMANY", "CANADA")
             | F.col("fp_marker").isNotNull()
@@ -510,10 +510,10 @@ def tpcds_week_offset_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(ord_wk, li.l_orderkey == ord_wk.o_orderkey)
         .filter(wk_seq("l_shipdate") == F.col("ord_wk") + 2)
         .join(
-            F.broadcast(part.select("p_partkey", "p_brand")),
+            _dim_hint(part.select("p_partkey", "p_brand"), sf_dir, "part"),
             li.l_partkey == F.col("p_partkey"),
         )
-        .join(F.broadcast(promo), li.l_partkey == promo.promo_key, "left")
+        .join(_dim_hint(promo, sf_dir, "part"), li.l_partkey == promo.promo_key, "left")
     )
     return (
         joined.groupBy("p_brand")

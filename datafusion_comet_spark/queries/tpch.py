@@ -41,6 +41,8 @@ from ._shared import (  # noqa: F401  (re-exported)
     _drev,
     _money,
     _rev_cents,
+    _dim_hint,
+    _stats_join_back,
     _sum_rev_money,
     _t,
     _ts,
@@ -249,7 +251,7 @@ def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         cust.join(orders, cust.c_custkey == orders.o_custkey)
         .join(li, li.l_orderkey == orders.o_orderkey)
         .join(
-            F.broadcast(supp),
+            _dim_hint(supp, sf_dir, "supplier"),
             (li.l_suppkey == supp.s_suppkey)
             & (cust.c_nationkey == supp.s_nationkey),
         )
@@ -644,7 +646,7 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = _t(spark, sf_dir, "part")
     zero = F.expr("CAST(0 AS DECIMAL(18,2))")
     promo = F.when(F.col("p_type") == "PROMO", _drev()).otherwise(zero)
-    return li.join(F.broadcast(part), li.l_partkey == part.p_partkey).agg(
+    return li.join(_dim_hint(part, sf_dir, "part"), li.l_partkey == part.p_partkey).agg(
         F.round(
             100.0 * F.sum(promo).cast("double") / F.sum(_drev()).cast("double"), 4
         ).alias("promo_revenue")
@@ -727,31 +729,36 @@ WHERE p_brand = 'Brand#3' AND l_quantity < avg_qty
     tags=("tpch", "join", "aggregate", "subquery"),
 )
 def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q17: per-part average threshold.  The SQL (and oracle)
-    spell aggregate-then-join, which scans lineitem twice — and worse,
-    the threshold branch aggregates EVERY part's lineitems, though
-    only Brand#3 parts can survive the join (the filter cannot
-    transit the aggregate).  Single-pass form: broadcast-semi-join
-    the brand parts FIRST, then a window average per partkey over the
-    surviving ~1/1000 of the fact table — the per-part average over
-    the filtered rows is identical because partkey determines part.
-    One scan, one exchange, and the window input is already pruned.
+    """TPC-H Q17: per-part average threshold.  The oracle's literal
+    spelling aggregates EVERY part's lineitems though only Brand#3
+    parts survive the join; here the brand parts semi-join prunes the
+    fact FIRST (per-part stats stay complete — pruning is
+    part-granular), then the per-part average is computed as a
+    PARTIAL-AGGREGATING groupBy joined back to the rows, with the
+    part-bounded stats side behind the _dim_hint size gate.
+
+    Round 10 replaced the earlier Window.partitionBy(l_partkey) avg:
+    an unbounded-frame window over raw FACT rows serializes each key
+    on one task — un-splittable by AQE, the one skew shape AQE cannot
+    rescue (SCALE.md, "Skewed keys under windows").  The agg+join-back
+    form is skew-safe twice over (map-side combine absorbs the hot key;
+    the join-back is broadcast small / AQE-skew-splittable large) and
+    measured FASTER even on uniform data: min-of-5 at generator sf1
+    1.151s -> 1.015s uniform, 1.284s -> 0.890s at Zipf(1.2) partkeys.
     The avg threshold stays double: quantities are integers, so the
     comparison never sits on an fp boundary."""
-    from pyspark.sql import Window as _W
-
     li = _t(spark, sf_dir, "lineitem")
     part = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#3")
     branded = li.join(
-        F.broadcast(part.select("p_partkey")),
+        _dim_hint(part.select("p_partkey"), sf_dir, "part"),
         li.l_partkey == F.col("p_partkey"),
         "left_semi",
     )
-    w = _W.partitionBy("l_partkey")
+    stats = branded.groupBy("l_partkey").agg(
+        (0.5 * F.avg("l_quantity")).alias("avg_qty")
+    )
     return (
-        branded.withColumn(
-            "avg_qty", 0.5 * F.avg("l_quantity").over(w)
-        )
+        _stats_join_back(branded, stats, "l_partkey", sf_dir, "part")
         .filter(F.col("l_quantity") < F.col("avg_qty"))
         .agg(
             (F.round(F.sum(_dec("l_extendedprice")) / 7.0, 2))
@@ -828,7 +835,7 @@ def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q19: OR of conjunctive range predicates across both join sides."""
     li = _t(spark, sf_dir, "lineitem")
     part = _t(spark, sf_dir, "part")
-    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    j = li.join(_dim_hint(part, sf_dir, "part"), li.l_partkey == part.p_partkey)
     q = F.col("l_quantity")
     cond = (
         (
@@ -1027,7 +1034,7 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as _W
 
     joined = li.join(
-        F.broadcast(part), li.l_partkey == part.p_partkey
+        _dim_hint(part, sf_dir, "part"), li.l_partkey == part.p_partkey
     ).join(regional_supp, li.l_suppkey == F.col("s_suppkey"))
     w = _W.partitionBy("p_partkey")
     return (
@@ -1144,7 +1151,7 @@ def q16_parts_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey")
     )
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(_dim_hint(part, sf_dir, "part"), li.l_partkey == part.p_partkey)
         .join(bad_supp, li.l_suppkey == bad_supp.s_suppkey, "left_anti")
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
@@ -1307,7 +1314,7 @@ def q21_scale_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_suppkey")
     )
     return (
-        qualified.join(F.broadcast(supp), qualified.l_suppkey == supp.s_suppkey)
+        qualified.join(_dim_hint(supp, sf_dir, "supplier"), qualified.l_suppkey == supp.s_suppkey)
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.col("numwait").desc(), "s_name")

@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from . import register
+from ._shared import _dim_hint
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -378,7 +379,7 @@ def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("double").alias("revenue")
     )
     joined = rev.join(
-        F.broadcast(supp), supp.s_suppkey == rev.l_suppkey
+        _dim_hint(supp, sf_dir, "supplier"), supp.s_suppkey == rev.l_suppkey
     ).join(F.broadcast(nat), F.col("n_nationkey") == F.col("s_nationkey"))
     w = W.partitionBy("n_name").orderBy(F.col("revenue").desc(), "s_suppkey")
     return (

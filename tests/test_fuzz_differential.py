@@ -1251,6 +1251,21 @@ _PIVOT_SOURCES = (
         ("o_custkey % 7", "length(o_orderpriority)"),
         ("o_orderkey % 997", "CAST(floor(o_totalprice / 100) AS BIGINT)"),
     ),
+    # NULLABLE pivot column (round-9 advice): ~1/11 of rows carry a
+    # NULL pivot value.  Two semantic corners this source exercises:
+    # (a) groups whose rows ALL have non-matching (incl. NULL) pivot
+    # values still emit a row with empty cells in both engines, and
+    # (b) NULL may itself be drawn as a pivot value — Spark matches it
+    # null-safely (PIVOT ... IN (NULL)), while the DuckDB oracle must
+    # spell that cell `FILTER (WHERE p IS NULL)` because `p = NULL`
+    # drops every row under three-valued logic (probed live, round 10).
+    (
+        "lineitem",
+        "CASE WHEN l_partkey % 11 = 0 THEN NULL ELSE l_linestatus END",
+        ("F", "O", None),
+        ("l_linenumber", "l_suppkey % 5"),
+        ("CAST(l_quantity AS BIGINT)", "l_orderkey % 499"),
+    ),
 )
 _PIVOT_PREDS = {
     "lineitem": ("l_orderkey < 4000", "l_linenumber <= 4", "l_partkey % 3 = 0"),
@@ -1273,9 +1288,16 @@ def pivot_pair(draw) -> tuple[str, str]:
         val for val in domain
         if draw(st.booleans())
     ] or [domain[0]]
-    s_cells = ", ".join(f"'{val}' AS c{i}" for i, val in enumerate(picks))
+    s_cells = ", ".join(
+        ("NULL" if val is None else f"'{val}'") + f" AS c{i}"
+        for i, val in enumerate(picks)
+    )
     d_cells = ", ".join(
-        f"CAST({agg}(v) FILTER (WHERE p = '{val}') AS BIGINT) AS c{i}"
+        "CAST({agg}(v) FILTER (WHERE {cond}) AS BIGINT) AS c{i}".format(
+            agg=agg,
+            cond="p IS NULL" if val is None else f"p = '{val}'",
+            i=i,
+        )
         for i, val in enumerate(picks)
     )
     base = (

@@ -1315,7 +1315,11 @@ SCAN_WIDTH_BUDGET = {
     "q13_customer_distribution": [1, 3],
     "q14_promo_revenue": [2, 4],
     "q15_top_supplier": [2, 4, 4],
-    "q17_small_quantity": [2, 3],
+    # round 10: the skew-safe agg+join-back rewrite reads the fact and
+    # the brand-part keys once per branch (stats + probe) — two narrow
+    # scans traded for the un-splittable per-partkey window partition
+    # (measured faster even on uniform data; see the q17 docstring)
+    "q17_small_quantity": [2, 2, 2, 3],
     "q18_large_volume": [2, 2, 2, 4],
     "q19_discounted_revenue": [3, 4],
     "q21_waiting_supplier": [2, 2, 2, 3, 3],
