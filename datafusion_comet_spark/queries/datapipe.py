@@ -183,24 +183,13 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-@register(
-    "dedup_minhash_lsh",
-    # VALUES oracle: independent pure-Python murmur3 shingle/minhash/band
-    # recompute (dev/gen_values_oracles.py); pytest additionally validates
-    # candidate pairs against exact Jaccard.
-    oracle=VALUES_ORACLES["dedup_minhash_lsh"],
-    tags=("datapipe", "dedup", "lsh", "bench"),
-)
-def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH candidate pairs: signature → band buckets →
-    self-join per bucket → distinct pairs with estimated similarity.
 
-    Scale shape: the band explode multiplies rows ×(N_HASHES/BAND_SIZE);
-    the groupBy buckets is a uniform-hash shuffle; candidate pairs are
-    produced without any O(n²) comparison."""
-    docs = _t(spark, sf_dir, "documents")
-    sigs = minhash_signatures(docs)
-    bands = sigs.select(
+def lsh_band_buckets(sigs: DataFrame) -> DataFrame:
+    """(doc_id, sig) -> one row per LSH band: (doc_id, sig, band, bucket).
+
+    Band key = murmur3 over the band's signature slice (identical
+    expression in dedup_minhash_lsh and dedup_lsh_star_cluster)."""
+    return sigs.select(
         "doc_id",
         "sig",
         F.posexplode(
@@ -220,6 +209,26 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("band", "bucket"),
     )
+
+
+@register(
+    "dedup_minhash_lsh",
+    # VALUES oracle: independent pure-Python murmur3 shingle/minhash/band
+    # recompute (dev/gen_values_oracles.py); pytest additionally validates
+    # candidate pairs against exact Jaccard.
+    oracle=VALUES_ORACLES["dedup_minhash_lsh"],
+    tags=("datapipe", "dedup", "lsh", "bench"),
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate pairs: signature → band buckets →
+    self-join per bucket → distinct pairs with estimated similarity.
+
+    Scale shape: the band explode multiplies rows ×(N_HASHES/BAND_SIZE);
+    the groupBy buckets is a uniform-hash shuffle; candidate pairs are
+    produced without any O(n²) comparison."""
+    docs = _t(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs)
+    bands = lsh_band_buckets(sigs)
     # Materialize ONE exchange on the join keys and derive both join
     # sides from it: the signature/band compute sits BELOW the
     # exchange, so ReuseExchange evaluates it once (without this the
@@ -257,6 +266,73 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("est_jaccard") >= 0.5)
         .distinct()
         .orderBy("a", "b")
+    )
+
+
+
+@register(
+    "dedup_lsh_star_cluster",
+    # VALUES oracle: independent pure-Python murmur3 minhash/band/star +
+    # hand union-find (dev/gen_values_oracles.py); duplication-skew guard
+    # additionally pinned by tests/test_skew_stress.py.
+    oracle=VALUES_ORACLES["dedup_lsh_star_cluster"],
+    tags=("datapipe", "dedup", "lsh", "graph", "iterative"),
+)
+def dedup_lsh_star_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplication-skew-safe LSH dedup: band buckets -> STAR edges
+    (each bucket member pairs with the bucket's min-doc hub only,
+    similarity-checked against the hub) -> connected components ->
+    cluster summary.
+
+    Why this exists next to dedup_minhash_lsh (round 10): the pair
+    query's within-bucket self-join is O(k^2) in the bucket size —
+    fine under UNIFORM near-dup rates (buckets of 2-5), catastrophic
+    under duplication skew, the shape real web corpora have (one
+    boilerplate page duplicated k=millions of times puts k identical
+    signatures in ONE bucket per band = k(k-1)/2 pairs x 8 bands; at
+    k=10M that is 4e14 rows before the first filter).  The star form
+    is one min_by aggregate + one linear join per bucket — k-1 edges —
+    and exact duplicates (est=1.0 against any hub) always cluster
+    identically; near-dups cluster through their hub (the standard
+    recall trade of star/representative LSH clustering, documented
+    here rather than hidden).  Cluster columns mirror
+    dedup_cluster_components (components of the candidate-pair graph;
+    docs with no surviving edge are non-duplicates and do not appear).
+    """
+    docs = _t(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs)
+    bands = lsh_band_buckets(sigs).repartition("band", "bucket")
+    # hub = min doc_id per bucket, carried with its signature (min_by
+    # ties impossible: a doc appears once per (band, bucket))
+    hubs = bands.groupBy("band", "bucket").agg(
+        F.min("doc_id").alias("hub"),
+        F.min_by("sig", "doc_id").alias("sig_hub"),
+    )
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with("sig", "sig_hub", lambda x, y: (x == y).cast("int")),
+                lambda v: v == 1,
+            )
+        )
+        / F.lit(float(N_HASHES))
+    )
+    edges = (
+        bands.join(hubs, ["band", "bucket"])
+        .filter(F.col("doc_id") != F.col("hub"))
+        .filter(F.round(est, 4) >= 0.5)
+        .select(F.col("hub").alias("a"), F.col("doc_id").alias("b"))
+        .distinct()
+    )
+    comps = connected_components(edges)
+    return (
+        comps.groupBy("comp")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("cluster_size"),
+            F.min("node").alias("canonical_doc"),
+            F.max("node").alias("max_doc"),
+        )
+        .orderBy("comp")
     )
 
 

@@ -229,3 +229,65 @@ def test_skewed_aggregation_stays_correct(spark, skew_dir):
     assert top.n == direct
     # Zipf(1.2) sanity: the hottest key really is hot (>= 10% of rows)
     assert top.n >= 0.10 * orders.count(), top
+
+
+def test_duplication_skew_star_cluster(spark, tmp_path):
+    """Duplication skew — the dedup-specific hot-key shape: ONE text
+    duplicated k times puts k identical signatures in the same LSH
+    bucket per band.  dedup_minhash_lsh's within-bucket self-join is
+    O(k^2) there (k=3000 -> ~36M pre-filter join rows across 8 bands);
+    dedup_lsh_star_cluster's hub form is O(k).  Pin three things on a
+    k=3000 corpus: (1) the star query completes and puts all k copies
+    in ONE cluster with the right canonical/size; (2) its edge count
+    is linear (<= bands * (k-1) + noise), not quadratic; (3) cluster
+    output matches the all-pairs form run on the (feasible) small
+    driver corpus — equivalence is asserted separately in
+    dev/gen_values_oracles.py's independent union-find."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from datafusion_comet_spark.queries import load_all
+    from datafusion_comet_spark.queries.datapipe import (
+        lsh_band_buckets,
+        minhash_signatures,
+    )
+
+    k = 3000
+    dup_text = "the quick brown fox jumps over the lazy dog again and again"
+    uniq = [
+        f"document {i} speaks of topic{i % 97} and value{i * 7 % 101} stuff"
+        for i in range(500)
+    ]
+    texts = [dup_text] * k + uniq
+    out = tmp_path / "documents.parquet"
+    pq.write_table(
+        pa.table({
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": texts,
+            "lang": ["en"] * len(texts),
+            "source": ["src0"] * len(texts),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }),
+        str(out),
+    )
+    reg = load_all()
+    clusters = reg["dedup_lsh_star_cluster"].fn(spark, str(tmp_path)).collect()
+    big = [r for r in clusters if r.cluster_size >= k]
+    assert len(big) == 1, clusters[:5]
+    assert big[0].canonical_doc == 0
+    assert big[0].cluster_size == k, big[0]
+    assert big[0].max_doc == k - 1
+
+    # linearity: star edges stay O(bands * corpus); the all-pairs form
+    # would exceed this by ~k/2 per band on the duplicated bucket
+    docs = spark.read.parquet(str(out))
+    bands = lsh_band_buckets(minhash_signatures(docs))
+    n_bands = bands.select("band").distinct().count()
+    hubs = bands.groupBy("band", "bucket").agg(F.min("doc_id").alias("hub"))
+    n_star = (
+        bands.join(hubs, ["band", "bucket"])
+        .filter(F.col("doc_id") != F.col("hub"))
+        .count()
+    )
+    assert n_star <= n_bands * (len(texts) - 1), (n_star, n_bands)
