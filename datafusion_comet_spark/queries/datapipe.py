@@ -630,7 +630,14 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # axis-sign LSH bits for the embedding-cosine sub-block: the SCALE
 # dial — block count = labels * 2^bits, so bits grows ~log2(corpus /
 # target_block_size) at 100 TB while recall for highly-similar pairs
-# stays high (near-identical vectors share component signs)
+# stays high (near-identical vectors share component signs).
+# DUPLICATION-skew caveat (round 10): bits cannot split IDENTICAL
+# embeddings — k copies of one vector share every sign and land in one
+# sub-block regardless of bits, making the within-block pair join
+# O(k^2) exactly like the minhash bucket case.  The mitigation is the
+# same hub-star form dedup_lsh_star_cluster ships (pair each block
+# member with the block-min id only) — apply it before running this
+# on a corpus with embedding-level duplication.
 _COS_SIGN_BITS = 4
 
 _COS_SIGN_SQL = " + ".join(
