@@ -732,6 +732,77 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+@register(
+    "dedup_embedding_star_cluster",
+    # VALUES oracle: independent pure-Python sequential-fold cosine star
+    # + hand union-find (dev/gen_values_oracles.py)
+    oracle=VALUES_ORACLES["dedup_embedding_star_cluster"],
+    tags=("datapipe", "dedup", "embedding", "graph", "iterative"),
+)
+def dedup_embedding_star_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplication-skew-safe embedding dedup: (label, sign-bits) blocks
+    -> hub star edges (cosine-checked against the block-min vector) ->
+    connected components -> cluster summary.  The embedding-side twin
+    of dedup_lsh_star_cluster: sign bits cannot split IDENTICAL
+    embeddings (k copies share every sign and land in one block), so
+    dedup_embedding_cosine's within-block pair join is O(k^2) under
+    embedding-level duplication; the star form is one min_by aggregate
+    + one linear join per block.  The similarity threshold is the
+    production dial (dedup runs ~0.9); 0.2 keeps the differential gate
+    non-vacuous on the synthetic unit vectors (hub-sim p90 ~0.2, max ~0.39).
+    """
+    from .similarity import _as_double, dot, l2_norm
+
+    sbucket = sum(
+        [
+            F.when(F.col("emb").getItem(i) >= 0, F.lit(1 << i)).otherwise(
+                F.lit(0)
+            )
+            for i in range(_COS_SIGN_BITS)
+        ],
+        F.lit(0),
+    )
+    emb = (
+        _t(spark, sf_dir, "embeddings")
+        .select("vec_id", "label", _as_double("embedding").alias("emb"))
+        .select(
+            "vec_id", "label", "emb",
+            l2_norm(F.col("emb")).alias("nrm"),
+            sbucket.alias("sbucket"),
+        )
+    )
+    hubs = emb.groupBy("label", "sbucket").agg(
+        F.min("vec_id").alias("hub"),
+        F.min_by("emb", "vec_id").alias("emb_h"),
+        F.min_by("nrm", "vec_id").alias("nrm_h"),
+    )
+    edges = (
+        emb.join(hubs, ["label", "sbucket"])
+        .filter(F.col("vec_id") != F.col("hub"))
+        .filter(
+            F.round(
+                dot(F.col("emb"), F.col("emb_h"))
+                / (F.col("nrm") * F.col("nrm_h")),
+                5,
+            )
+            >= 0.2
+        )
+        .select(F.col("hub").alias("a"), F.col("vec_id").alias("b"))
+        .distinct()
+    )
+    comps = connected_components(edges)
+    return (
+        comps.groupBy("comp")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("cluster_size"),
+            F.min("node").alias("canonical_vec"),
+            F.max("node").alias("max_vec"),
+        )
+        .orderBy("comp")
+    )
+
+
 @register(
     "sample_hash_deterministic",
     oracle="""
