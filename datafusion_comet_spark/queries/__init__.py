@@ -89,10 +89,15 @@ SAMPLE_PREFIX: tuple[str, ...] = (
     "tpcds_time_band_counts",
     "tpcds_yoy_channel_ratio",
     "tpcds_purchase_overlap",
-    # 8-10: similarity family (r3 vintage; post-Lloyd-rewrite re-proof)
+    # 8-10: similarity family.  ann_bruteforce_topk is the r3-vintage
+    # post-Lloyd-rewrite re-proof; the two star-cluster dedups are the
+    # round-10 duplication-skew additions and have never had a driver
+    # row — never-sampled outranks stale-green, so they take the slots
+    # the (single-agg, low-divergence-risk) embedding_norm_stats /
+    # embedding_quantize_int8 re-proofs would have used.
     "ann_bruteforce_topk",
-    "embedding_norm_stats",
-    "embedding_quantize_int8",
+    "dedup_lsh_star_cluster",
+    "dedup_embedding_star_cluster",
     # 11-50: datapipe/text family (r3 vintage, 7 rounds stale) —
     # includes the two round-9 dedup rewrites' first driver re-proof
     "dedup_exact",
