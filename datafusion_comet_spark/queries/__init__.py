@@ -163,6 +163,7 @@ def load_all() -> dict[str, Query]:
     from . import windows  # noqa: F401
     from . import multimodal  # noqa: F401
     from . import datapipe  # noqa: F401
+    from . import retrieval  # noqa: F401
     from . import tpch  # noqa: F401
     from . import tpcds_style  # noqa: F401
     # streaming near-last: each stream_* query executes a full

@@ -1,0 +1,237 @@
+"""Retrieval / local-fingerprint operators over the documents corpus.
+
+Two capabilities a training-data pipeline needs that the doc-level
+dedup family (datapipe.py) does not cover:
+
+- **Winnowing fingerprints** (Schleimer, Wilkerson, Aiken — the MOSS
+  local fingerprinting scheme): k-gram rolling hashes thinned by a
+  window-min rule, guaranteeing any shared run of >= k+w-1 tokens
+  shares at least one fingerprint.  This catches COPIED SPANS between
+  otherwise-different documents — the substring-duplication class that
+  whole-document MinHash/SimHash signatures miss (Lee et al.,
+  "Deduplicating Training Data Makes Language Models Better" treat
+  substring dedup as its own pass for exactly this reason).
+- **BM25 ranked retrieval** (Robertson/Spärck Jones, k1=1.2 b=0.75):
+  the standard lexical relevance score, used in data pipelines for
+  query-based corpus audits and hard-negative mining.
+
+The reference engine has no retrieval surface at all (its closest
+analog is the expression kernels both of these compile onto); both
+operators here are pure JVM expression/aggregate compositions — no
+Python in the hot path, no pair joins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from . import register
+
+# Winnowing parameters: k tokens per gram, w grams per window.  Any
+# shared token run of length >= K + WIN - 1 (the paper's guarantee
+# threshold t = k + w - 1) shares a fingerprint.
+K = 4
+WIN = 4
+
+# BM25 free parameters (the standard Okapi defaults) and the audit
+# query's term set (drawn from the corpus vocabulary).
+BM25_TERMS = ("spark", "merge", "window")
+
+
+@register(
+    "dedup_winnow_fingerprint",
+    oracle=f"""
+WITH fps AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           range(1, len(hashes) - {WIN} + 2),
+           s -> list_aggregate(hashes[s:s+{WIN - 1}], 'min')))) AS fp
+  FROM (
+    SELECT doc_id,
+           list_transform(range(1, len(toks) - {K} + 2),
+             i -> substr(md5(array_to_string(toks[i:i+{K - 1}], ' ')), 1, 16)) AS hashes
+    FROM (SELECT doc_id, str_split(lower(text), ' ') AS toks FROM documents)
+    WHERE len(toks) >= {K + WIN - 1}
+  )
+), marked AS (
+  SELECT doc_id, fp, count(*) OVER (PARTITION BY fp) AS n_docs_fp
+  FROM fps
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_fps,
+       CAST(sum(CASE WHEN n_docs_fp >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared
+FROM marked
+GROUP BY doc_id
+HAVING sum(CASE WHEN n_docs_fp >= 2 THEN 1 ELSE 0 END) * 2 >= count(*)
+ORDER BY doc_id
+""",
+    tags=("retrieval", "datapipe", "dedup", "fingerprint"),
+)
+def dedup_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing local fingerprints → substring-duplication suspects.
+
+    Per document: hash every K-token gram (engine-portable md5 hex
+    prefix, lexicographic = numeric order), keep the minimum of every
+    WIN-gram window (the winnowing rule — selected positions are a
+    provable cover of any shared run >= K+WIN-1 tokens), and flag
+    documents where shared fingerprints (appearing in >= 2 docs) are
+    at least half of their fingerprint set.
+
+    Shape at 100 TB: gram hashing and window-min both run INSIDE the
+    per-row array expressions (transform/sequence/slice/array_min —
+    whole-stage codegen, zero Python, zero explode until the
+    fingerprint set is already thinned ~1/WIN and deduplicated
+    map-side by array_distinct).  Sharing is counted with ONE window
+    pass hash-partitioned on the fingerprint — never a pair join, so a
+    boilerplate span duplicated across k documents costs k rows, not
+    k² (the duplication-skew lesson from dedup_lsh_star_cluster).
+    Exchanges: fp window + doc_id aggregate = 2.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toked = docs.select(
+        "doc_id", F.split(F.lower("text"), " ").alias("toks")
+    ).filter(F.size("toks") >= K + WIN - 1)
+    hashed = toked.select(
+        "doc_id",
+        F.expr(
+            f"transform(sequence(1, size(toks) - {K} + 1), "
+            f"i -> substring(md5(concat_ws(' ', slice(toks, i, {K}))), 1, 16))"
+        ).alias("hashes"),
+    )
+    fps = hashed.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"array_distinct(transform(sequence(1, size(hashes) - {WIN} + 1), "
+                f"s -> array_min(slice(hashes, s, {WIN}))))"
+            )
+        ).alias("fp"),
+    )
+    marked = fps.withColumn(
+        "n_docs_fp", F.count(F.lit(1)).over(W.partitionBy("fp"))
+    )
+    return (
+        marked.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_fps"),
+            F.sum(F.when(F.col("n_docs_fp") >= 2, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_shared"),
+        )
+        .filter(F.col("n_shared") * 2 >= F.col("n_fps"))
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "text_bm25_topk",
+    oracle=f"""
+WITH tf AS (
+  SELECT doc_id, tok, count(*) AS tf, min(dl) AS dl
+  FROM (
+    SELECT doc_id, len(str_split(lower(text), ' ')) AS dl,
+           unnest(str_split(lower(text), ' ')) AS tok
+    FROM documents
+  )
+  WHERE tok IN {BM25_TERMS!r}
+  GROUP BY doc_id, tok
+), tfdf AS (
+  SELECT doc_id, tf, dl, count(*) OVER (PARTITION BY tok) AS df FROM tf
+), stats AS (
+  SELECT count(*) AS n_docs,
+         sum(len(str_split(lower(text), ' '))) AS sum_dl
+  FROM documents
+), scored AS (
+  SELECT tfdf.doc_id,
+         CAST(round(
+           ln(1.0 + (stats.n_docs - tfdf.df + 0.5) / (tfdf.df + 0.5))
+           * (tfdf.tf * 2.2)
+           / (tfdf.tf + 1.2 * (0.25 + 0.75 * tfdf.dl /
+                (CAST(stats.sum_dl AS DOUBLE) / CAST(stats.n_docs AS DOUBLE))))
+           * 1000000.0) AS BIGINT) AS contrib_micros
+  FROM tfdf CROSS JOIN stats
+)
+SELECT doc_id, bm25_micros, rn FROM (
+  SELECT doc_id,
+         CAST(sum(contrib_micros) AS BIGINT) AS bm25_micros,
+         CAST(row_number() OVER (
+           ORDER BY sum(contrib_micros) DESC, doc_id) AS INT) AS rn
+  FROM scored GROUP BY doc_id
+) t
+WHERE rn <= 10
+ORDER BY rn
+""",
+    tags=("retrieval", "text", "bm25"),
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-10 documents for a fixed audit-query term set.
+
+    idf = ln(1 + (N - df + 0.5)/(df + 0.5)); per-term contribution
+    tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)) with k1=1.2, b=0.75.
+    Each (doc, term) contribution is quantized to integer MICROS
+    before the per-doc sum: double sums are addend-order-dependent
+    (the round(sum(double)) flake class in COMPAT.md), integer sums
+    are exact and order-free — ranking and the driver hash are stable
+    by construction, with only the one deterministic per-contribution
+    rounding left in double space.
+
+    Shape at 100 TB: ONE corpus scan feeds tf and dl together (dl
+    rides the tokenize projection; no join back to the corpus); the
+    term filter drops non-query tokens before the (doc, tok)
+    aggregate so the shuffle carries only matching docs; df comes
+    from a window over the already-tiny tf relation (deriving it
+    with a groupBy-join instead re-scans the whole corpus — measured
+    in this plan's first golden); the N/avgdl scalar is a 1-row
+    broadcast; the final top-k is a single-partition window over the
+    per-doc aggregate (rows already reduced to matched docs), never
+    a global sort of the corpus.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.size(F.split(F.lower("text"), " ")).alias("dl"),
+        F.explode(F.split(F.lower("text"), " ")).alias("tok"),
+    )
+    tf = (
+        toks.filter(F.col("tok").isin(*BM25_TERMS))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"), F.min("dl").alias("dl"))
+    )
+    stats = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split(F.lower("text"), " "))).alias("sum_dl"),
+    )
+    scored = (
+        tf.withColumn("df", F.count(F.lit(1)).over(W.partitionBy("tok")))
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "avgdl",
+            F.col("sum_dl").cast("double") / F.col("n_docs").cast("double"),
+        )
+        .withColumn(
+            "contrib_micros",
+            F.round(
+                F.log(
+                    F.lit(1.0)
+                    + (F.col("n_docs") - F.col("df") + 0.5)
+                    / (F.col("df") + 0.5)
+                )
+                * (F.col("tf") * 2.2)
+                / (
+                    F.col("tf")
+                    + 1.2 * (0.25 + 0.75 * F.col("dl") / F.col("avgdl"))
+                )
+                * 1000000.0
+            ).cast("bigint"),
+        )
+    )
+    w = W.orderBy(F.col("bm25_micros").desc(), "doc_id")
+    return (
+        scored.groupBy("doc_id")
+        .agg(F.sum("contrib_micros").cast("bigint").alias("bm25_micros"))
+        .withColumn("rn", F.row_number().over(w).cast("int"))
+        .filter(F.col("rn") <= 10)
+        .orderBy("rn")
+    )

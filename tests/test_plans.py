@@ -1120,6 +1120,9 @@ REGISTRY_EXCHANGE_BUDGET = {
     "dedup_paragraph_reassemble": 3,
     "dedup_simhash": 3,
     "dedup_window_first": 2,
+    # winnowing: fp-count window + doc aggregate + final sort — the
+    # fingerprint thinning itself is all map-side array expressions
+    "dedup_winnow_fingerprint": 3,
     "df_lateral_join_tvf": 2,
     "df_transpose": 1,
     "distinct_flags": 2,
@@ -1243,6 +1246,9 @@ REGISTRY_EXCHANGE_BUDGET = {
     "sql_registered_pandas_udf": 2,
     "sql_scripting_block": 0,
     "stat_crosstab": 3,
+    # bm25: (doc,tok) tf aggregate + df window on tok + per-doc sum —
+    # the top-k window runs single-partition (not hash-counted)
+    "text_bm25_topk": 3,
     "text_regex_scrub": 2,
     "text_stats": 1,
     "text_tfidf_topk": 5,
