@@ -75,3 +75,38 @@ def shuffle_count(df: DataFrame) -> int:
 
 def broadcast_join_count(df: DataFrame) -> int:
     return plan_string(df, "simple").count("BroadcastHashJoin")
+
+
+_SCAN_TABLE = re.compile(r"([A-Za-z_0-9]+)\.parquet")
+
+
+def scans_under_broadcast(df: DataFrame) -> list[str]:
+    """Table names of every FileScan sitting BENEATH a BroadcastExchange
+    in the physical plan — the build sides Catalyst has committed to
+    materializing on every executor.  The 100 TB invariant
+    (tests/test_asymptotic_regime.py) is that in asymptotic mode this
+    list never names a scaling table.
+
+    Subtree membership is recovered from the simple plan's indentation:
+    a node's children are the following lines whose operator name
+    starts at a deeper column; a BroadcastExchange's subtree ends at
+    the first line at or left of its own depth.
+    """
+    lines = plan_string(df, "simple").splitlines()
+    parsed = []  # (depth, op_name, raw_line)
+    for line in lines:
+        m = _OP_LINE.match(line)
+        if m:
+            parsed.append((m.start(1), m.group(1), line))
+    out: list[str] = []
+    for i, (depth, op, _line) in enumerate(parsed):
+        if op != "BroadcastExchange":
+            continue
+        for d2, op2, line2 in parsed[i + 1 :]:
+            if d2 <= depth:
+                break
+            if op2 == "FileScan":
+                sm = _SCAN_TABLE.search(line2)
+                if sm:
+                    out.append(sm.group(1))
+    return out

@@ -40,6 +40,35 @@ WIN = 4
 BM25_TERMS = ("spark", "merge", "window")
 
 
+def winnow_fingerprints(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id, fp) pairs: the winnowing fingerprint set of each document's
+    ``text`` column — K-token-gram md5-prefix hashes, window-min
+    selected, deduplicated map-side by array_distinct.  The selection
+    guarantee (Schleimer et al. §2): two documents sharing any token
+    run of length >= K + WIN - 1 share at least one fingerprint
+    (pinned by tests/test_retrieval_semantics.py).  Pure per-row array
+    expressions until the final explode of the already-thinned set."""
+    toked = docs.select(
+        id_col, F.split(F.lower("text"), " ").alias("toks")
+    ).filter(F.size("toks") >= K + WIN - 1)
+    hashed = toked.select(
+        id_col,
+        F.expr(
+            f"transform(sequence(1, size(toks) - {K} + 1), "
+            f"i -> substring(md5(concat_ws(' ', slice(toks, i, {K}))), 1, 16))"
+        ).alias("hashes"),
+    )
+    return hashed.select(
+        id_col,
+        F.explode(
+            F.expr(
+                f"array_distinct(transform(sequence(1, size(hashes) - {WIN} + 1), "
+                f"s -> array_min(slice(hashes, s, {WIN}))))"
+            )
+        ).alias("fp"),
+    )
+
+
 @register(
     "dedup_winnow_fingerprint",
     oracle=f"""
@@ -89,26 +118,7 @@ def dedup_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     k² (the duplication-skew lesson from dedup_lsh_star_cluster).
     Exchanges: fp window + doc_id aggregate = 2.
     """
-    docs = load_table(spark, sf_dir, "documents")
-    toked = docs.select(
-        "doc_id", F.split(F.lower("text"), " ").alias("toks")
-    ).filter(F.size("toks") >= K + WIN - 1)
-    hashed = toked.select(
-        "doc_id",
-        F.expr(
-            f"transform(sequence(1, size(toks) - {K} + 1), "
-            f"i -> substring(md5(concat_ws(' ', slice(toks, i, {K}))), 1, 16))"
-        ).alias("hashes"),
-    )
-    fps = hashed.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                f"array_distinct(transform(sequence(1, size(hashes) - {WIN} + 1), "
-                f"s -> array_min(slice(hashes, s, {WIN}))))"
-            )
-        ).alias("fp"),
-    )
+    fps = winnow_fingerprints(load_table(spark, sf_dir, "documents"))
     marked = fps.withColumn(
         "n_docs_fp", F.count(F.lit(1)).over(W.partitionBy("fp"))
     )

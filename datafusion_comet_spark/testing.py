@@ -141,3 +141,48 @@ def beyond_pinned_regime(sf_dir: str) -> bool:
     with a pointer at the regime ladder instead of failing on the
     next legitimate flip rung."""
     return lineitem_bytes(sf_dir) > PINNED_LARGE_MAX_BYTES
+
+
+from contextlib import contextmanager  # noqa: E402
+
+
+@contextmanager
+def asymptotic_mode(spark, sf_dir: str):
+    """The 100 TB plan regime, forced at test scale: disable the
+    size-estimate broadcast path (autoBroadcastJoinThreshold = -1) and
+    forge every SCALING table's on-disk byte count to 1 TB so the
+    size-gated hint helpers (_dim_hint / _stats_join_back) withhold
+    their hints.  What remains broadcast under this mode is exactly
+    what stays broadcast at any scale: the fixed-cardinality dims
+    (region/nation) and explicit hints on provably bounded sides
+    (scalar thresholds, literal spines, |langs|-row cutoffs).
+
+    This is the LADDER'S ENDPOINT — the regime past
+    beyond_pinned_regime's window where every scaling join is a
+    shuffle join and the plan is scale-stable again.  The broadcast
+    flips between the pinned windows are the transition band; plans
+    captured under this mode are the asymptotic contract
+    (tests/test_asymptotic_regime.py pins them as *.asymptotic.txt
+    goldens).  AQE may still locally re-broadcast a small runtime
+    stage at execution; the static plan pinned here is the strategy
+    Catalyst commits to before those runtime stats exist.
+    """
+    from .catalog import _TABLE_BYTES_CACHE, FIXED_SIZE_DIMS, TABLES
+
+    saved_threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    scaling = [t for t in TABLES if t not in FIXED_SIZE_DIMS]
+    saved_bytes = {
+        t: _TABLE_BYTES_CACHE.get((sf_dir, t)) for t in scaling
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
+        for t in scaling:
+            _TABLE_BYTES_CACHE[(sf_dir, t)] = 1 << 40
+        yield
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved_threshold)
+        for t, v in saved_bytes.items():
+            if v is None:
+                _TABLE_BYTES_CACHE.pop((sf_dir, t), None)
+            else:
+                _TABLE_BYTES_CACHE[(sf_dir, t)] = v
