@@ -96,7 +96,7 @@ GROUP BY doc_id
 HAVING sum(CASE WHEN n_docs_fp >= 2 THEN 1 ELSE 0 END) * 2 >= count(*)
 ORDER BY doc_id
 """,
-    tags=("retrieval", "datapipe", "dedup", "fingerprint"),
+    tags=("retrieval", "datapipe", "dedup", "fingerprint", "bench"),
 )
 def dedup_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing local fingerprints → substring-duplication suspects.
@@ -173,7 +173,7 @@ SELECT doc_id, bm25_micros, rn FROM (
 WHERE rn <= 10
 ORDER BY rn
 """,
-    tags=("retrieval", "text", "bm25"),
+    tags=("retrieval", "text", "bm25", "bench"),
 )
 def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Okapi BM25 top-10 documents for a fixed audit-query term set.

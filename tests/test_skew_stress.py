@@ -291,3 +291,53 @@ def test_duplication_skew_star_cluster(spark, tmp_path):
         .count()
     )
     assert n_star <= n_bands * (len(texts) - 1), (n_star, n_bands)
+
+
+def test_duplication_skew_winnow(spark, tmp_path):
+    """Duplication skew against the winnowing query: one text
+    duplicated k times makes every one of its fingerprints k-hot.
+    dedup_winnow_fingerprint counts sharing with a window over the
+    fingerprint partition — k rows per hot fingerprint, never a pair
+    join — so the plan must be JOIN-FREE (the structural linearity
+    proof; a pair spelling would put k² rows in the hot bucket) and
+    all k copies must come back flagged with every fingerprint
+    shared."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from datafusion_comet_spark.plans.introspect import plan_string
+    from datafusion_comet_spark.queries import load_all
+
+    k = 3000
+    dup_text = "the quick brown fox jumps over the lazy dog again and again"
+    uniq = [
+        f"document {i} speaks of topic{i % 97} and value{i * 7 % 101} stuff"
+        for i in range(500)
+    ]
+    texts = [dup_text] * k + uniq
+    pq.write_table(
+        pa.table({
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": texts,
+            "lang": ["en"] * len(texts),
+            "source": ["src0"] * len(texts),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }),
+        str(tmp_path / "documents.parquet"),
+    )
+    reg = load_all()
+    res = reg["dedup_winnow_fingerprint"].fn(spark, str(tmp_path))
+    plan = plan_string(res, "simple")
+    for op in (
+        "SortMergeJoin",
+        "BroadcastHashJoin",
+        "ShuffledHashJoin",
+        "CartesianProduct",
+        "BroadcastNestedLoopJoin",
+    ):
+        assert op not in plan, f"winnow plan grew a {op}:\n{plan[:1500]}"
+    rows = {r["doc_id"]: r for r in res.collect()}
+    missing = [d for d in range(k) if d not in rows]
+    assert not missing, f"{len(missing)} duplicated docs unflagged"
+    for d in range(k):
+        assert rows[d]["n_shared"] == rows[d]["n_fps"], rows[d]
