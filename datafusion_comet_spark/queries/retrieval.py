@@ -147,21 +147,24 @@ WITH tf AS (
   )
   WHERE tok IN {BM25_TERMS!r}
   GROUP BY doc_id, tok
-), tfdf AS (
-  SELECT doc_id, tf, dl, count(*) OVER (PARTITION BY tok) AS df FROM tf
 ), stats AS (
   SELECT count(*) AS n_docs,
-         sum(len(str_split(lower(text), ' '))) AS sum_dl
-  FROM documents
+         sum(len(toks)) AS sum_dl,
+         {", ".join(f"CAST(sum(CASE WHEN list_contains(toks, '{t}') THEN 1 ELSE 0 END) AS BIGINT) AS df_{t}" for t in BM25_TERMS)}
+  FROM (SELECT str_split(lower(text), ' ') AS toks FROM documents)
+), withdf AS (
+  SELECT tf.doc_id, tf.tf, tf.dl, stats.n_docs, stats.sum_dl,
+         CASE tf.tok {" ".join(f"WHEN '{t}' THEN stats.df_{t}" for t in BM25_TERMS)} END AS df
+  FROM tf CROSS JOIN stats
 ), scored AS (
-  SELECT tfdf.doc_id,
+  SELECT doc_id,
          CAST(round(
-           ln(1.0 + (stats.n_docs - tfdf.df + 0.5) / (tfdf.df + 0.5))
-           * (tfdf.tf * 2.2)
-           / (tfdf.tf + 1.2 * (0.25 + 0.75 * tfdf.dl /
-                (CAST(stats.sum_dl AS DOUBLE) / CAST(stats.n_docs AS DOUBLE))))
+           ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+           * (tf * 2.2)
+           / (tf + 1.2 * (0.25 + 0.75 * dl /
+                (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))
            * 1000000.0) AS BIGINT) AS contrib_micros
-  FROM tfdf CROSS JOIN stats
+  FROM withdf
 )
 SELECT doc_id, bm25_micros, rn FROM (
   SELECT doc_id,
@@ -190,32 +193,47 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Shape at 100 TB: ONE corpus scan feeds tf and dl together (dl
     rides the tokenize projection; no join back to the corpus); the
     term filter drops non-query tokens before the (doc, tok)
-    aggregate so the shuffle carries only matching docs; df comes
-    from a window over the already-tiny tf relation (deriving it
-    with a groupBy-join instead re-scans the whole corpus — measured
-    in this plan's first golden); the N/avgdl scalar is a 1-row
-    broadcast; the final top-k is a single-partition window over the
-    per-doc aggregate (rows already reduced to matched docs), never
-    a global sort of the corpus.
+    aggregate so the shuffle carries only matching docs; per-term
+    document frequencies ride the SAME keyless 1-row aggregate as
+    N/sum_dl (array_contains per literal term — the first two
+    spellings of this query were both scale traps: a groupBy-join df
+    re-scanned the corpus, and a window df partitioned by a
+    |terms|-cardinality key, serializing every matched row through
+    ≤|terms| tasks); the scored rows pick their df from the broadcast
+    1-row stats by a CASE on the term; the final top-k is a
+    single-partition window over the per-doc aggregate (rows already
+    reduced to matched docs), never a global sort of the corpus.
     """
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select(
+    toked = docs.select(
+        "doc_id", F.split(F.lower("text"), " ").alias("toks")
+    )
+    toks = toked.select(
         "doc_id",
-        F.size(F.split(F.lower("text"), " ")).alias("dl"),
-        F.explode(F.split(F.lower("text"), " ")).alias("tok"),
+        F.size("toks").alias("dl"),
+        F.explode("toks").alias("tok"),
     )
     tf = (
         toks.filter(F.col("tok").isin(*BM25_TERMS))
         .groupBy("doc_id", "tok")
         .agg(F.count(F.lit(1)).alias("tf"), F.min("dl").alias("dl"))
     )
-    stats = docs.agg(
+    stats = toked.agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.sum(F.size(F.split(F.lower("text"), " "))).alias("sum_dl"),
+        F.sum(F.size("toks")).alias("sum_dl"),
+        *[
+            F.sum(F.array_contains("toks", t).cast("int"))
+            .cast("bigint")
+            .alias(f"df_{t}")
+            for t in BM25_TERMS
+        ],
     )
+    df_case = F.when(F.col("tok") == BM25_TERMS[0], F.col(f"df_{BM25_TERMS[0]}"))
+    for t in BM25_TERMS[1:]:
+        df_case = df_case.when(F.col("tok") == t, F.col(f"df_{t}"))
     scored = (
-        tf.withColumn("df", F.count(F.lit(1)).over(W.partitionBy("tok")))
-        .crossJoin(F.broadcast(stats))
+        tf.crossJoin(F.broadcast(stats))
+        .withColumn("df", df_case)
         .withColumn(
             "avgdl",
             F.col("sum_dl").cast("double") / F.col("n_docs").cast("double"),

@@ -1246,9 +1246,10 @@ REGISTRY_EXCHANGE_BUDGET = {
     "sql_registered_pandas_udf": 2,
     "sql_scripting_block": 0,
     "stat_crosstab": 3,
-    # bm25: (doc,tok) tf aggregate + df window on tok + per-doc sum —
-    # the top-k window runs single-partition (not hash-counted)
-    "text_bm25_topk": 3,
+    # bm25: (doc,tok) tf aggregate + per-doc sum — df rides the 1-row
+    # stats broadcast (array_contains per literal term), and the top-k
+    # window runs single-partition (not hash-counted)
+    "text_bm25_topk": 2,
     "text_regex_scrub": 2,
     "text_stats": 1,
     "text_tfidf_topk": 5,
