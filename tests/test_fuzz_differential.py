@@ -1325,3 +1325,81 @@ def test_random_pivot_matches_duckdb(views, sf_dir, pair):
     spark_sql, duck_sql = pair
     df = views.sql(spark_sql)
     compare_to_oracle(df, duck_sql, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# Family 27 (round 10): random WINNOWING parameters — the local
+# fingerprinting scheme behind dedup_winnow_fingerprint, fuzzed across
+# gram width k, window width w, gram joiner, and an optional token
+# filter.  The registry query pins ONE (k=4, w=4) configuration; the
+# scheme's cross-engine risk is the 1-based slice/sequence arithmetic
+# (Spark slice(arr, i, len) vs DuckDB arr[i:j] inclusive, sequence vs
+# exclusive-end range) where an off-by-one silently shifts every
+# fingerprint, so the family sweeps the parameter grid and compares
+# per-document fingerprint-set summaries (count/min/max — order-free;
+# DuckDB's list_distinct output order is unspecified).  Token filters
+# apply BEFORE gram building on both sides, so positions stay aligned
+# by construction.
+# ---------------------------------------------------------------------------
+@st.composite
+def winnow_pair(draw) -> tuple[str, str]:
+    k = draw(st.integers(2, 5))
+    w = draw(st.integers(2, 5))
+    joiner = draw(st.sampled_from([" ", "|", ""]))
+    cap = draw(st.sampled_from([150, 300]))
+    tokfilter = draw(st.sampled_from([None, "length({t}) > 2", "{t} <> 'the'"]))
+    s_toks = "split(lower(text), ' ')"
+    d_toks = "str_split(lower(text), ' ')"
+    if tokfilter:
+        s_toks = f"filter({s_toks}, t -> {tokfilter.format(t='t')})"
+        d_toks = f"list_filter({d_toks}, t -> {tokfilter.format(t='t')})"
+    spark_sql = f"""
+SELECT doc_id,
+       CAST(size(fps) AS BIGINT) AS n_fps,
+       array_min(fps) AS mn, array_max(fps) AS mx
+FROM (
+  SELECT doc_id,
+         array_distinct(transform(sequence(1, size(hashes) - {w} + 1),
+           s -> array_min(slice(hashes, s, {w})))) AS fps
+  FROM (
+    SELECT doc_id,
+           transform(sequence(1, size(toks) - {k} + 1),
+             i -> substring(md5(concat_ws('{joiner}', slice(toks, i, {k}))), 1, 16)) AS hashes
+    FROM (SELECT doc_id, {s_toks} AS toks FROM documents WHERE doc_id < {cap})
+    WHERE size(toks) >= {k} + {w} - 1
+  )
+)
+ORDER BY doc_id
+"""
+    duck_sql = f"""
+SELECT doc_id,
+       CAST(len(fps) AS BIGINT) AS n_fps,
+       list_aggregate(fps, 'min') AS mn, list_aggregate(fps, 'max') AS mx
+FROM (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(hashes) - {w} + 2),
+           s -> list_aggregate(hashes[s:s+{w - 1}], 'min'))) AS fps
+  FROM (
+    SELECT doc_id,
+           list_transform(range(1, len(toks) - {k} + 2),
+             i -> substr(md5(array_to_string(toks[i:i+{k - 1}], '{joiner}')), 1, 16)) AS hashes
+    FROM (SELECT doc_id, {d_toks} AS toks FROM documents WHERE doc_id < {cap})
+    WHERE len(toks) >= {k} + {w} - 1
+  )
+)
+ORDER BY doc_id
+"""
+    return spark_sql, duck_sql
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(pair=winnow_pair())
+def test_random_winnow_matches_duckdb(views, sf_dir, pair):
+    spark_sql, duck_sql = pair
+    df = views.sql(spark_sql)
+    compare_to_oracle(df, duck_sql, sf_dir)
