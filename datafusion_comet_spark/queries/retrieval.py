@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from . import register
+from ._shared import _dim_hint
 
 # Winnowing parameters: k tokens per gram, w grams per window.  Any
 # shared token run of length >= K + WIN - 1 (the paper's guarantee
@@ -40,26 +41,30 @@ WIN = 4
 BM25_TERMS = ("spark", "merge", "window")
 
 
-def winnow_fingerprints(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """(id, fp) pairs: the winnowing fingerprint set of each document's
-    ``text`` column — K-token-gram md5-prefix hashes, window-min
-    selected, deduplicated map-side by array_distinct.  The selection
-    guarantee (Schleimer et al. §2): two documents sharing any token
-    run of length >= K + WIN - 1 share at least one fingerprint
-    (pinned by tests/test_retrieval_semantics.py).  Pure per-row array
-    expressions until the final explode of the already-thinned set."""
+def winnow_fingerprints(
+    docs: DataFrame, id_col: str = "doc_id", carry: tuple[str, ...] = ()
+) -> DataFrame:
+    """(id, *carry, fp) rows: the winnowing fingerprint set of each
+    document's ``text`` column — K-token-gram md5-prefix hashes,
+    window-min selected, deduplicated map-side by array_distinct.  The
+    selection guarantee (Schleimer et al. §2): two documents sharing
+    any token run of length >= K + WIN - 1 share at least one
+    fingerprint (pinned by tests/test_retrieval_semantics.py).  Pure
+    per-row array expressions until the final explode of the
+    already-thinned set."""
+    keep = [id_col, *carry]
     toked = docs.select(
-        id_col, F.split(F.lower("text"), " ").alias("toks")
+        *keep, F.split(F.lower("text"), " ").alias("toks")
     ).filter(F.size("toks") >= K + WIN - 1)
     hashed = toked.select(
-        id_col,
+        *keep,
         F.expr(
             f"transform(sequence(1, size(toks) - {K} + 1), "
             f"i -> substring(md5(concat_ws(' ', slice(toks, i, {K}))), 1, 16))"
         ).alias("hashes"),
     )
     return hashed.select(
-        id_col,
+        *keep,
         F.explode(
             F.expr(
                 f"array_distinct(transform(sequence(1, size(hashes) - {WIN} + 1), "
@@ -262,4 +267,76 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rn", F.row_number().over(w).cast("int"))
         .filter(F.col("rn") <= 10)
         .orderBy("rn")
+    )
+
+
+@register(
+    "decontaminate_winnow_spans",
+    oracle=f"""
+WITH fps AS (
+  SELECT doc_id, source,
+         unnest(list_distinct(list_transform(
+           range(1, len(hashes) - {WIN} + 2),
+           s -> list_aggregate(hashes[s:s+{WIN - 1}], 'min')))) AS fp
+  FROM (
+    SELECT doc_id, source,
+           list_transform(range(1, len(toks) - {K} + 2),
+             i -> substr(md5(array_to_string(toks[i:i+{K - 1}], ' ')), 1, 16)) AS hashes
+    FROM (SELECT doc_id, source, str_split(lower(text), ' ') AS toks
+          FROM documents)
+    WHERE len(toks) >= {K + WIN - 1}
+  )
+), eval_fps AS (
+  SELECT DISTINCT fp FROM fps WHERE doc_id % 25 = 0
+), hit AS (
+  SELECT t.doc_id, t.source, count(*) AS n_spans
+  FROM fps t JOIN eval_fps e USING (fp)
+  WHERE t.doc_id % 25 <> 0
+  GROUP BY t.doc_id, t.source
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS docs_flagged,
+       CAST(max(n_spans) AS BIGINT) AS max_spans,
+       CAST(sum(n_spans) AS BIGINT) AS total_spans
+FROM hit
+GROUP BY source
+ORDER BY source
+""",
+    tags=("retrieval", "datapipe", "decontamination", "fingerprint"),
+)
+def decontaminate_winnow_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level benchmark decontamination: flag training
+    documents sharing a winnow fingerprint with the eval set (every
+    25th document here; a benchmark suite in production) — i.e. a
+    likely COPIED SPAN of >= K+WIN-1 tokens, the leakage class the
+    5-gram set-overlap pass (decontaminate_ngram_overlap) reports only
+    statistically and a MinHash doc-signature misses entirely.
+
+    Shape at 100 TB: the eval index is the winnowed fingerprint set —
+    ~2/(WIN+1) of the eval corpus's grams by the winnowing density
+    bound, so the thing broadcast is a FRACTION of what the 5-gram
+    variant ships — and the training side joins against it with no
+    shuffle of the corpus (the broadcast is size-gated the same way:
+    eval suites are fixed-size in production, this fixture's grows
+    with the corpus, so _dim_hint keys on the documents table).
+    Per-doc hit counts aggregate (doc_id, source) pairs, never text.
+    """
+    fps = winnow_fingerprints(
+        load_table(spark, sf_dir, "documents"), carry=("source",)
+    )
+    eval_fps = fps.filter(F.col("doc_id") % 25 == 0).select("fp").distinct()
+    hits = (
+        fps.filter(F.col("doc_id") % 25 != 0)
+        .join(_dim_hint(eval_fps, sf_dir, "documents"), "fp")
+        .groupBy("doc_id", "source")
+        .agg(F.count(F.lit(1)).alias("n_spans"))
+    )
+    return (
+        hits.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("docs_flagged"),
+            F.max("n_spans").cast("bigint").alias("max_spans"),
+            F.sum("n_spans").cast("bigint").alias("total_spans"),
+        )
+        .orderBy("source")
     )

@@ -76,6 +76,7 @@ ASYMPTOTIC_PINNED = sorted(
         "dedup_lsh_star_cluster",
         "dedup_winnow_fingerprint",
         "decontaminate_ngram_overlap",
+        "decontaminate_winnow_spans",
         "events_sessionize",
         "pipeline_corpus_curation",
         "pipeline_corpus_curation_v2",

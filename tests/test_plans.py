@@ -1104,6 +1104,9 @@ REGISTRY_EXCHANGE_BUDGET = {
     "corpus_snapshot_diff": 4,
     "correlated_scalar_subquery": 4,
     "decontaminate_ngram_overlap": 4,
+    # winnow decontamination: eval-fp distinct + hit (doc,source) agg +
+    # per-source rollup + final sort; the eval index is broadcast
+    "decontaminate_winnow_spans": 4,
     "dedup_cluster_components": 2,
     "dedup_embedding_cosine": 0,
     "dedup_exact": 2,
