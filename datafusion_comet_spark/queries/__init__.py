@@ -131,13 +131,20 @@ SAMPLE_PREFIX: tuple[str, ...] = (
     "sample_stratified_exact_k",
     "global_index_assignment",
     "dedup_keep_best",
-    "quality_linear_scorer",
-    "quality_scorer_weight_table",
+    # second-session additions (retrieval.py): never-sampled queries
+    # take slots over stale-green re-proofs — the displaced trio
+    # (quality_linear_scorer / quality_scorer_weight_table /
+    # corpus_epoch_repetition) is the cohort's lowest divergence risk
+    # (a scorer pair whose mechanism doc_quality_filter still
+    # re-proves, and an integer-exact repetition plan) and rotates
+    # next round
+    "dedup_winnow_fingerprint",
+    "text_bm25_topk",
+    "decontaminate_winnow_spans",
     "dedup_paragraph_reassemble",
     "corpus_snapshot_diff",
     "boilerplate_prefix_strip",
     "sample_temperature_mixture",
-    "corpus_epoch_repetition",
     "quality_topp_per_language",
     "pipeline_mixture_assembly",
 )
