@@ -91,6 +91,16 @@ def scans_under_broadcast(df: DataFrame) -> list[str]:
     a node's children are the following lines whose operator name
     starts at a deeper column; a BroadcastExchange's subtree ends at
     the first line at or left of its own depth.
+
+    OPAQUE nodes under a broadcast are flagged, not skipped: a
+    ``ReusedExchange`` or ``InMemoryTableScan`` descendant prints no
+    FileScan of its own — its source subtree lives elsewhere in the
+    plan (or in the cache manager) — so a scaling scan could reach the
+    broadcast through one without ever appearing in this subtree.
+    Those descendants are reported as ``<opaque:OpName>`` markers so
+    the asymptotic contract test fails on them unless the composed
+    plan was adjudicated and allowlisted by name (round-11 advice:
+    cached/reused build sides must not bypass the contract).
     """
     lines = plan_string(df, "simple").splitlines()
     parsed = []  # (depth, op_name, raw_line)
@@ -109,4 +119,6 @@ def scans_under_broadcast(df: DataFrame) -> list[str]:
                 sm = _SCAN_TABLE.search(line2)
                 if sm:
                     out.append(sm.group(1))
+            elif op2 in ("ReusedExchange", "InMemoryTableScan"):
+                out.append(f"<opaque:{op2}>")
     return out

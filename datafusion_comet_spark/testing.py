@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import math
 import os
+from contextlib import contextmanager
 from datetime import date, datetime
 from decimal import Decimal
 from typing import Any
@@ -141,9 +142,6 @@ def beyond_pinned_regime(sf_dir: str) -> bool:
     with a pointer at the regime ladder instead of failing on the
     next legitimate flip rung."""
     return lineitem_bytes(sf_dir) > PINNED_LARGE_MAX_BYTES
-
-
-from contextlib import contextmanager  # noqa: E402
 
 
 @contextmanager
