@@ -371,7 +371,7 @@ FROM (
 )
 ORDER BY doc_id
 """,
-    tags=("retrieval", "datapipe", "dedup", "fingerprint"),
+    tags=("retrieval", "datapipe", "dedup", "fingerprint", "bench"),
 )
 def dedup_winnow_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Substring dedup CUT: remove the matched spans, keep the rest.
@@ -490,7 +490,7 @@ SELECT query_id, doc_id, bm25_micros, rn FROM (
 WHERE rn <= 10
 ORDER BY query_id, rn
 """,
-    tags=("retrieval", "text", "bm25"),
+    tags=("retrieval", "text", "bm25", "bench"),
 )
 def text_bm25_multiquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 as a real retrieval OPERATOR: the query is a TABLE of

@@ -29,9 +29,11 @@ generator's sf0.1 differs from the driver's sf0.1 (row-group count,
 RNG).  Exponents must be computed within one generator's series —
 that is exactly how SCALE.md's round-9 table uses it.
 
-Usage: python dev/gen_scale_data.py SF [SF...] [--skew S]
+Usage: python dev/gen_scale_data.py SF [SF...] [--skew S] [--dup-skew D]
 Writes to /root/repo/scaledata/sf{SF}/ (gitignored — ~170 MB/sf);
-with --skew S, to /root/repo/scaledata/sf{SF}-skew{S}/.
+with --skew S, to /root/repo/scaledata/sf{SF}-skew{S}/; with
+--dup-skew D, to /root/repo/scaledata/sf{SF}-dup{D}/ (suffixes
+compose).
 
 --skew S (round-9 verdict, "Next round #1"): draw the fact tables'
 foreign keys Zipf(S)-distributed instead of uniform — the realistic
@@ -45,12 +47,29 @@ permutation, so skew never correlates with key-ordered attributes and
 hot keys don't hash adjacently.  Row COUNTS are unchanged except
 lineitem's ~+7% from bulk orders — uniform-vs-skewed wall-time deltas
 are therefore attributable to skew, not volume.
+
+--dup-skew D (round-10 verdict, "Next round #2"): the --skew dial's
+missing axis — DUPLICATION skew in the corpus itself.  ~10% of
+documents AND embeddings rows are overwritten into heavy-tailed
+duplicate clusters: cluster sizes Zipf(D)-drawn, clipped to [2, n/100],
+with the first cluster FORCED to n/100 rows (the "boilerplate page
+copied onto 1% of the corpus" shape the star-cluster dedups exist
+for; at sf1 that's a 1000-document cluster).  This is the shape where
+pair-join dedups (dedup_minhash_lsh's bucket join) do O(k²) work per
+cluster while the star form does k−1 — previously argued only by the
+k=3000 synthetic guard in tests/test_skew_stress.py.  The FACT tables
+are byte-identical between sf{SF} and sf{SF}-dup{D} (the mirror of
+--skew's noise control, where documents/embeddings stay identical);
+row counts, document lengths, and vocabulary are unchanged — only
+which rows share content moves — so uniform-vs-dup wall-time deltas
+are attributable to duplication structure, not volume.
 """
 
 from __future__ import annotations
 
 import os
 import sys
+import zlib
 
 import numpy as np
 import pyarrow as pa
@@ -87,11 +106,55 @@ DAY_US = 86_400_000_000
 
 
 def _rng(sf: float, table: str) -> np.random.Generator:
-    return np.random.default_rng([42, int(round(sf * 1000)), hash(table) & 0x7FFFFFFF])
+    # zlib.crc32, NOT hash(): Python randomizes str hashes per process
+    # (PYTHONHASHSEED), which silently made every generator run draw
+    # different streams — "fully deterministic" only held within one
+    # process, so cross-RUN byte-identity controls (uniform dir vs
+    # skew/dup dir generated separately) were broken.  Found round 11
+    # while verifying the --dup-skew noise control; crc32 is stable
+    # across processes and platforms.
+    return np.random.default_rng(
+        [42, int(round(sf * 1000)), zlib.crc32(table.encode())]
+    )
 
 
 # set by main() from --skew; None = uniform keys (the default)
 SKEW: float | None = None
+
+# set by main() from --dup-skew; None = only the organic ~0.2%/0.3%
+# duplicate rate every dir has (the default)
+DUP_SKEW: float | None = None
+
+
+def _dup_assign(
+    rng: np.random.Generator, n: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """(src_idx, dst_idx): rows dst_idx[i] get overwritten with the
+    content of src_idx[i], forming heavy-tailed duplicate clusters.
+
+    ~10% of rows join clusters; sizes are Zipf(DUP_SKEW) clipped to
+    [2, n/100]; the first cluster is pinned at n/100 (the hottest
+    boilerplate page).  Members come from one permutation, so clusters
+    are disjoint, scattered through id space, and each cluster's
+    source row keeps its organic content (size-k cluster = 1 organic
+    row + k-1 overwrites)."""
+    budget = n // 10
+    kmax = max(2, n // 100)
+    sizes = [kmax]
+    while sum(sizes) < budget:
+        sizes.append(int(np.clip(rng.zipf(DUP_SKEW), 2, kmax)))
+    perm = rng.permutation(n)
+    src: list[np.ndarray] = []
+    dst: list[np.ndarray] = []
+    pos = 0
+    for k in sizes:
+        rows = perm[pos:pos + k]
+        if len(rows) < 2:
+            break
+        pos += k
+        src.append(np.repeat(rows[0], len(rows) - 1))
+        dst.append(rows[1:])
+    return np.concatenate(src), np.concatenate(dst)
 
 _PERM_CACHE: dict[int, np.ndarray] = {}
 
@@ -302,6 +365,12 @@ def gen_documents(out: str, sf: float) -> int:
             words = texts[s].split(" ")
             words[int(rng.integers(0, len(words)))] = str(vocab[int(rng.integers(0, len(vocab)))])
             texts[t] = " ".join(words)
+    if DUP_SKEW is not None:
+        # dedicated rng stream: the organic rows above stay
+        # byte-identical to the uniform dir; only overwritten rows move
+        src_d, dst_d = _dup_assign(_rng(sf, "dup-documents"), n)
+        for s, t in zip(src_d, dst_d):
+            texts[t] = texts[s]
     tbl = pa.table({
         "doc_id": pa.array(np.arange(n), pa.int64()),
         "text": texts,
@@ -326,6 +395,13 @@ def gen_embeddings(out: str, sf: float) -> int:
     v = rng.standard_normal((n, dim)) + 0.25 * dirs[labels] * np.sqrt(dim)
     v /= np.linalg.norm(v, axis=1, keepdims=True)
     v32 = v.astype("float32")
+    if DUP_SKEW is not None:
+        # identical-vector clusters (the class sign-bit LSH cannot
+        # split, SCALE.md "identical-embedding dedup hazard"); labels
+        # ride along so a duplicate is a full row copy
+        src_d, dst_d = _dup_assign(_rng(sf, "dup-embeddings"), n)
+        v32[dst_d] = v32[src_d]
+        labels[dst_d] = labels[src_d]
     emb = pa.FixedSizeListArray.from_arrays(pa.array(v32.ravel()), dim).cast(
         pa.list_(pa.float32()))
     tbl = pa.table({
@@ -339,16 +415,21 @@ def gen_embeddings(out: str, sf: float) -> int:
 
 
 def main() -> None:
-    global SKEW
+    global SKEW, DUP_SKEW
     argv = list(sys.argv[1:])
     if "--skew" in argv:
         i = argv.index("--skew")
         SKEW = float(argv[i + 1])
         del argv[i:i + 2]
+    if "--dup-skew" in argv:
+        i = argv.index("--dup-skew")
+        DUP_SKEW = float(argv[i + 1])
+        del argv[i:i + 2]
     sfs = [float(a) for a in argv] or [1.0]
     for sf in sfs:
         label = f"{sf:g}"
         suffix = f"-skew{SKEW:g}" if SKEW is not None else ""
+        suffix += f"-dup{DUP_SKEW:g}" if DUP_SKEW is not None else ""
         out = os.path.join(OUT_BASE, f"sf{label}{suffix}")
         os.makedirs(out, exist_ok=True)
         print(f"generating sf{label} -> {out}")
