@@ -682,13 +682,19 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     production run thresholds instead of ranking; top-k keeps the gate
     non-vacuous on synthetic data whose max pairwise similarity (~0.5)
     never crosses a dedup threshold.  Dot products are JVM
-    zip_with/aggregate folds — no Python; the sign expression is
-    spelled identically in the DuckDB oracle, so the differential
-    check covers the blocking too."""
-    from .similarity import _as_double, dot, l2_norm
+    expressions — no Python — spelled as an UNROLLED codegen sum
+    since round 11 (the fold spelling is CodegenFallback; see
+    dot_unrolled); the sign expression is spelled identically in the
+    DuckDB oracle, so the differential check covers the blocking
+    too."""
+    from .similarity import _as_double, dot_unrolled, l2_norm
 
     # Norms materialize per row below the self-join (O(n)), so the
-    # per-pair work inside a block is the dot fold alone.
+    # per-pair work inside a block is the dot product alone — spelled
+    # UNROLLED (round 11): the zip_with/aggregate fold is
+    # CodegenFallback and its interpreted per-pair cost degrades
+    # ~10-20x in a long-lived JVM (see dot_unrolled's docstring);
+    # bit-identical accumulation order, oracle hash unchanged.
     sbucket = sum(
         [
             F.when(F.col("emb").getItem(i) >= 0, F.lit(1 << i)).otherwise(
@@ -707,7 +713,24 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             sbucket.alias("sbucket"),
         )
     )
-    left = emb.select(
+    # Block-key rebalance of the PROBE side before the pair join
+    # (round 11): the small build side broadcasts, so the join stage
+    # inherits the probe SCAN's partitioning — 2 parquet files at sf1
+    # put the whole ~1.4M-pair × per-pair-dot stream on 2 tasks
+    # (jstack-caught: one task, 17 min CPU inside ZipWith.eval before
+    # the fold was unrolled).  Hash-partitioning on the JOIN key —
+    # not round-robin — serves both plan regimes: in the broadcast
+    # regime it spreads the pair stream across the ~label·2^bits
+    # blocks (the block count is the scale dial, so parallelism grows
+    # with the corpus), and in the asymptotic SMJ regime
+    # EnsureRequirements recognizes it as the join's required
+    # distribution and adds NO second exchange (a round-robin spelling
+    # costs a redundant full repass of the corpus there).  Under
+    # EMBEDDING-duplication skew a hot block still lands on one task —
+    # that corpus shape must use dedup_embedding_star_cluster (k-1
+    # hub edges), per the blocking caveat above.
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    left = emb.repartition(n_parts, "label", "sbucket").select(
         F.col("vec_id").alias("a"), "label", "sbucket",
         F.col("emb").alias("emb_a"), F.col("nrm").alias("nrm_a"),
     )
@@ -722,7 +745,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             "a",
             "b",
             F.round(
-                dot(F.col("emb_a"), F.col("emb_b"))
+                dot_unrolled(F.col("emb_a"), F.col("emb_b"))
                 / (F.col("nrm_a") * F.col("nrm_b")),
                 5,
             ).alias("sim"),
@@ -752,7 +775,7 @@ def dedup_embedding_star_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     production dial (dedup runs ~0.9); 0.2 keeps the differential gate
     non-vacuous on the synthetic unit vectors (hub-sim p90 ~0.2, max ~0.39).
     """
-    from .similarity import _as_double, dot, l2_norm
+    from .similarity import _as_double, dot_unrolled, l2_norm
 
     sbucket = sum(
         [
@@ -782,7 +805,7 @@ def dedup_embedding_star_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("vec_id") != F.col("hub"))
         .filter(
             F.round(
-                dot(F.col("emb"), F.col("emb_h"))
+                dot_unrolled(F.col("emb"), F.col("emb_h"))
                 / (F.col("nrm") * F.col("nrm_h")),
                 5,
             )

@@ -34,6 +34,39 @@ def dot(a, b) -> Column:
     )
 
 
+# Embedding width of the testdata/scaledata corpora (TESTDATA.md); a
+# production deployment derives it from the table schema once at plan
+# time — it only parameterizes expression GENERATION, not execution.
+EMB_DIM = 64
+
+
+def dot_unrolled(a, b, dim: int = EMB_DIM) -> Column:
+    """Σ aᵢ·bᵢ unrolled to straight-line codegen arithmetic.
+
+    Round-11 finding: the zip_with+aggregate fold spelling is
+    CodegenFallback — evaluated by the interpreted expression walker
+    even inside a WholeStageCodegen stage — and its per-pair cost is
+    NOT steady-state-stable in a shared JVM: measured ~12-35 µs/pair
+    in a fresh session degrading ~10-20x (to ~0.3-0.7 ms/pair) after
+    other lambda shapes pass through the same ZipWith/ArrayAggregate
+    eval call sites (megamorphic inline caches; jstack-confirmed, no
+    CodeCache-full warnings — dev/dupskew_r11/embcos_ab.json shows
+    5.7 s -> 70-83 s across iterations of ONE unchanged plan).  On a
+    long-lived 1000-executor cluster every executor reaches that
+    polluted steady state, so quadratic pair-join paths must not
+    carry interpreted folds.  The unrolled form is pure GetArrayItem
+    + multiply + add — codegen end to end — with the SAME
+    left-associated accumulation order as the fold, so doubles are
+    bit-identical and oracle hashes unchanged.  Requires fixed-width
+    arrays: getItem past the end yields NULL and would poison the
+    sum (the fold tolerates ragged arrays; callers on variable-width
+    data must keep `dot`)."""
+    acc: Column = F.lit(0.0)
+    for i in range(dim):
+        acc = acc + a.getItem(i) * b.getItem(i)
+    return acc
+
+
 def l2_norm(a) -> Column:
     return F.sqrt(
         F.aggregate(

@@ -1108,7 +1108,10 @@ REGISTRY_EXCHANGE_BUDGET = {
     # per-source rollup + final sort; the eval index is broadcast
     "decontaminate_winnow_spans": 4,
     "dedup_cluster_components": 2,
-    "dedup_embedding_cosine": 0,
+    # round 11: +1 — round-robin rebalance of the probe side before
+    # the pair join (2-file scan partitioning starved the interpreted
+    # pair stream; see the query's comment)
+    "dedup_embedding_cosine": 1,
     "dedup_exact": 2,
     "dedup_incremental_vs_corpus": 3,
     "dedup_keep_best": 2,
