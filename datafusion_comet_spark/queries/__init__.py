@@ -65,88 +65,78 @@ def register(
 # after all imports — immune to import side effects — and pytest-pinned
 # by tests/test_plans.py::test_sample_prefix.
 #
-# Round-10 rotation (per the round-9 verdict's "Next round #3", the
-# exact depth-1 plan dev/sample_debt.py prints).  The registry is
-# complete (every query has a driver row as of r9), so rotation is now
-# pure freshness-cranking: slots 1-7 are the tpcds_style3 cohort whose
-# last driver rows are the registry's oldest (r2/r3), slots 8-50 the
-# datapipe/text/similarity family (r3 vintage, 7 rounds stale).  This
-# batch carries extra weight: `dedup_levenshtein` (slot 22) and
-# `dedup_embedding_cosine` (slot 17) get their first DRIVER re-proof
-# since the round-9 sorted-neighborhood / axis-sign-LSH rewrites
-# (locally green at 4 scales, but a driver hash row is the stronger
-# evidence), and `ann_bruteforce_topk` re-proves the ANN baseline
-# after the round-9 Lloyd quantizer rewrite.  After this rotation the
-# oldest driver row in the registry advances from r2 to r4.  All 328
-# oracles still run locally every round regardless
-# (tests/test_queries_oracle.py).
+# Round-11 rotation (per the round-10 verdict's "Next round #1": pay
+# the r3/r4 freshness tail).  Slots 1-2 are this round's two new
+# queries (never-sampled outranks everything); slots 3-7 the five
+# r3-vintage rows (the trio displaced by round 10's retrieval
+# additions plus the two embedding re-proofs the star clusters
+# outranked); slots 8-50 the oldest r4 rows in dev/sample_debt.py's
+# order — the aggregate/window/multimodal/expression cohorts, 7
+# rounds stale.  The last two of the suggested r4 list
+# (expr_cast_string_parsing / expr_cast_temporal) are displaced one
+# round by the two new queries — the lowest-risk displacement on the
+# list, since the cast matrix is also re-proven every round by the
+# local pair×mode sweep (tests/test_cast_pairs.py).  After this
+# rotation the registry's oldest driver row advances to r4 (to r7
+# after round 12's follow-up).  All oracles still run locally every
+# round regardless (tests/test_queries_oracle.py).
 SAMPLE_PREFIX: tuple[str, ...] = (
-    # 1-7: tpcds_style3 cohort — the registry's oldest rows (r2/r3)
-    "tpcds_customer_cohort_setops",
-    "tpcds_rank_in_category",
-    "tpcds_cumulative_compare",
-    "tpcds_rollup_rank_hierarchy",
-    "tpcds_time_band_counts",
-    "tpcds_yoy_channel_ratio",
-    "tpcds_purchase_overlap",
-    # 8-10: similarity family.  ann_bruteforce_topk is the r3-vintage
-    # post-Lloyd-rewrite re-proof; the two star-cluster dedups are the
-    # round-10 duplication-skew additions and have never had a driver
-    # row — never-sampled outranks stale-green, so they take the slots
-    # the (single-agg, low-divergence-risk) embedding_norm_stats /
-    # embedding_quantize_int8 re-proofs would have used.
-    "ann_bruteforce_topk",
-    "dedup_lsh_star_cluster",
-    "dedup_embedding_star_cluster",
-    # 11-50: datapipe/text family (r3 vintage, 7 rounds stale) —
-    # includes the two round-9 dedup rewrites' first driver re-proof
-    "dedup_exact",
-    "dedup_window_first",
-    "text_stats",
-    "lang_id_heuristic",
-    "token_count_regex",
-    "dedup_ngram_jaccard",
-    "dedup_embedding_cosine",
-    "sample_hash_deterministic",
-    "vocab_top_tokens",
-    "ngram_bigram_counts",
-    "doc_quality_filter",
-    "dedup_levenshtein",
-    "text_tfidf_topk",
-    "pipeline_corpus_curation",
-    "decontaminate_ngram_overlap",
-    "text_regex_scrub",
-    "sample_weighted_mixture",
-    "doc_chunk_sliding",
-    "doc_repetition_ratio",
-    "dedup_normalized_text",
-    "token_count_arrow",
-    "dedup_incremental_vs_corpus",
-    "corpus_deterministic_shuffle",
-    "doc_pack_greedy",
-    "doc_length_ntile",
-    "pipeline_corpus_curation_v2",
-    "dedup_paragraph_boilerplate",
-    "fingerprint_table_maintain",
-    "sample_stratified_exact_k",
-    "global_index_assignment",
-    "dedup_keep_best",
-    # second-session additions (retrieval.py): never-sampled queries
-    # take slots over stale-green re-proofs — the displaced trio
-    # (quality_linear_scorer / quality_scorer_weight_table /
-    # corpus_epoch_repetition) is the cohort's lowest divergence risk
-    # (a scorer pair whose mechanism doc_quality_filter still
-    # re-proves, and an integer-exact repetition plan) and rotates
-    # next round
-    "dedup_winnow_fingerprint",
-    "text_bm25_topk",
-    "decontaminate_winnow_spans",
-    "dedup_paragraph_reassemble",
-    "corpus_snapshot_diff",
-    "boilerplate_prefix_strip",
-    "sample_temperature_mixture",
-    "quality_topp_per_language",
-    "pipeline_mixture_assembly",
+    # 1-2: round-11 additions, never sampled
+    "dedup_winnow_cut",
+    "text_bm25_multiquery",
+    # 3-7: the r3-vintage five
+    "embedding_norm_stats",
+    "embedding_quantize_int8",
+    "quality_linear_scorer",
+    "quality_scorer_weight_table",
+    "corpus_epoch_repetition",
+    # 8-23: aggregate cohort (r4)
+    "agg_variance_stddev",
+    "agg_corr_covar",
+    "agg_minmax_types",
+    "agg_minby_maxby",
+    "agg_bitwise",
+    "agg_bool",
+    "agg_filter_clause",
+    "agg_distinct_forms",
+    "agg_collect_set",
+    "agg_percentiles",
+    "agg_first_last_sorted",
+    "agg_listagg_sorted",
+    "udaf_grouped_ols",
+    # 21-30: window cohort (r4)
+    "window_ranking",
+    "window_running_sum",
+    "window_lag_lead",
+    "window_moving_avg",
+    "window_distribution",
+    "window_distribution_global",
+    "window_first_last_nth",
+    "window_range_frame",
+    "window_topk_per_group",
+    "window_interval_range_frame",
+    # 31-38: multimodal cohort (r4)
+    "multimodal_metadata",
+    "multimodal_frame_sample",
+    "multimodal_resize_stub",
+    "multimodal_embed_ann",
+    "multimodal_audio_framing",
+    "multimodal_ppm_real_decode",
+    "multimodal_wav_real_decode",
+    "multimodal_format_sniff",
+    # 39-50: expression cohort (r4)
+    "expr_string_basics",
+    "expr_string_search",
+    "expr_regex",
+    "expr_datetime_fields",
+    "expr_datetime_arith",
+    "expr_datetime_format",
+    "expr_math_basics",
+    "expr_math_trig",
+    "expr_conditional",
+    "expr_predicates",
+    "expr_cast_matrix",
+    "expr_cast_narrowing",
 )
 
 
