@@ -75,8 +75,80 @@ def l2_norm(a) -> Column:
     )
 
 
+def l2_norm_unrolled(a, dim: int = EMB_DIM) -> Column:
+    """|a| unrolled to straight-line codegen arithmetic — same
+    left-associated 0.0 + a₀² + a₁² + ... fold order as ``l2_norm``'s
+    transform+aggregate spelling, so doubles are bit-identical (see
+    dot_unrolled for why: the HOF fold is CodegenFallback and its
+    interpreted eval sites degrade megamorphically in shared JVMs).
+    Fixed-width arrays only."""
+    acc: Column = F.lit(0.0)
+    for i in range(dim):
+        acc = acc + a.getItem(i) * a.getItem(i)
+    return F.sqrt(acc)
+
+
 def cosine(a, b) -> Column:
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def cosine_unrolled(a, b, dim: int = EMB_DIM) -> Column:
+    """cosine(a, b) as pure codegen arithmetic: unrolled dot and norms
+    with the exact fold orders of the HOF spellings — bit-identical
+    doubles, no interpreted ZipWith/ArrayAggregate in the per-pair hot
+    path (round-11 finding, see dot_unrolled).  Callers that can hoist
+    the norms per ROW should do that instead and divide by the product;
+    this form is for bounded-row reranks where hoisting buys nothing."""
+    return dot_unrolled(a, b, dim) / (
+        l2_norm_unrolled(a, dim) * l2_norm_unrolled(b, dim)
+    )
+
+
+# --- scale gate for the pair-arithmetic SPELLING (round 11) ---------------
+#
+# Two measured regimes for Σ aᵢ·bᵢ-shaped per-pair arithmetic:
+#
+# * SMALL corpus (the sf0.1 bench: 5k vectors, ≤15k pairs): each
+#   unrolled 64-term tree adds ~0.6 s of FIXED per-execution plan cost
+#   (analysis + optimizer + codegen-source walks of ~200 extra nodes —
+#   the round-9 `_nearest` lesson), while the interpreted fold's
+#   per-pair cost is µs-scale.  Interleaved min-of-6 at sf0.1
+#   (bruteforce shape): fold 0.566 s vs any-unrolled-arm 1.1-1.6 s.
+# * LARGE corpus (≥ ~1M pairs): the fold runs interpreted
+#   (CodegenFallback) and its ZipWith/ArrayAggregate eval sites degrade
+#   megamorphically in long-lived JVMs — measured ~12-35 µs/pair fresh
+#   to 0.3-0.7 ms/pair polluted (dev/dupskew_r11/embcos_ab.json:
+#   5.7 s → 70-83 s for ONE unchanged plan), which dwarfs any plan
+#   cost.  dedup_embedding_cosine ships the unrolled form
+#   unconditionally for exactly this reason (its pair count scales
+#   with the corpus even at test SF).
+#
+# Both spellings share the exact left-associated fold order, so the
+# doubles — and every oracle hash — are bit-identical; the gate only
+# picks WHICH code shape computes them.  Keyed on the footer row count
+# (zero data passes), not bytes: the crossover tracks pair volume.
+_UNROLL_MIN_ROWS = 100_000
+
+
+def _unroll_pairs(sf_dir: str, table: str = "embeddings") -> bool:
+    return parquet_num_rows(sf_dir, table) >= _UNROLL_MIN_ROWS
+
+
+def pair_dot(sf_dir: str, table: str = "embeddings"):
+    """Σ aᵢ·bᵢ for per-PAIR hot paths: interpreted fold below the scale
+    gate (cheap plans win at bench scale), unrolled codegen above it
+    (megamorphic-safe at corpus scale).  Value-identical either way."""
+    return dot_unrolled if _unroll_pairs(sf_dir, table) else dot
+
+
+def row_norm(sf_dir: str, table: str = "embeddings"):
+    """|a| for per-ROW norm hoists, same gate as pair_dot."""
+    return l2_norm_unrolled if _unroll_pairs(sf_dir, table) else l2_norm
+
+
+def pair_cosine(sf_dir: str, table: str = "embeddings"):
+    """cosine(a, b) for per-pair reranks, same gate as pair_dot."""
+    return cosine_unrolled if _unroll_pairs(sf_dir, table) else cosine
 
 
 @register(
@@ -111,7 +183,9 @@ def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = (
         _t(spark, sf_dir, "embeddings")
         .select("vec_id", _as_double("embedding").alias("emb"))
-        .select("vec_id", "emb", l2_norm(F.col("emb")).alias("nrm"))
+        .select(
+            "vec_id", "emb", row_norm(sf_dir)(F.col("emb")).alias("nrm")
+        )
     )
     queries = emb.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("qid"),
@@ -124,7 +198,7 @@ def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "qid",
             "vec_id",
             (
-                dot(F.col("q_emb"), F.col("emb"))
+                pair_dot(sf_dir)(F.col("q_emb"), F.col("emb"))
                 / (F.col("nrm") * F.col("q_nrm"))
             ).alias("sim_raw"),
         )
@@ -216,17 +290,40 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         F.lit(0),
     )
-    bucketed = emb.select("vec_id", "label", "emb", sig.alias("bucket"))
+    # norm per ROW below the bucket join; scale-gated pair-dot spelling
+    # (the interpreted-fold-per-pair fix, see pair_dot) — nrm_a·nrm_b is
+    # IEEE-commutative with cosine's |a|·|b|, sims bit-identical
+    bucketed = emb.select(
+        "vec_id",
+        "label",
+        "emb",
+        row_norm(sf_dir)(F.col("emb")).alias("nrm"),
+        sig.alias("bucket"),
+    )
     left = bucketed.select(
-        F.col("vec_id").alias("a"), F.col("emb").alias("emb_a"), "bucket"
+        F.col("vec_id").alias("a"),
+        F.col("emb").alias("emb_a"),
+        F.col("nrm").alias("nrm_a"),
+        "bucket",
     )
     right = bucketed.select(
-        F.col("vec_id").alias("b"), F.col("emb").alias("emb_b"), "bucket"
+        F.col("vec_id").alias("b"),
+        F.col("emb").alias("emb_b"),
+        F.col("nrm").alias("nrm_b"),
+        "bucket",
     )
     pairs = (
         left.join(right, "bucket")
         .filter(F.col("a") < F.col("b"))
-        .select("a", "b", F.round(cosine(F.col("emb_a"), F.col("emb_b")), 6).alias("sim"))
+        .select(
+            "a",
+            "b",
+            F.round(
+                pair_dot(sf_dir)(F.col("emb_a"), F.col("emb_b"))
+                / (F.col("nrm_a") * F.col("nrm_b")),
+                6,
+            ).alias("sim"),
+        )
         .filter(F.col("sim") > 0.2)
     )
     return pairs.orderBy(F.col("sim").desc(), "a", "b").limit(100)
@@ -630,17 +727,34 @@ def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         # costs zero data passes (round-8 verdict, What's wrong #2)
         train_total_rows=parquet_num_rows(sf_dir, "embeddings"),
     )
+    # Norm per ROW (O(n)), never per pair: cosine's |a|·|b| recomputed
+    # inside the cell join costs O(pairs·dim) — and above the scale
+    # gate those folds run interpreted and degrade megamorphically
+    # (round-11 finding, see pair_dot).  q_nrm·nrm is IEEE-commutative
+    # with the original l2_norm(a)·l2_norm(b) product, so sims are
+    # bit-identical.
     assigned = emb.select(
-        "vec_id", "emb", _nearest(F.col("emb"), cents).alias("cell")
+        "vec_id",
+        "emb",
+        row_norm(sf_dir)(F.col("emb")).alias("nrm"),
+        _nearest(F.col("emb"), cents).alias("cell"),
     )
     queries = assigned.filter(F.col("vec_id") < 3).select(
-        F.col("vec_id").alias("qid"), F.col("emb").alias("q_emb"), "cell"
+        F.col("vec_id").alias("qid"),
+        F.col("emb").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+        "cell",
     )
     scored = (
         assigned.join(F.broadcast(queries), "cell")
         .filter(F.col("vec_id") != F.col("qid"))
         .select(
-            "qid", "vec_id", cosine(F.col("q_emb"), F.col("emb")).alias("sim_raw")
+            "qid",
+            "vec_id",
+            (
+                pair_dot(sf_dir)(F.col("q_emb"), F.col("emb"))
+                / (F.col("q_nrm") * F.col("nrm"))
+            ).alias("sim_raw"),
         )
     )
     w = W.partitionBy("qid").orderBy(F.col("sim_raw").desc(), F.col("vec_id"))
@@ -685,15 +799,23 @@ def ann_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         # costs zero data passes (round-8 verdict, What's wrong #2)
         train_total_rows=parquet_num_rows(sf_dir, "embeddings"),
     )
+    # per-ROW norms + scale-gated pair-dot spelling, as in
+    # ann_ivf_kmeans (the interpreted-fold-per-pair fix; bit-identical
+    # sims either side of the gate)
     assigned = emb.select(
-        "vec_id", "emb", _nearest(F.col("emb"), cents).alias("cell")
+        "vec_id",
+        "emb",
+        row_norm(sf_dir)(F.col("emb")).alias("nrm"),
+        _nearest(F.col("emb"), cents).alias("cell"),
     )
     centroids = spark.createDataFrame(
         [(i, c) for i, c in enumerate(cents)],
         "cell int, ctr array<double>",
     )
     queries = emb.filter(F.col("vec_id") < 3).select(
-        F.col("vec_id").alias("qid"), F.col("emb").alias("q_emb")
+        F.col("vec_id").alias("qid"),
+        F.col("emb").alias("q_emb"),
+        row_norm(sf_dir)(F.col("emb")).alias("q_nrm"),
     )
     # nProbe=2 nearest centroids per query (squared L2 via fold)
     dist2 = F.aggregate(
@@ -704,10 +826,13 @@ def ann_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     wp = W.partitionBy("qid").orderBy(F.col("d2").asc(), F.col("cell"))
     probes = (
         queries.crossJoin(F.broadcast(centroids))
-        .select("qid", "q_emb", "cell", dist2.alias("d2"))
-        .select("qid", "q_emb", "cell", F.row_number().over(wp).alias("pr"))
+        .select("qid", "q_emb", "q_nrm", "cell", dist2.alias("d2"))
+        .select(
+            "qid", "q_emb", "q_nrm", "cell",
+            F.row_number().over(wp).alias("pr"),
+        )
         .filter(F.col("pr") <= 2)
-        .select("qid", "q_emb", "cell")
+        .select("qid", "q_emb", "q_nrm", "cell")
     )
     scored = (
         assigned.join(F.broadcast(probes), "cell")
@@ -715,7 +840,10 @@ def ann_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "qid",
             "vec_id",
-            cosine(F.col("q_emb"), F.col("emb")).alias("sim_raw"),
+            (
+                pair_dot(sf_dir)(F.col("q_emb"), F.col("emb"))
+                / (F.col("q_nrm") * F.col("nrm"))
+            ).alias("sim_raw"),
         )
         .dropDuplicates(["qid", "vec_id"])
     )
@@ -900,13 +1028,25 @@ def ann_quantized_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_emb").alias("q_emb"),
         F.col("c_q").alias("q_q"),
     )
-    int_dot = F.aggregate(
-        F.zip_with(
-            F.col("q_q"), F.col("c_q"), lambda x, y: (x * y).cast("long")
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
+    # integer dot, scale-gated spelling — the coarse stage runs PER
+    # PAIR, so above the gate the zip_with/aggregate fold would be the
+    # interpreted-eval hot path (round-11 finding, see pair_dot);
+    # integer sums are order-exact, and the unrolled form keeps the
+    # fold's exact shape anyway: 0L + (q₀·c₀)L + (q₁·c₁)L + ...
+    if _unroll_pairs(sf_dir):
+        int_dot: Column = F.lit(0).cast("long")
+        for _i in range(EMB_DIM):
+            int_dot = int_dot + (
+                F.col("q_q").getItem(_i) * F.col("c_q").getItem(_i)
+            ).cast("long")
+    else:
+        int_dot = F.aggregate(
+            F.zip_with(
+                F.col("q_q"), F.col("c_q"), lambda x, y: (x * y).cast("long")
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
     wc = W.partitionBy("qid").orderBy(
         F.col("coarse").desc(), F.col("vec_id")
     )
@@ -916,9 +1056,7 @@ def ann_quantized_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("crn", F.row_number().over(wc))
         .filter(F.col("crn") <= 20)
     )
-    sim_raw = dot(F.col("q_emb"), F.col("c_emb")) / (
-        l2_norm(F.col("q_emb")) * l2_norm(F.col("c_emb"))
-    )
+    sim_raw = pair_cosine(sf_dir)(F.col("q_emb"), F.col("c_emb"))
     wr = W.partitionBy("qid").orderBy(F.col("sim_raw").desc(), F.col("vec_id"))
     return (
         coarse.select("qid", "vec_id", sim_raw.alias("sim_raw"))
@@ -1059,7 +1197,11 @@ def ann_ivf_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.broadcast(queries.select("qid", "q_emb")), "qid"
         )
         .select(
-            "qid", "vec_id", cosine(F.col("q_emb"), F.col("emb")).alias("sim_raw")
+            "qid",
+            "vec_id",
+            pair_cosine(sf_dir)(F.col("q_emb"), F.col("emb")).alias(
+                "sim_raw"
+            ),
         )
     )
     w = W.partitionBy("qid").orderBy(F.col("sim_raw").desc(), F.col("vec_id"))
