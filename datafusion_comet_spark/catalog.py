@@ -60,6 +60,36 @@ def parquet_num_rows(sf_dir: str, name: str) -> int:
     return pq.ParquetFile(path).metadata.num_rows
 
 
+_TABLE_ROW_GROUPS_CACHE: dict[tuple[str, str], int] = {}
+
+
+def parquet_row_groups(sf_dir: str, name: str) -> int:
+    """Row-group count across a table's parquet files — the hard
+    ceiling on scan-task parallelism (a split cannot subdivide a row
+    group; bench.py documents the q1 measurement).  Pure footer
+    metadata, cached per (sf_dir, table).  Keys the scan-starvation
+    gate (queries/_shared._spread_scan): at 100 TB row groups vastly
+    outnumber cores and the gate is a no-op."""
+    import pyarrow.parquet as pq
+
+    key = (sf_dir, name)
+    cached = _TABLE_ROW_GROUPS_CACHE.get(key)
+    if cached is not None:
+        return cached
+    path = table_path(sf_dir, name)
+    if os.path.isdir(path):
+        n = sum(
+            pq.ParquetFile(os.path.join(root, f)).metadata.num_row_groups
+            for root, _dirs, files in os.walk(path)
+            for f in files
+            if f.endswith(".parquet")
+        )
+    else:
+        n = pq.ParquetFile(path).metadata.num_row_groups
+    _TABLE_ROW_GROUPS_CACHE[key] = n
+    return n
+
+
 _TABLE_BYTES_CACHE: dict[tuple[str, str], int] = {}
 
 

@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from . import register
-from ._shared import _dim_hint
+from ._shared import _dim_hint, _spread_scan
 from ._values_oracles import VALUES_ORACLES
 
 STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
@@ -440,6 +440,10 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     float ops — per-row round(double, n) goes through each engine's
     decimal-image conversion, which disagrees on near-ties (the
     round-9 merge_upsert sf1 find; COMPAT.md rule)."""
+    # NO _spread_scan: measured min-of-8 interleaved at sf0.1, raw
+    # 0.50 s vs rebalanced 0.62 s — these per-row features are cheaper
+    # than shipping the text through the rebalance exchange (contrast
+    # the winnow family, whose md5-gram stage makes the rebalance pay)
     docs = _t(spark, sf_dir, "documents")
     t = F.lower("text")
     toks = F.split(t, " ")

@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from . import register
-from ._shared import _dim_hint
+from ._shared import _dim_hint, _spread_scan
 
 # Winnowing parameters: k tokens per gram, w grams per window.  Any
 # shared token run of length >= K + WIN - 1 (the paper's guarantee
@@ -55,10 +55,34 @@ BM25_QUERIES: tuple[tuple[int, str], ...] = (
 # The K-gram rolling-hash projection shared by every winnow variant:
 # engine-portable md5 hex prefix per K-token gram (lexicographic =
 # numeric order, so array_min is the winnow min on both engines).
+# Gram tokens are read by element_at (0-based `toks[i-1]` = 1-based
+# position i), not slice(): the slice allocates a K-element array per
+# gram inside an interpreted lambda, and dropping it measured -0.4s
+# min-of-8 interleaved on the sf0.1 positions pipeline with identical
+# md5 inputs (round 11; same move as datapipe._shingle_hashes).
 _GRAM_HASH_EXPR = (
     f"transform(sequence(1, size(toks) - {K} + 1), "
-    f"i -> substring(md5(concat_ws(' ', slice(toks, i, {K}))), 1, 16))"
+    f"i -> substring(md5(concat_ws(' ', "
+    + ", ".join(
+        "toks[i - 1]" if j == 0 else f"toks[i + {j} - 1]" for j in range(K)
+    )
+    + ")), 1, 16))"
 )
+
+# Short docs produce an EMPTY gram set instead of being filtered out:
+# a .filter(size(toks) >= t) gets pushed below the tokenize projection
+# by predicate pushdown, so split(lower(text)) runs TWICE per row (once
+# in the Filter, once in the Project) — a duplicated full-corpus
+# tokenize pass at 100 TB (guide §4.4's optimizer-duplication class,
+# measured 0.10 s/pass at sf0.1).  The when-guard keeps one tokenize;
+# explode of the empty array yields zero rows = the filter's semantics
+# (the oracles keep the WHERE len(toks) >= t spelling, proving the
+# equivalence differentially).
+def _guarded_grams(min_toks: int) -> str:
+    return (
+        f"CASE WHEN size(toks) >= {min_toks} THEN {_GRAM_HASH_EXPR} "
+        f"ELSE array() END"
+    )
 
 
 def winnow_fingerprint_positions(
@@ -75,8 +99,10 @@ def winnow_fingerprint_positions(
     matchable span instances)."""
     toked = docs.select(
         id_col, F.split(F.lower("text"), " ").alias("toks")
-    ).filter(F.size("toks") >= K + WIN - 1)
-    hashed = toked.select(id_col, F.expr(_GRAM_HASH_EXPR).alias("hashes"))
+    )
+    hashed = toked.select(
+        id_col, F.expr(_guarded_grams(K + WIN - 1)).alias("hashes")
+    )
     # array_distinct BEFORE the explode: adjacent windows re-select the
     # same minimum constantly (that's the winnowing rule working), and
     # a (fp, pos) pair can only repeat WITHIN a document — so the
@@ -86,12 +112,23 @@ def winnow_fingerprint_positions(
     # -> 3 on dedup_winnow_cut).  The DuckDB oracles spell it as
     # SELECT DISTINCT post-unnest instead (list_distinct over structs
     # is unimplemented there); same triples either way.
+    # The window slice and its min are BOUND once via 1-element-array
+    # lambdas (`transform(array(x), v -> ...)[0]` is the expression
+    # language's let-binding): interpreted lambdas have no common-
+    # subexpression elimination, so the flat spelling evaluated
+    # slice(hashes, s, WIN) twice and array_min three times per window
+    # — binding measured -0.2s min-of-8 interleaved at sf0.1 with
+    # bit-identical output structs.  Guarded like the grams: short
+    # docs' empty hash array yields an empty window set, and explode
+    # drops them (the oracles keep the WHERE-filter spelling).
     win = (
+        f"CASE WHEN size(hashes) >= {WIN} THEN "
         f"array_distinct(transform(sequence(1, size(hashes) - {WIN} + 1), "
-        f"s -> named_struct("
-        f"'fp', array_min(slice(hashes, s, {WIN})), "
-        f"'pos', cast(s - 1 as bigint) + array_position("
-        f"slice(hashes, s, {WIN}), array_min(slice(hashes, s, {WIN}))))))"
+        f"s -> transform(array(slice(hashes, s, {WIN})), "
+        f"sl -> transform(array(array_min(sl)), "
+        f"m -> named_struct('fp', m, "
+        f"'pos', cast(s - 1 as bigint) + array_position(sl, m)))[0])[0])) "
+        f"ELSE array() END"
     )
     return hashed.select(
         id_col, F.explode(F.expr(win)).alias("w")
@@ -112,16 +149,21 @@ def winnow_fingerprints(
     keep = [id_col, *carry]
     toked = docs.select(
         *keep, F.split(F.lower("text"), " ").alias("toks")
-    ).filter(F.size("toks") >= K + WIN - 1)
-    hashed = toked.select(
-        *keep, F.expr(_GRAM_HASH_EXPR).alias("hashes")
     )
+    hashed = toked.select(
+        *keep, F.expr(_guarded_grams(K + WIN - 1)).alias("hashes")
+    )
+    # guarded like the positions variant: short docs carry an empty
+    # hash array (one tokenize pass, no pushed-down duplicate Filter)
+    # and explode drops them
     return hashed.select(
         *keep,
         F.explode(
             F.expr(
+                f"CASE WHEN size(hashes) >= {WIN} THEN "
                 f"array_distinct(transform(sequence(1, size(hashes) - {WIN} + 1), "
-                f"s -> array_min(slice(hashes, s, {WIN}))))"
+                f"s -> array_min(slice(hashes, s, {WIN})))) "
+                f"ELSE array() END"
             )
         ).alias("fp"),
     )
@@ -174,9 +216,13 @@ def dedup_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     pass hash-partitioned on the fingerprint — never a pair join, so a
     boilerplate span duplicated across k documents costs k rows, not
     k² (the duplication-skew lesson from dedup_lsh_star_cluster).
-    Exchanges: fp window + doc_id aggregate = 2.
+    Exchanges: fp window + doc_id aggregate = 2 (plus the footer-gated
+    _spread_scan rebalance only where the parquet layout starves scan
+    parallelism — a no-op at 100 TB; measured 1.35→0.97 s at sf0.1).
     """
-    fps = winnow_fingerprints(load_table(spark, sf_dir, "documents"))
+    fps = winnow_fingerprints(
+        _spread_scan(load_table(spark, sf_dir, "documents"), sf_dir, "documents")
+    )
     marked = fps.withColumn(
         "n_docs_fp", F.count(F.lit(1)).over(W.partitionBy("fp"))
     )
@@ -262,6 +308,11 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     single-partition window over the per-doc aggregate (rows already
     reduced to matched docs), never a global sort of the corpus.
     """
+    # NO _spread_scan here: BM25's per-row work (tokenize + explode) is
+    # light relative to shipping the raw text through a rebalance
+    # exchange — measured min-of-8 interleaved at sf0.1: raw 0.61 s vs
+    # spread 0.98 s (the winnow family's md5-gram hashing is what makes
+    # the rebalance pay; this pipeline has no such stage)
     docs = load_table(spark, sf_dir, "documents")
     toked = docs.select(
         "doc_id", F.split(F.lower("text"), " ").alias("toks")
@@ -402,7 +453,9 @@ def dedup_winnow_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranges, keep = array_except over the index sequence, kept text
     re-joined and hashed map-side.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _spread_scan(
+        load_table(spark, sf_dir, "documents"), sf_dir, "documents"
+    )
     fpp = winnow_fingerprint_positions(docs)
     wfp = W.partitionBy("fp")
     spans = (
@@ -520,6 +573,9 @@ def text_bm25_multiquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     exchange, so the window never materializes a query's full match
     list on one task.
     """
+    # NO _spread_scan (same measurement as text_bm25_topk: raw 1.01 s
+    # vs rebalanced 1.11 s min-of-8 interleaved — tokenize+explode is
+    # too light to pay for a text rebalance exchange)
     docs = load_table(spark, sf_dir, "documents")
     # The query table as a literal-array explode (not createDataFrame,
     # which plans as an opaque ExistingRDD scan): stays in Catalyst
@@ -660,7 +716,10 @@ def decontaminate_winnow_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     Per-doc hit counts aggregate (doc_id, source) pairs, never text.
     """
     fps = winnow_fingerprints(
-        load_table(spark, sf_dir, "documents"), carry=("source",)
+        _spread_scan(
+            load_table(spark, sf_dir, "documents"), sf_dir, "documents"
+        ),
+        carry=("source",),
     )
     eval_fps = fps.filter(F.col("doc_id") % 25 == 0).select("fp").distinct()
     hits = (

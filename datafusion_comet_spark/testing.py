@@ -165,17 +165,29 @@ def asymptotic_mode(spark, sf_dir: str):
     stage at execution; the static plan pinned here is the strategy
     Catalyst commits to before those runtime stats exist.
     """
-    from .catalog import _TABLE_BYTES_CACHE, FIXED_SIZE_DIMS, TABLES
+    from .catalog import (
+        _TABLE_BYTES_CACHE,
+        _TABLE_ROW_GROUPS_CACHE,
+        FIXED_SIZE_DIMS,
+        TABLES,
+    )
 
     saved_threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     scaling = [t for t in TABLES if t not in FIXED_SIZE_DIMS]
     saved_bytes = {
         t: _TABLE_BYTES_CACHE.get((sf_dir, t)) for t in scaling
     }
+    saved_rgs = {
+        t: _TABLE_ROW_GROUPS_CACHE.get((sf_dir, t)) for t in scaling
+    }
     try:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
         for t in scaling:
             _TABLE_BYTES_CACHE[(sf_dir, t)] = 1 << 40
+            # 100 TB layouts carry far more row groups than any cluster
+            # has cores, so the scan-starvation rebalance (_spread_scan)
+            # must be a no-op in the asymptotic plans
+            _TABLE_ROW_GROUPS_CACHE[(sf_dir, t)] = 1 << 20
         yield
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved_threshold)
@@ -184,3 +196,8 @@ def asymptotic_mode(spark, sf_dir: str):
                 _TABLE_BYTES_CACHE.pop((sf_dir, t), None)
             else:
                 _TABLE_BYTES_CACHE[(sf_dir, t)] = v
+        for t, v in saved_rgs.items():
+            if v is None:
+                _TABLE_ROW_GROUPS_CACHE.pop((sf_dir, t), None)
+            else:
+                _TABLE_ROW_GROUPS_CACHE[(sf_dir, t)] = v
