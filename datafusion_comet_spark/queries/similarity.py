@@ -14,11 +14,28 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table, parquet_num_rows
 from . import register
+from ._shared import _spread_scan
 from ._values_oracles import VALUES_ORACLES
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embeddings scan with the footer-gated scan-starvation rebalance
+    (_shared._spread_scan): the per-row assignment/signature arithmetic
+    of the ANN family (8×64-dim nearest-centroid, hyperplane signs,
+    int8 quantization) dominates these pipelines, and a few-row-group
+    layout pins it to that many tasks while the rebalance exchange
+    ships only ~0.5 KB/row.  Measured min-of-8 interleaved at sf0.1:
+    ann_ivf_kmeans 0.94→0.87 s, ann_bruteforce_topk 0.45→0.39 s.
+    No-op wherever footer row groups >= cores (every 100 TB layout).
+    Used only by the full-corpus per-row-heavy queries; bounded or
+    stats-only embedding queries read the raw scan."""
+    return _spread_scan(
+        load_table(spark, sf_dir, "embeddings"), sf_dir, "embeddings"
+    )
 
 
 def _as_double(col) -> Column:
@@ -181,7 +198,7 @@ def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # dot/(|a|·|b|), and the norm folds are interpreted lambdas — computed
     # per pair they dominate; per row they are O(n) not O(n·q).
     emb = (
-        _t(spark, sf_dir, "embeddings")
+        _emb(spark, sf_dir)
         .select("vec_id", _as_double("embedding").alias("emb"))
         .select(
             "vec_id", "emb", row_norm(sf_dir)(F.col("emb")).alias("nrm")
@@ -267,7 +284,7 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``bucket`` — at 1000 executors this is a plain hash-shuffle join
     whose per-bucket fan-out is 2^-12 of the data."""
     n_planes = 12
-    emb = _t(spark, sf_dir, "embeddings").select(
+    emb = _emb(spark, sf_dir).select(
         "vec_id", "label", _as_double("embedding").alias("emb")
     )
 
@@ -716,7 +733,7 @@ def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     sums made centroids partition-order-sensitive and this family
     unpinnable — with the decimal-exact Lloyd, making the output
     constant and VALUES-oracle-checked."""
-    emb = _t(spark, sf_dir, "embeddings").select(
+    emb = _emb(spark, sf_dir).select(
         "vec_id", _as_double("embedding").alias("emb")
     )
     cents = _lloyd_centroids(
@@ -788,7 +805,7 @@ def ann_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     vec_id) before ranking.  Deterministic Lloyd quantizer (round 7,
     see _lloyd_grouped) — same build as ann_ivf_kmeans, so the two
     variants share cells and the probe-count/recall trade is isolated."""
-    emb = _t(spark, sf_dir, "embeddings").select(
+    emb = _emb(spark, sf_dir).select(
         "vec_id", _as_double("embedding").alias("emb")
     )
     cents = _lloyd_centroids(
@@ -1019,7 +1036,7 @@ def ann_quantized_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("int"),
     )
     emb = (
-        _t(spark, sf_dir, "embeddings")
+        _emb(spark, sf_dir)
         .select("vec_id", _as_double("embedding").alias("c_emb"))
         .select("vec_id", "c_emb", quant(F.col("c_emb")).alias("c_q"))
     )
@@ -1106,7 +1123,7 @@ def ann_ivf_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     train in LOCKSTEP as one grouped Lloyd — one keyed aggregate per
     iteration for all subspaces, not one fit per book."""
     M, SUBDIM, CODES = 4, 16, 16
-    emb = _t(spark, sf_dir, "embeddings").select(
+    emb = _emb(spark, sf_dir).select(
         "vec_id", _as_double("embedding").alias("emb")
     )
     coarse = _lloyd_centroids(
