@@ -954,7 +954,10 @@ TPCDS_EXCHANGE_BUDGET = {
     "tpcds_channel_rollup": 4,
     "tpcds_class_revenue_ratio": 3,
     "tpcds_cross_border_brand_revenue": 2,
-    "tpcds_cross_channel_rollup": 4,
+    # round 11: the 2-channel key set's count_distinct became summed
+    # max(status == ch) presence bits — the (partkey, status)-keyed
+    # distinct level and its exchange dropped out (4 -> 3)
+    "tpcds_cross_channel_rollup": 3,
     "tpcds_cross_nation_orders": 1,
     "tpcds_cumulative_compare": 4,
     "tpcds_customer_cohort_setops": 6,
