@@ -27,6 +27,7 @@ from ..catalog import load_table
 from . import register
 from ._shared import _dim_hint, _spread_scan
 from ._values_oracles import VALUES_ORACLES
+from .similarity import _unroll_pairs
 
 STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
 
@@ -211,6 +212,50 @@ def lsh_band_buckets(sigs: DataFrame) -> DataFrame:
     )
 
 
+# --- scale gate for the per-PAIR signature-match spelling (round 11) -----
+#
+# The estimated-Jaccard match count is per-pair arithmetic over two
+# N_HASHES-int signatures — the same two-regime shape as
+# similarity.pair_dot (which this gate mirrors): below ~100k corpus
+# rows the interpreted zip_with/filter fold wins (tiny plan, µs-scale
+# per-pair cost at bench pair counts), above it the fold's
+# CodegenFallback ZipWith/ArrayFilter eval sites are exposed to the
+# megamorphic inline-cache degradation measured on the dot-product
+# fold (dev/dupskew_r11/embcos_ab.json: 5.7 s → 70-83 s for one
+# unchanged plan) — candidate-pair volume scales with the corpus, so
+# corpus scale is the gate key.  Both spellings count the SAME integer
+# (a NULL element compares to not-equal in both: the fold's filter
+# drops the NULL comparison result, the unrolled CASE's otherwise(0)
+# covers it; signatures are non-null by construction anyway), so every
+# estimate — and both queries' oracle hashes — are identical either
+# way; pinned by tests/test_pair_arith_gate.py.
+
+
+def _sig_match_fold(a, b):
+    return F.size(
+        F.filter(
+            F.zip_with(a, b, lambda x, y: (x == y).cast("int")),
+            lambda v: v == 1,
+        )
+    )
+
+
+def _sig_match_unrolled(a, b, n: int = N_HASHES):
+    acc = F.when(a.getItem(0) == b.getItem(0), 1).otherwise(0)
+    for i in range(1, n):
+        acc = acc + F.when(a.getItem(i) == b.getItem(i), 1).otherwise(0)
+    return acc
+
+
+def sig_match_count(sf_dir: str):
+    """Equal-position count of two N_HASHES-wide signatures: interpreted
+    fold below the pair-arithmetic scale gate, unrolled codegen above it
+    (value-identical integers either way)."""
+    if _unroll_pairs(sf_dir, "documents"):
+        return _sig_match_unrolled
+    return _sig_match_fold
+
+
 @register(
     "dedup_minhash_lsh",
     # VALUES oracle: independent pure-Python murmur3 shingle/minhash/band
@@ -247,14 +292,8 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     right = bands.select(
         F.col("doc_id").alias("b"), F.col("sig").alias("sig_b"), "band", "bucket"
     )
-    est = (
-        F.size(
-            F.filter(
-                F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
-                lambda v: v == 1,
-            )
-        )
-        / F.lit(float(N_HASHES))
+    est = sig_match_count(sf_dir)(F.col("sig_a"), F.col("sig_b")) / F.lit(
+        float(N_HASHES)
     )
     # Compute the (deterministic) estimate per band hit and dedup on the
     # scalar triple — the distinct shuffles 3 scalars per pair instead of
@@ -308,14 +347,8 @@ def dedup_lsh_star_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("hub"),
         F.min_by("sig", "doc_id").alias("sig_hub"),
     )
-    est = (
-        F.size(
-            F.filter(
-                F.zip_with("sig", "sig_hub", lambda x, y: (x == y).cast("int")),
-                lambda v: v == 1,
-            )
-        )
-        / F.lit(float(N_HASHES))
+    est = sig_match_count(sf_dir)(F.col("sig"), F.col("sig_hub")) / F.lit(
+        float(N_HASHES)
     )
     edges = (
         bands.join(hubs, ["band", "bucket"])

@@ -85,3 +85,62 @@ def test_gated_query_identical_rows_both_sides(spark, monkeypatch):
     assert sim.pair_dot(SF) is sim.dot_unrolled  # the flip is active
     above = reg["ann_bruteforce_topk"].fn(spark, SF).collect()
     assert [tuple(r) for r in below] == [tuple(r) for r in above]
+
+
+# --- the LSH signature-match count shares the same gate --------------------
+
+
+def test_sig_match_gate_flip(monkeypatch):
+    from datafusion_comet_spark.queries import datapipe as dp
+
+    assert dp.sig_match_count(SF) is dp._sig_match_fold
+    monkeypatch.setattr(
+        sim, "parquet_num_rows", lambda sf_dir, name: 10**9
+    )
+    assert dp.sig_match_count(SF) is dp._sig_match_unrolled
+
+
+def test_sig_match_spellings_identical_on_real_signatures(spark):
+    """Fold vs unrolled equal-position counts on every real band-bucket
+    pair drawn from the sf0.001 corpus signatures: exact int equality
+    (integer comparisons — no floating-point order concern at all)."""
+    from datafusion_comet_spark.queries import datapipe as dp
+
+    docs = load_table(spark, SF, "documents")
+    sigs = dp.minhash_signatures(docs)
+    a = sigs.select(F.col("doc_id").alias("a"), F.col("sig").alias("sa"))
+    b = sigs.select(F.col("doc_id").alias("b"), F.col("sig").alias("sb"))
+    pairs = (
+        a.crossJoin(b)
+        .filter(F.col("a") < F.col("b"))
+        .limit(2000)
+        .select(
+            "a",
+            "b",
+            dp._sig_match_fold(F.col("sa"), F.col("sb")).alias("m_fold"),
+            dp._sig_match_unrolled(F.col("sa"), F.col("sb")).alias("m_unr"),
+        )
+    )
+    rows = pairs.collect()
+    assert rows, "no signature pairs at sf0.001?"
+    for r in rows:
+        assert r["m_fold"] == r["m_unr"], (r["a"], r["b"])
+
+
+def test_lsh_queries_identical_rows_both_sides(spark, monkeypatch):
+    """dedup_minhash_lsh and dedup_lsh_star_cluster collect the same
+    rows whichever side of the gate builds the match count."""
+    from datafusion_comet_spark.queries import datapipe as dp
+
+    reg = load_all()
+    below = {
+        n: [tuple(r) for r in reg[n].fn(spark, SF).collect()]
+        for n in ("dedup_minhash_lsh", "dedup_lsh_star_cluster")
+    }
+    monkeypatch.setattr(
+        sim, "parquet_num_rows", lambda sf_dir, name: 10**9
+    )
+    assert dp.sig_match_count(SF) is dp._sig_match_unrolled
+    for n, rows in below.items():
+        above = [tuple(r) for r in reg[n].fn(spark, SF).collect()]
+        assert rows == above, n
