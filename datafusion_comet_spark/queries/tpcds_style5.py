@@ -89,12 +89,12 @@ def tpcds_cross_channel_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast-able semi-join filter; the scalar threshold is a 1-row
     aggregate broadcast into the scan predicate; the rollup Expands
     the filtered slice once.  At 100 TB: the channel key set and the
-    1-row threshold are dimension-sized, and the fact is scanned
-    exactly TWICE — once for the report, once for the fused
-    per-partkey pass (round 12) that feeds BOTH the channel key set
-    (the per-channel INTERSECT legs collapsed into presence bits) and
-    the threshold's exact integer cents total; no exchange carries
-    more than |parts| rows except the final rollup's.
+    1-row threshold are dimension-sized, and the fact is scanned once
+    for the report, once (2-column-pruned) for the key set — the
+    per-channel INTERSECT legs are collapsed into one
+    count-distinct-channel pass — and once (1-column-pruned) for the
+    threshold; no exchange carries more than |parts| rows except the
+    final rollup's.
 
     grouping() flags disambiguate rollup levels (NULL brand in data
     vs NULL from Expand), mirroring tpcds_rollup_rank_hierarchy."""
@@ -104,63 +104,42 @@ def tpcds_cross_channel_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
 
-    # ONE per-partkey pass feeds BOTH scalar subqueries (round 12; the
-    # executed r11 plan made a third, 1-column lineitem pass just for
-    # the threshold sum, measured +0.24 s at sf0.1 because the
-    # broadcast-dependency passes run back-to-back, not overlapped):
-    # - channel presence per item: summed max(status == ch) booleans,
-    #   NOT count_distinct — with a known 2-value channel domain the
-    #   distinct aggregate's extra (partkey, status)-keyed level and
-    #   second exchange buy nothing; max() partial-aggregates map-side
-    #   in one level (guide §2.3; measured min-of-8 interleaved at
-    #   sf0.1: 0.39 -> 0.31 s, identical 19 998-key set).  The oracle
-    #   keeps the literal's INTERSECT spelling, proving the collapse
-    #   differentially — same move as tpcds_date_intersect_returns.
-    # - the threshold's exact cents total rides the SAME aggregate as
-    #   per-partkey long sums (one lineitem row sums at most ~10^7
-    #   cents x O(30) lines per part at ANY scale factor, far inside
-    #   long range), re-aggregated to the 1-row decimal(38,0) total.
-    #   Exactness needs the orders join to preserve lineitem
-    #   multiplicity: o_orderkey is the PK (verified distinct at every
-    #   test SF) and the join is LEFT so even an orphan line would
-    #   survive; integer partial sums are order-free.
-    # persist(): the aggregate is |part|-bounded (dimension-scaled,
-    # MEMORY_AND_DISK) and has two consumers with different column
-    # sets — without the cache, per-branch column pruning specializes
-    # the subtrees and the fact is scanned once per consumer (the
-    # return_ratio_rank mechanism, round 7).  With it the executed
-    # plan makes TWO physical lineitem passes: this one + the report.
-    per_part = (
-        li.select("l_orderkey", "l_partkey", "l_extendedprice")
+    # items sold in BOTH channels: the literal's INTERSECT of two
+    # per-channel DISTINCT sets would scan the (pruned) fact once per
+    # channel; grouping by item builds the same set in ONE pass (oracle
+    # keeps the INTERSECT spelling, proving the collapse differentially
+    # — same move as tpcds_date_intersect_returns).  Channel presence
+    # is summed max(status == ch) booleans, NOT count_distinct: with a
+    # known 2-value channel domain the distinct aggregate's extra
+    # (partkey, status)-keyed level and second exchange buy nothing —
+    # max() partial-aggregates map-side in one level (guide §2.3;
+    # measured min-of-8 interleaved at sf0.1: 0.39 -> 0.31 s, identical
+    # 19 998-key set).
+    common = (
+        li.select("l_orderkey", "l_partkey")
         .join(
-            _dim_hint(orders, sf_dir, "orders"),
+            orders.filter(F.col("o_orderstatus").isin("O", "F")),
             F.col("l_orderkey") == F.col("o_orderkey"),
-            "left",
         )
         .groupBy("l_partkey")
         .agg(
             (
-                F.max(
-                    F.when(F.col("o_orderstatus") == "O", 1).otherwise(0)
-                )
-                + F.max(
-                    F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)
-                )
-            ).alias("nch"),
-            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
-            .alias("cents"),
-            F.count(F.lit(1)).alias("n_lines"),
+                F.max((F.col("o_orderstatus") == "O").cast("int"))
+                + F.max((F.col("o_orderstatus") == "F").cast("int"))
+            ).alias("nch")
         )
-        .persist()
+        .filter(F.col("nch") == 2)
+        .select("l_partkey")
     )
-    common = per_part.filter(F.col("nch") == 2).select("l_partkey")
     # price > avg as exact integer cross-multiplication on cents,
     # widened to DECIMAL(38,0)/HUGEINT: a double avg differs in the
     # last ulp between engines' accumulation orders and can flip
     # boundary rows
-    threshold = per_part.agg(
-        F.sum("cents").cast("decimal(38,0)").alias("sum_cents"),
-        F.sum("n_lines").cast("decimal(38,0)").alias("n_all"),
+    threshold = li.agg(
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+        .cast("decimal(38,0)")
+        .alias("sum_cents"),
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n_all"),
     )
     # Report pass: the per-row decimal(38,0) cross-multiplication, the
     # three broadcast probes and the rollup Expand all run in the scan

@@ -257,18 +257,7 @@ ALLOWED_BOUNDED_BROADCASTS: dict[str, list[str]] = {
         "documents",
     ],
     "text_bm25_topk": ["documents"],
-    # round 12: the threshold's keyless 1-row aggregate now reads the
-    # persisted |part|-bounded per-partkey pass instead of re-scanning
-    # the fact — its broadcast subtree reports the InMemoryTableScan
-    # marker plus the cache's printed LINEAGE (the lineitem+orders
-    # join executed once INTO the cache, not broadcast; the exchange
-    # above still carries exactly one row), the same adjudicated class
-    # as return_ratio_rank's and bm25_multiquery's cache markers.
-    "tpcds_cross_channel_rollup": [
-        "<opaque:InMemoryTableScan>",
-        "lineitem",
-        "orders",
-    ],
+    "tpcds_cross_channel_rollup": ["lineitem"],
     "tpcds_return_ratio_rank": ["lineitem"] * 12
     + ["<opaque:InMemoryTableScan>"] * 12,
 }

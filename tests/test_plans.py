@@ -896,24 +896,22 @@ def test_multi_supplier_returned_single_lineitem_pass(spark, sf_dir):
 
 
 def test_cross_channel_rollup_two_lineitem_passes(spark, sf_dir):
-    """tpcds_cross_channel_rollup (q14 shape): TWO physical lineitem
-    passes — the persisted per-partkey aggregate (round 12: channel
-    presence AND the threshold's integer cents total ride ONE fused
-    pass; pre-fusion the executed plan made a third, 1-column pass
-    for the threshold) plus the report pass.  The fused pass lives
-    inside the InMemoryRelation's own plan, so the main final plan
-    shows exactly one lineitem scan and the cached subtree the other."""
-    spark.catalog.clearCache()
+    """tpcds_cross_channel_rollup (q14 shape): the count-distinct-
+    channel pass replacing the naive two channel legs, plus the report
+    pass, in the main executed plan.  Round-12 correction: the round-8
+    "ReusedExchange absorbs the threshold leg" claim was WRONG — the
+    scalar-subquery threshold is a THIRD physical pass whose scan
+    prints outside the main final-plan tree, so this counter cannot
+    see it.  Fusing the threshold into a persisted per-partkey pass
+    (3→2 real passes) was built and MEASURED-REJECTED: rows identical,
+    but cold 1.855→2.126 s at sf0.1 and 2.513→3.115 s at generator sf1
+    (the extra fact-scaled column through the orders-join exchange plus
+    the persist barrier cost more than the saved 1-column scan at both
+    scales; the warm bench win was pure cross-iteration cache reuse) —
+    dev/cc_fuse_ab.py, dev/cc_fuse_ab{,_sf1}.json, OPTIMIZATION_r12.md."""
     df = REGISTRY["tpcds_cross_channel_rollup"].fn(spark, sf_dir)
     n = _table_scan_count(df, "lineitem", post_exec=True)
-    assert n == 1, f"{n} lineitem passes in the main final plan"
-    from datafusion_comet_spark.plans.introspect import plan_string as _ps
-
-    p = _ps(df, "formatted")
-    assert "InMemoryRelation" in p, "per-part aggregate lost its persist"
-    cached = p.split("InMemoryRelation")[-1]
-    n_cached = cached.count("lineitem.parquet")
-    assert n_cached == 1, f"{n_cached} lineitem scans in the cached subtree"
+    assert n == 2, f"{n} lineitem passes in the main final plan"
 
 
 def test_return_ratio_rank_single_fact_pass(spark, sf_dir):
@@ -966,14 +964,8 @@ TPCDS_EXCHANGE_BUDGET = {
     "tpcds_cross_border_brand_revenue": 2,
     # round 11: the 2-channel key set's count_distinct became summed
     # max(status == ch) presence bits — the (partkey, status)-keyed
-    # distinct level and its exchange dropped out (4 -> 3).
-    # round 12: the threshold totals fused into the (now persisted)
-    # per-partkey pass — its keyed exchange now prints inside the
-    # static plan where the old scalar-subquery threshold's did not
-    # (3 -> 4); the |part|-bounded re-aggregate exchange carries ~2k
-    # rows per SF-decade, and the fact lost a whole physical pass
-    # (pinned by test_cross_channel_rollup_two_lineitem_passes).
-    "tpcds_cross_channel_rollup": 4,
+    # distinct level and its exchange dropped out (4 -> 3)
+    "tpcds_cross_channel_rollup": 3,
     "tpcds_cross_nation_orders": 1,
     "tpcds_cumulative_compare": 4,
     "tpcds_customer_cohort_setops": 6,
@@ -1361,11 +1353,7 @@ SCAN_WIDTH_BUDGET = {
     "dedup_exact": [2],
     "dedup_minhash_lsh": [2, 2],
     "text_stats": [3],
-    # round 12: the 1-column threshold scan and the 2-column key-set
-    # scan fused into one 3-column per-partkey pass ([1,2,...] ->
-    # [2,3,...]) — one fewer fact pass for one extra column on the
-    # fused scan
-    "tpcds_cross_channel_rollup": [2, 2, 3, 4],
+    "tpcds_cross_channel_rollup": [1, 2, 2, 2, 4],
     "tpcds_return_ratio_rank": [6],
 }
 
